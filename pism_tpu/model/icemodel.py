@@ -1,0 +1,241 @@
+"""Model driver.
+
+Rebuild of PISM ``src/icemodel/`` (``IceModel::run``/``step``,
+``timestepping.cc``): owns the grid, config and components, orders the
+sub-model updates within a step, and selects the adaptive time step as the
+min over stability limits and component restrictions.
+
+TPU-native structure: the *entire* inner loop — stress balance, dt
+selection, energy step, mass transport, couplers — is one jitted
+``lax.while_loop`` ("segment") that advances from t0 to t_end on device with
+zero host synchronization; the host loop around it only handles output
+scheduling, reporting and checkpointing. This replaces PISM's host-driven
+step loop + MPI allreduce dt selection (reductions become on-device
+``jnp.min``s that GSPMD lowers to psum-style collectives when sharded).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import state as S
+from ..config.config import Config
+from ..grid import Grid
+from ..ops import sia as sia_ops
+from ..ops.stencils import Shifter
+from ..physics.rheology import flow_law_from_config
+from ..physics.enthalpy_converter import EnthalpyConverter
+from ..util.timecal import Time
+from . import geometry_evolution as ge
+from .stressbalance import StressBalance, StressBalanceResult
+
+
+class StepStats(NamedTuple):
+    """Per-segment accumulated statistics (a pytree carried in the loop)."""
+    nsteps: jnp.ndarray
+    dt_min: jnp.ndarray
+    dt_max: jnp.ndarray
+    sum_div_flux: jnp.ndarray    # time-integrated flux-divergence volume [m^3]
+    sum_smb: jnp.ndarray         # time-integrated applied SMB volume [m^3]
+    sum_bmb: jnp.ndarray
+    sum_nonneg: jnp.ndarray
+
+    @staticmethod
+    def zero(dtype=jnp.float64):
+        z = jnp.zeros((), dtype)
+        return StepStats(jnp.zeros((), jnp.int64), jnp.full((), jnp.inf, dtype),
+                         jnp.zeros((), dtype), z, z, z, z)
+
+
+@dataclass
+class IceModel:
+    """Composes the components; builds the jitted segment runner.
+
+    Components are plain callables/objects resolved at construction from the
+    config (the factory seam PISM implements with ``PCFactory``).
+    """
+
+    grid: Grid
+    config: Config
+    surface: Callable = None           # SurfaceModel
+    ocean: Callable = None             # OceanModel (sub-shelf melt), optional
+    energy_model: object = None        # model/energy_step.EnergyModel, optional
+    ssa: object = None                 # SSA solver, optional
+    hydrology: object = None
+    yield_stress: object = None
+    calving: object = None
+    bed_deformation: object = None
+
+    def __post_init__(self):
+        cfg = self.config
+        self.sh = Shifter(self.grid)
+        self.EC = EnthalpyConverter.from_config(cfg)
+        self.dtype = jnp.float64 if cfg.get_string("runtime.float_dtype") == "float64" else jnp.float32
+
+        sb_model = cfg.get_string("stress_balance.model")
+        sia_law = flow_law_from_config(cfg, "sia", self.EC) if "sia" in sb_model else None
+        self.stress_balance = StressBalance(
+            grid=self.grid, config=cfg, sia_flow_law=sia_law, ssa=self.ssa,
+            model=sb_model)
+
+        self.rho_i = cfg.get_number("constants.ice.density")
+        self.rho_w = cfg.get_number("constants.sea_water.density")
+        self.Hmin = cfg.get_number("geometry.ice_free_thickness_standard")
+        self.adaptive_ratio = cfg.get_number("time_stepping.adaptive_ratio")
+        self.max_dt = cfg.get_number("time_stepping.maximum_time_step", "seconds")
+        self.cfl_factor = cfg.get_number("time_stepping.cfl_factor")
+        self.geometry_evolves = cfg.get_flag("geometry.update.enabled")
+
+        self._advance = jax.jit(self._make_advance())
+
+    # ------------------------------------------------------------------ step
+    def _compute_dt(self, sb: StressBalanceResult, t, t_end):
+        grid = self.grid
+        limits = [jnp.asarray(self.max_dt, jnp.float64)]
+        if self.stress_balance.model in ("sia", "ssa+sia"):
+            limits.append(sia_ops.max_timestep_diffusivity(
+                sb.max_diffusivity, grid.dx, grid.dy, self.adaptive_ratio))
+        if self.stress_balance.model in ("ssa", "ssa+sia"):
+            limits.append(self.cfl_factor * ge.max_timestep_cfl_2d(
+                sb.u_face_e, sb.v_face_n, grid.dx, grid.dy))
+        if self.energy_model is not None:
+            lim = self.energy_model.max_timestep()
+            if lim is not None:
+                limits.append(jnp.asarray(lim, jnp.float64))
+        if self.hydrology is not None:
+            lim = self.hydrology.max_timestep()
+            if lim is not None:
+                limits.append(jnp.asarray(lim, jnp.float64))
+        dt = functools.reduce(jnp.minimum, [jnp.asarray(l, jnp.float64) for l in limits])
+        return jnp.minimum(dt, t_end - t)
+
+    def _step(self, state: S.ModelState, t, t_end, stats: StepStats):
+        grid, sh, cfg = self.grid, self.sh, self.config
+
+        # 1-2. stress balance and adaptive dt ------------------------------
+        tau_c = None
+        if self.yield_stress is not None:
+            tau_c = self.yield_stress.compute(state)
+        sb = self.stress_balance.update(state, tau_c)
+        dt = self._compute_dt(sb, t, t_end)
+        dt_f = dt.astype(state.geometry.ice_thickness.dtype)
+
+        # 3. energy (enthalpy) step ---------------------------------------
+        if self.energy_model is not None:
+            state = self.energy_model.step(state, sb, self.surface, t, dt_f)
+
+        # 5. hydrology -----------------------------------------------------
+        if self.hydrology is not None:
+            state = self.hydrology.step(state, dt_f)
+
+        # 7. mass transport ------------------------------------------------
+        geometry = state.geometry
+        if self.geometry_evolves:
+            qe_adv, qn_adv = ge.advective_flux(sb.u_face_e, sb.v_face_n,
+                                               geometry.ice_thickness, sh)
+            Qe = sb.qe + qe_adv
+            Qn = sb.qn + qn_adv
+            res = ge.flow_step(geometry, dt_f, Qe, Qn, grid, sh)
+            H = res.thickness
+
+            smb_in = self.surface(geometry, t)
+            bmb = jnp.zeros_like(H)
+            if state.basal_melt_rate is not None:
+                bmb = bmb + state.basal_melt_rate
+            if self.ocean is not None:
+                shelf_melt = self.ocean(geometry, t)
+                bmb = bmb + jnp.where(S.floating_ice(geometry.cell_type),
+                                      shelf_melt, 0.0)
+            H, smb_app, bmb_app = ge.source_term_step(
+                H, dt_f, smb_in.smb, bmb, grid.dx, grid.dy)
+
+            geometry = geometry.replace(ice_thickness=H)
+            geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin)
+            div_vol = jnp.sum(res.flux_divergence) * grid.dx * grid.dy
+            nonneg = res.nonneg_flux
+        else:
+            smb_app = bmb_app = div_vol = nonneg = jnp.zeros((), self.dtype)
+
+        # 8. calving / front retreat --------------------------------------
+        if self.calving is not None:
+            geometry = self.calving.step(geometry, sb, dt_f)
+            geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin)
+
+        state = state.replace(geometry=geometry, u_ssa=sb.u_ssa, v_ssa=sb.v_ssa)
+
+        # 9. bed deformation ----------------------------------------------
+        if self.bed_deformation is not None:
+            state = self.bed_deformation.step(state, dt_f)
+            state = state.replace(geometry=S.ensure_consistency(
+                state.geometry, self.rho_i, self.rho_w, self.Hmin))
+
+        stats = StepStats(
+            nsteps=stats.nsteps + 1,
+            dt_min=jnp.minimum(stats.dt_min, dt),
+            dt_max=jnp.maximum(stats.dt_max, dt),
+            sum_div_flux=stats.sum_div_flux + jnp.float64(dt_f * div_vol),
+            sum_smb=stats.sum_smb + jnp.float64(dt * smb_app),
+            sum_bmb=stats.sum_bmb + jnp.float64(dt * bmb_app),
+            sum_nonneg=stats.sum_nonneg + jnp.float64(dt * nonneg),
+        )
+        return state, t + dt, stats
+
+    def _make_advance(self):
+        def advance(state, t0, t_end):
+            eps = 1e-6
+
+            def cond(carry):
+                _, t, _ = carry
+                return t < t_end - eps
+
+            def body(carry):
+                st_, t, stats = carry
+                return self._step(st_, t, t_end, stats)
+
+            stats0 = StepStats.zero()
+            return jax.lax.while_loop(cond, body, (state, jnp.float64(t0), stats0))
+
+        return advance
+
+    # ------------------------------------------------------------------ API
+    def run(self, state: S.ModelState, time: Time,
+            segment_seconds: Optional[float] = None,
+            callback: Optional[Callable] = None):
+        """Advance from time.start to time.end. ``callback(state, t, stats)``
+        runs on the host at every segment boundary (output scheduling)."""
+        if segment_seconds is None:
+            segment_seconds = self.config.get_number("runtime.segment_years", "seconds")
+        t = time.start
+        total_stats = None
+        while t < time.end - 1e-6:
+            t_seg = min(t + segment_seconds, time.end)
+            state, t_dev, stats = self._advance(state, t, t_seg)
+            t = float(t_dev)
+            total_stats = _merge_stats(total_stats, stats)
+            if callback is not None:
+                callback(state, t, stats)
+        return state, total_stats
+
+    def step_once(self, state: S.ModelState, t: float, dt_cap: float):
+        """Single adaptive step (host-visible dt); used by tests."""
+        state, t_new, stats = self._advance(state, t, t + dt_cap)
+        return state, float(t_new), stats
+
+
+def _merge_stats(a: Optional[StepStats], b: StepStats) -> StepStats:
+    if a is None:
+        return b
+    return StepStats(
+        nsteps=a.nsteps + b.nsteps,
+        dt_min=jnp.minimum(a.dt_min, b.dt_min),
+        dt_max=jnp.maximum(a.dt_max, b.dt_max),
+        sum_div_flux=a.sum_div_flux + b.sum_div_flux,
+        sum_smb=a.sum_smb + b.sum_smb,
+        sum_bmb=a.sum_bmb + b.sum_bmb,
+        sum_nonneg=a.sum_nonneg + b.sum_nonneg,
+    )

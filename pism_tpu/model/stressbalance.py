@@ -1,0 +1,92 @@
+"""Composite stress balance.
+
+Rebuild of PISM ``src/stressbalance/StressBalance.cc``: combines a 2D
+membrane ("shallow") stress balance (SSA; or none) with the SIA shear
+modifier, producing the staggered diffusive flux, the vertically-averaged
+advective (sliding) velocity, and the adaptive-dt inputs. The 3D velocity
+reconstruction and strain heating live in :mod:`pism_tpu.model.energy_step`
+consumers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..ops import sia as sia_ops
+from ..ops.stencils import Shifter
+from ..ops import stencils as st
+from .. import state as S
+from . import geometry_evolution as ge
+
+
+class StressBalanceResult(NamedTuple):
+    # staggered diffusive (SIA) flux [m^2/s]
+    qe: jnp.ndarray
+    qn: jnp.ndarray
+    # face-normal advective (sliding) velocity [m/s]
+    u_face_e: jnp.ndarray
+    v_face_n: jnp.ndarray
+    # cell-centered sliding velocity (for diagnostics/calving)
+    u_base: jnp.ndarray
+    v_base: jnp.ndarray
+    max_diffusivity: jnp.ndarray
+    # updated SSA velocity state (carried between steps as Picard warm start)
+    u_ssa: Optional[jnp.ndarray]
+    v_ssa: Optional[jnp.ndarray]
+
+
+@dataclass
+class StressBalance:
+    """Configured stress balance; ``update`` is pure and trace-safe."""
+
+    grid: object
+    config: object
+    sia_flow_law: object = None
+    ssa: object = None           # SSA solver object (model/ssa), or None
+    model: str = "sia"           # none | sia | ssa | ssa+sia
+
+    def __post_init__(self):
+        self.sh = Shifter(self.grid)
+        cfg = self.config
+        self.n_sia = cfg.get_number("stress_balance.sia.Glen_exponent")
+        self.e_sia = cfg.get_number("stress_balance.sia.enhancement_factor")
+        self.rho = cfg.get_number("constants.ice.density")
+        self.g = cfg.get_number("constants.standard_gravity")
+        self.gradient_method = cfg.get_string("stress_balance.sia.surface_gradient_method")
+        if self.gradient_method == "haseloff":
+            # Haseloff margin treatment not yet implemented; Mahaffy gradients
+            # are used (difference only at ice margins over steep bed).
+            self.gradient_method = "mahaffy"
+
+    def update(self, state: S.ModelState, yield_stress=None) -> StressBalanceResult:
+        grid, sh = self.grid, self.sh
+        zeros = jnp.zeros(grid.shape2)
+
+        u_ssa, v_ssa = state.u_ssa, state.v_ssa
+        if self.model in ("ssa", "ssa+sia") and self.ssa is not None:
+            u_ssa, v_ssa = self.ssa.solve(state, yield_stress)
+
+        if self.model in ("sia", "ssa+sia"):
+            flux = sia_ops.diffusivity(
+                self.sia_flow_law, state.geometry, state.enthalpy, grid, sh,
+                n=self.n_sia, enhancement=self.e_sia, rho=self.rho, g=self.g,
+                gradient_method=self.gradient_method)
+            qe, qn, max_D = flux.qe, flux.qn, flux.max_D
+        else:
+            qe, qn, max_D = zeros, zeros, jnp.zeros(())
+
+        if u_ssa is not None:
+            u_e, v_n = ge.face_velocities(u_ssa, v_ssa, sh)
+            # mask advective flux to faces with ice on at least one side
+            u_b, v_b = u_ssa, v_ssa
+        else:
+            u_e, v_n, u_b, v_b = zeros, zeros, zeros, zeros
+
+        return StressBalanceResult(
+            qe=qe, qn=qn, u_face_e=u_e, v_face_n=v_n,
+            u_base=u_b, v_base=v_b, max_diffusivity=max_D,
+            u_ssa=u_ssa, v_ssa=v_ssa,
+        )

@@ -1,0 +1,57 @@
+import numpy as np
+import pytest
+
+from pism_tpu import Config, Grid
+
+
+def test_config_defaults_and_units():
+    cfg = Config()
+    assert cfg.get_number("constants.ice.density") == 910.0
+    assert cfg.get_number("time_stepping.maximum_time_step", "seconds") == pytest.approx(
+        60.0 * 3.15569259747e7)
+    assert cfg.get_string("stress_balance.model") == "sia"
+    assert cfg.get_flag("geometry.update.enabled") is True
+
+
+def test_config_override_roundtrip():
+    cfg = Config({"grid.Mx": 121, "stress_balance.model": "ssa+sia"})
+    assert cfg.get_int("grid.Mx") == 121
+    s = cfg.to_json()
+    cfg2 = Config.from_json(s)
+    assert cfg2.get_int("grid.Mx") == 121
+    assert cfg2.get_string("stress_balance.model") == "ssa+sia"
+    assert "grid.Mx" in cfg.non_default()
+
+
+def test_config_unknown_raises():
+    cfg = Config()
+    with pytest.raises(KeyError):
+        cfg.get_number("no.such.parameter")
+    with pytest.raises(KeyError):
+        cfg.update({"no.such.parameter": 1})
+
+
+def test_grid_coordinates():
+    g = Grid(Mx=61, My=61, Lx=750e3, Ly=750e3, Mz=11, Lz=4000.0,
+             vertical_spacing="equal")
+    assert g.dx == pytest.approx(25e3)
+    assert g.x[0] == -750e3 and g.x[-1] == 750e3
+    assert g.z[0] == 0.0 and g.z[-1] == 4000.0
+    assert np.allclose(np.diff(g.z), 400.0)
+
+
+def test_grid_quadratic_levels():
+    g = Grid(Mx=3, My=3, Lx=1e3, Ly=1e3, Mz=31, Lz=4000.0,
+             vertical_spacing="quadratic", lam=4.0)
+    dz = np.diff(g.z)
+    assert g.z[0] == 0.0 and g.z[-1] == 4000.0
+    # finer near the base
+    assert dz[0] < dz[-1]
+    assert dz[0] == pytest.approx(4000.0 / 30 / 4.0, rel=0.15)
+    assert np.all(dz > 0)
+
+
+def test_grid_hashable_static():
+    g1 = Grid(Mx=61, My=61, Lx=750e3, Ly=750e3)
+    g2 = Grid(Mx=61, My=61, Lx=750e3, Ly=750e3)
+    assert hash(g1) == hash(g2) and g1 == g2

@@ -1,0 +1,90 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pism_tpu import Config
+from pism_tpu.physics.enthalpy_converter import EnthalpyConverter
+from pism_tpu.physics.rheology import (
+    GPBLD, IsothermalGlen, PatersonBudd, flow_law_from_config)
+
+
+@pytest.fixture
+def EC():
+    return EnthalpyConverter.from_config(Config())
+
+
+def test_enthalpy_roundtrip_cold(EC):
+    p = EC.pressure(1000.0)
+    T = 250.0
+    E = EC.enthalpy(T, 0.0, p)
+    assert float(EC.temperature(E, p)) == pytest.approx(T)
+    assert float(EC.water_fraction(E, p)) == 0.0
+
+
+def test_enthalpy_roundtrip_temperate(EC):
+    p = EC.pressure(500.0)
+    omega = 0.005
+    Tm = float(EC.melting_temperature(p))
+    E = EC.enthalpy(Tm, omega, p)
+    assert float(EC.water_fraction(E, p)) == pytest.approx(omega)
+    assert float(EC.temperature(E, p)) == pytest.approx(Tm)
+
+
+def test_melting_point_decreases_with_depth(EC):
+    assert float(EC.melting_temperature(EC.pressure(4000.0))) < 273.15
+
+
+def test_cts_continuity(EC):
+    """Softness must be continuous across the cold-temperate transition."""
+    law = GPBLD(EC=EC)
+    p = EC.pressure(800.0)
+    Es = float(EC.enthalpy_cts(p))
+    below = float(law.softness(jnp.asarray(Es - 1.0), p))
+    above = float(law.softness(jnp.asarray(Es + 1.0), p))
+    assert above == pytest.approx(below, rel=1e-3)
+
+
+def test_gpbld_softens_with_water(EC):
+    law = GPBLD(EC=EC)
+    p = EC.pressure(800.0)
+    Es = float(EC.enthalpy_cts(p))
+    dry = float(law.softness(jnp.asarray(Es), p))
+    wet = float(law.softness(jnp.asarray(Es + 0.005 * law.EC.L0), p))
+    assert wet > dry
+    # capped at omega = 0.01
+    very_wet = float(law.softness(jnp.asarray(Es + 0.05 * law.EC.L0), p))
+    assert very_wet == pytest.approx(
+        dry * (1 + law.water_frac_coeff * 0.01), rel=1e-6)
+
+
+def test_paterson_budd_magnitude(EC):
+    """A(-10 C) ~ 3e-25 1/(Pa^3 s) (Cuffey & Paterson order)."""
+    law = PatersonBudd(EC=EC)
+    A = float(law.softness_from_temp_pa(jnp.asarray(263.15)))
+    assert 1e-25 < A < 1e-24
+
+
+def test_hardness_softness_consistency(EC):
+    law = PatersonBudd(EC=EC)
+    p = EC.pressure(100.0)
+    E = EC.enthalpy(255.0, 0.0, p)
+    A = float(law.softness(E, p))
+    B = float(law.hardness(E, p))
+    assert B == pytest.approx(A ** (-1.0 / 3.0))
+
+
+def test_factory(EC):
+    cfg = Config({"stress_balance.sia.flow_law": "isothermal_glen"})
+    law = flow_law_from_config(cfg, "sia")
+    assert isinstance(law, IsothermalGlen)
+    cfg = Config()
+    assert isinstance(flow_law_from_config(cfg, "sia"), GPBLD)
+
+
+def test_averaged_hardness_isothermal(EC):
+    law = IsothermalGlen(EC=EC)
+    z = jnp.linspace(0.0, 4000.0, 21)
+    E = jnp.zeros((4, 4, 21))
+    H = jnp.full((4, 4), 2000.0)
+    B = law.averaged_hardness(H, E, z)
+    assert np.allclose(np.asarray(B), law.A ** (-1 / 3.0), rtol=1e-12)
