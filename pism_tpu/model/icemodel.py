@@ -78,10 +78,14 @@ class IceModel:
         self.dtype = jnp.float64 if cfg.get_string("runtime.float_dtype") == "float64" else jnp.float32
 
         sb_model = cfg.get_string("stress_balance.model")
+        energy_kind = cfg.get_string("energy.model")
+        if energy_kind == "enthalpy" and self.energy_model is None:
+            from .energy import EnergyModel
+            self.energy_model = EnergyModel(grid=self.grid, config=cfg, EC=self.EC)
         sia_law = flow_law_from_config(cfg, "sia", self.EC) if "sia" in sb_model else None
         self.stress_balance = StressBalance(
             grid=self.grid, config=cfg, sia_flow_law=sia_law, ssa=self.ssa,
-            model=sb_model)
+            model=sb_model, compute_3d=self.energy_model is not None)
 
         self.rho_i = cfg.get_number("constants.ice.density")
         self.rho_w = cfg.get_number("constants.sea_water.density")
@@ -103,10 +107,10 @@ class IceModel:
         if self.stress_balance.model in ("ssa", "ssa+sia"):
             limits.append(self.cfl_factor * ge.max_timestep_cfl_2d(
                 sb.u_face_e, sb.v_face_n, grid.dx, grid.dy))
-        if self.energy_model is not None:
-            lim = self.energy_model.max_timestep()
-            if lim is not None:
-                limits.append(jnp.asarray(lim, jnp.float64))
+        if sb.sia3 is not None:
+            from ..ops.sia3d import max_timestep_cfl_3d
+            limits.append(self.cfl_factor * max_timestep_cfl_3d(
+                sb.sia3.max_u, sb.sia3.max_v, grid.dx, grid.dy))
         if self.hydrology is not None:
             lim = self.hydrology.max_timestep()
             if lim is not None:
@@ -125,9 +129,16 @@ class IceModel:
         dt = self._compute_dt(sb, t, t_end)
         dt_f = dt.astype(state.geometry.ice_thickness.dtype)
 
+        smb_in = self.surface(state.geometry, t)
+
         # 3. energy (enthalpy) step ---------------------------------------
         if self.energy_model is not None:
-            state = self.energy_model.step(state, sb, self.surface, t, dt_f)
+            eres = self.energy_model.step(
+                state, sb.sia3, smb_in.temperature, dt_f,
+                frictional_heating=sb.basal_frictional_heating,
+                tillwat=state.tillwat)
+            state = state.replace(enthalpy=eres.enthalpy,
+                                  basal_melt_rate=eres.basal_melt_rate)
 
         # 5. hydrology -----------------------------------------------------
         if self.hydrology is not None:
@@ -143,7 +154,6 @@ class IceModel:
             res = ge.flow_step(geometry, dt_f, Qe, Qn, grid, sh)
             H = res.thickness
 
-            smb_in = self.surface(geometry, t)
             bmb = jnp.zeros_like(H)
             if state.basal_melt_rate is not None:
                 bmb = bmb + state.basal_melt_rate

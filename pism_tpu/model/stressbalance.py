@@ -3,9 +3,8 @@
 Rebuild of PISM ``src/stressbalance/StressBalance.cc``: combines a 2D
 membrane ("shallow") stress balance (SSA; or none) with the SIA shear
 modifier, producing the staggered diffusive flux, the vertically-averaged
-advective (sliding) velocity, and the adaptive-dt inputs. The 3D velocity
-reconstruction and strain heating live in :mod:`pism_tpu.model.energy_step`
-consumers.
+advective (sliding) velocity, the adaptive-dt inputs, and (when the energy
+model needs them) the 3D velocities and volumetric strain heating.
 """
 
 from __future__ import annotations
@@ -16,6 +15,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 
 from ..ops import sia as sia_ops
+from ..ops import sia3d
 from ..ops.stencils import Shifter
 from ..ops import stencils as st
 from .. import state as S
@@ -29,13 +29,16 @@ class StressBalanceResult(NamedTuple):
     # face-normal advective (sliding) velocity [m/s]
     u_face_e: jnp.ndarray
     v_face_n: jnp.ndarray
-    # cell-centered sliding velocity (for diagnostics/calving)
+    # cell-centered sliding velocity (diagnostics/calving/friction heating)
     u_base: jnp.ndarray
     v_base: jnp.ndarray
     max_diffusivity: jnp.ndarray
-    # updated SSA velocity state (carried between steps as Picard warm start)
+    # updated SSA velocity state (carried between steps as warm start)
     u_ssa: Optional[jnp.ndarray]
     v_ssa: Optional[jnp.ndarray]
+    # 3D outputs for the energy/age models (None unless requested)
+    sia3: Optional[sia3d.SIA3D]
+    basal_frictional_heating: Optional[jnp.ndarray]
 
 
 @dataclass
@@ -47,6 +50,7 @@ class StressBalance:
     sia_flow_law: object = None
     ssa: object = None           # SSA solver object (model/ssa), or None
     model: str = "sia"           # none | sia | ssa | ssa+sia
+    compute_3d: bool = False
 
     def __post_init__(self):
         self.sh = Shifter(self.grid)
@@ -63,7 +67,7 @@ class StressBalance:
 
     def update(self, state: S.ModelState, yield_stress=None) -> StressBalanceResult:
         grid, sh = self.grid, self.sh
-        zeros = jnp.zeros(grid.shape2)
+        zeros = jnp.zeros(grid.shape2, state.geometry.ice_thickness.dtype)
 
         u_ssa, v_ssa = state.u_ssa, state.v_ssa
         if self.model in ("ssa", "ssa+sia") and self.ssa is not None:
@@ -80,13 +84,27 @@ class StressBalance:
 
         if u_ssa is not None:
             u_e, v_n = ge.face_velocities(u_ssa, v_ssa, sh)
-            # mask advective flux to faces with ice on at least one side
             u_b, v_b = u_ssa, v_ssa
         else:
             u_e, v_n, u_b, v_b = zeros, zeros, zeros, zeros
+
+        sia3 = None
+        friction = None
+        if self.compute_3d:
+            if self.model in ("sia", "ssa+sia"):
+                sia3 = sia3d.sia_3d(
+                    self.sia_flow_law, state.geometry, state.enthalpy, grid, sh,
+                    n=self.n_sia, enhancement=self.e_sia, rho=self.rho, g=self.g,
+                    u_base=u_b if u_ssa is not None else None,
+                    v_base=v_b if u_ssa is not None else None,
+                    basal_melt_rate=state.basal_melt_rate)
+            if u_ssa is not None and yield_stress is not None:
+                speed = jnp.sqrt(u_b ** 2 + v_b ** 2)
+                friction = yield_stress * speed  # tau_b . u_b (W/m^2)
 
         return StressBalanceResult(
             qe=qe, qn=qn, u_face_e=u_e, v_face_n=v_n,
             u_base=u_b, v_base=v_b, max_diffusivity=max_D,
             u_ssa=u_ssa, v_ssa=v_ssa,
+            sia3=sia3, basal_frictional_heating=friction,
         )

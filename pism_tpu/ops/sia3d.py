@@ -1,0 +1,105 @@
+"""3D SIA velocity reconstruction, vertical velocity, strain heating.
+
+Rebuild of the 3D parts of PISM's stress balance
+(``src/stressbalance/SIAFD.cc`` horizontal 3D velocity,
+``StressBalance::compute_vertical_velocity`` from incompressibility, and the
+volumetric strain heating ``Sigma``): everything is a cumulative trapezoid
+integral over the trailing z axis, fused over all columns.
+
+SIA shear velocity (z = height above base):
+    u(z) = u_b - 2 e (rho g)^n |grad s|^(n-1) s_x * I(z),
+    I(z) = int_0^z A(E, p) (H - z')^n dz'
+Vertical velocity: w(z) = w_b - int_0^z (u_x + v_y) dz'.
+Strain heating:    Phi(z) = 2 e A(E, p) tau(z)^(n+1),  tau = rho g (H-z)|grad s|.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from . import stencils as st
+from .stencils import Shifter
+
+
+class SIA3D(NamedTuple):
+    u: jnp.ndarray               # (My, Mx, Mz) m/s
+    v: jnp.ndarray
+    w: jnp.ndarray
+    strain_heating: jnp.ndarray  # (My, Mx, Mz) W/m^3
+    max_u: jnp.ndarray           # scalars for 3D CFL
+    max_v: jnp.ndarray
+
+
+def _cumtrapz_z(f, z):
+    """Cumulative trapezoid along the trailing axis; result[..., 0] = 0."""
+    dz = jnp.diff(jnp.asarray(z))
+    mid = 0.5 * (f[..., 1:] + f[..., :-1]) * dz
+    out = jnp.cumsum(mid, axis=-1)
+    return jnp.concatenate([jnp.zeros_like(f[..., :1]), out], axis=-1)
+
+
+def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
+           sh: Shifter, *, n: float = 3.0, enhancement: float = 1.0,
+           rho: float = 910.0, g: float = 9.81,
+           u_base: Optional[jnp.ndarray] = None,
+           v_base: Optional[jnp.ndarray] = None,
+           basal_melt_rate: Optional[jnp.ndarray] = None) -> SIA3D:
+    """Cell-centered 3D velocities and strain heating."""
+    H = geometry.ice_thickness
+    s = geometry.ice_surface_elevation
+    b = geometry.bed_elevation
+    z = jnp.asarray(grid.z)
+
+    s_x, s_y = st.centered_grad(s, grid.dx, grid.dy, sh)
+    slope2 = s_x ** 2 + s_y ** 2
+    slope = jnp.sqrt(slope2)
+
+    Hc = H[..., None]
+    depth = jnp.maximum(Hc - z, 0.0)
+    if enthalpy is None:
+        A = flow_law.softness(jnp.zeros(()), jnp.zeros(()))
+        A3 = jnp.broadcast_to(A, depth.shape)
+    else:
+        p = flow_law.EC.pressure(depth)
+        A3 = flow_law.softness(enthalpy, p)
+
+    C = 2.0 * enhancement * (rho * g) ** n
+    integrand = A3 * depth ** n
+    I = _cumtrapz_z(integrand, z)                       # (My, Mx, Mz)
+    phi = C * slope[..., None] ** (n - 1.0) * I
+
+    ub = u_base if u_base is not None else jnp.zeros_like(H)
+    vb = v_base if v_base is not None else jnp.zeros_like(H)
+    in_ice = (z <= Hc) | (jnp.arange(z.shape[0]) == 0)
+    u = jnp.where(in_ice, ub[..., None] - phi * s_x[..., None], 0.0)
+    v = jnp.where(in_ice, vb[..., None] - phi * s_y[..., None], 0.0)
+
+    # vertical velocity from incompressibility
+    u_x = (sh(u, 0, 1) - sh(u, 0, -1)) / (2.0 * grid.dx)
+    v_y = (sh(v, 1, 0) - sh(v, -1, 0)) / (2.0 * grid.dy)
+    div_uv = u_x + v_y
+    b_x, b_y = st.centered_grad(b, grid.dx, grid.dy, sh)
+    w_base = ub * b_x + vb * b_y
+    if basal_melt_rate is not None:
+        w_base = w_base - basal_melt_rate
+    w = w_base[..., None] - _cumtrapz_z(div_uv, z)
+    w = jnp.where(in_ice, w, 0.0)
+
+    # volumetric strain heating (SIA shear dissipation)
+    tau = rho * g * depth * slope[..., None]
+    Phi = 2.0 * enhancement * A3 * tau ** (n + 1.0)
+    Phi = jnp.where(z < Hc, Phi, 0.0)
+
+    return SIA3D(
+        u=u, v=v, w=w, strain_heating=Phi,
+        max_u=jnp.max(jnp.abs(u)), max_v=jnp.max(jnp.abs(v)),
+    )
+
+
+def max_timestep_cfl_3d(max_u, max_v, dx: float, dy: float):
+    """3D CFL for the explicit horizontal enthalpy/age advection (PISM
+    ``max_timestep_cfl_3d``)."""
+    rate = max_u / dx + max_v / dy
+    return 1.0 / jnp.maximum(rate, 1e-30)

@@ -1,0 +1,107 @@
+"""EISMINT II simplified-geometry experiments.
+
+Rebuild of PISM's EISMINT II mode (``src/icemodel/`` + the historical
+``pisms`` executable; experiment definitions from Payne et al. 2000,
+J. Glaciol. 46(153)): radially symmetric SMB and surface temperature on a
+1500x1500 km flat-bed domain, thermomechanically coupled SIA, runs to steady
+state over ~200 kyr.
+
+Experiment parameters (Payne et al. 2000, Table 2):
+  A: M_max=0.5 m/a, R_el=450 km, T_min=238.15 K  (from zero ice)
+  B: as A but T_min=243.15 K                      (restart from A)
+  C: as A but M_max=0.25 m/a, R_el=425 km         (restart from A)
+  D: as A but R_el=425 km                         (restart from A)
+  F: as A but T_min=223.15 K                      (from zero ice)
+  G: as A with basal sliding                       (from zero ice)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.config import Config
+from ..coupler.surface import FunctionSurface
+from ..grid import Grid
+from ..model.energy import bootstrap_enthalpy
+from ..physics.enthalpy_converter import EnthalpyConverter
+from ..state import ModelState, new_geometry
+
+SEC_PER_YEAR = 3.15569259747e7
+
+#: shared constants (Payne et al. 2000 Table 1)
+T_MIN_DEFAULT = 238.15      # K
+S_T = 1.67e-2 / 1e3         # K/m
+M_MAX_DEFAULT = 0.5 / SEC_PER_YEAR   # m/s
+S_B = 1.0e-2 / 1e3 / SEC_PER_YEAR    # 1/s  (m/a per km -> 1/s)
+R_EL_DEFAULT = 450.0e3      # m
+GEOTHERMAL = 0.042          # W/m^2
+
+EXPERIMENTS = {
+    "A": dict(),
+    "B": dict(T_min=243.15),
+    "C": dict(M_max=0.25 / SEC_PER_YEAR, R_el=425.0e3),
+    "D": dict(R_el=425.0e3),
+    "F": dict(T_min=223.15),
+    "G": dict(sliding=True),
+}
+
+
+@dataclass
+class EISMINT2Setup:
+    grid: Grid
+    config: Config
+    state: ModelState
+    surface: FunctionSurface
+    geothermal: float = GEOTHERMAL
+
+
+def setup(experiment: str = "A", Mx: int = 61, Mz: int = 61,
+          Lz: float = 5000.0, dtype=None) -> EISMINT2Setup:
+    params = EXPERIMENTS[experiment.upper()]
+    T_min = params.get("T_min", T_MIN_DEFAULT)
+    M_max = params.get("M_max", M_MAX_DEFAULT)
+    R_el = params.get("R_el", R_EL_DEFAULT)
+
+    grid = Grid(Mx=Mx, My=Mx, Lx=750.0e3, Ly=750.0e3, Mz=Mz, Lz=Lz,
+                vertical_spacing="quadratic", lam=4.0)
+    config = Config({
+        "stress_balance.model": "sia",
+        "stress_balance.sia.flow_law": "pb",   # EISMINT II two-branch Arrhenius
+        "stress_balance.sia.surface_gradient_method": "mahaffy",
+        "energy.model": "enthalpy",
+        "grid.Mx": Mx, "grid.My": Mx, "grid.Mz": Mz,
+        "grid.Lx": 750.0e3, "grid.Ly": 750.0e3, "grid.Lz": Lz,
+        "bootstrapping.defaults.geothermal_flux": GEOTHERMAL,
+    })
+
+    d = jnp.asarray(grid.radius)  # distance from the center
+
+    def climate(geometry, t):
+        shp = geometry.ice_thickness.shape
+        smb = jnp.minimum(M_max, S_B * (R_el - d))
+        T = T_min + S_T * d
+        return jnp.broadcast_to(smb, shp), jnp.broadcast_to(T, shp)
+
+    surface = FunctionSurface(climate)
+
+    H0 = jnp.zeros(grid.shape2)
+    geometry = new_geometry(H0, jnp.zeros(grid.shape2))
+    EC = EnthalpyConverter.from_config(config)
+    T_sfc0 = T_min + S_T * d
+    E0 = bootstrap_enthalpy(grid, EC, H0, T_sfc0, geothermal=GEOTHERMAL)
+    state = ModelState(geometry=geometry, enthalpy=E0,
+                       basal_melt_rate=jnp.zeros(grid.shape2))
+    return EISMINT2Setup(grid=grid, config=config, state=state, surface=surface)
+
+
+#: Published steady-state benchmarks for experiment A (Payne et al. 2000,
+#: mean of participating models) used as sanity targets, not exact parity:
+EXPECTED_A = {
+    "volume_km3": 2.128e6,
+    "area_km2": 1.034e6,
+    "divide_thickness_m": 3688.3,
+    "divide_basal_temp_K": 255.605,
+}

@@ -1,0 +1,124 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pism_tpu import Config, Grid
+from pism_tpu.state import ModelState, new_geometry
+from pism_tpu.model.energy import EnergyModel, bootstrap_enthalpy
+from pism_tpu.model.icemodel import IceModel
+from pism_tpu.ops.sia3d import SIA3D
+from pism_tpu.physics.enthalpy_converter import EnthalpyConverter
+from pism_tpu.util.tridiag import solve_batched
+
+SPY = 3.15569259747e7
+
+
+def test_tridiag_matches_dense(rng):
+    n = 17
+    shape = (3, 4)
+    a = rng.normal(size=shape + (n,)) * 0.3
+    c = rng.normal(size=shape + (n,)) * 0.3
+    b = 2.0 + np.abs(rng.normal(size=shape + (n,)))  # diagonally dominant
+    d = rng.normal(size=shape + (n,))
+    x = np.asarray(solve_batched(a, b, c, d))
+    for i in range(3):
+        for j in range(4):
+            M = np.diag(b[i, j]) + np.diag(a[i, j, 1:], -1) + np.diag(c[i, j, :-1], 1)
+            ref = np.linalg.solve(M, d[i, j])
+            np.testing.assert_allclose(x[i, j], ref, rtol=1e-10)
+
+
+def _energy_setup(H_val=2000.0, Mz=41, T_s=243.15):
+    grid = Grid(Mx=5, My=5, Lx=50e3, Ly=50e3, Mz=Mz, Lz=3000.0,
+                vertical_spacing="equal")
+    cfg = Config({"grid.Mz": Mz, "grid.Lz": 3000.0})
+    EC = EnthalpyConverter.from_config(cfg)
+    em = EnergyModel(grid=grid, config=cfg, EC=EC)
+    H = jnp.full(grid.shape2, H_val)
+    geom = new_geometry(H, jnp.zeros(grid.shape2))
+    E0 = bootstrap_enthalpy(grid, EC, H, jnp.full(grid.shape2, T_s))
+    z3 = (5, 5, Mz)
+    sia3 = SIA3D(u=jnp.zeros(z3), v=jnp.zeros(z3), w=jnp.zeros(z3),
+                 strain_heating=jnp.zeros(z3),
+                 max_u=jnp.zeros(()), max_v=jnp.zeros(()))
+    state = ModelState(geometry=geom, enthalpy=E0,
+                       basal_melt_rate=jnp.zeros(grid.shape2))
+    return grid, cfg, EC, em, state, sia3
+
+
+def test_steady_conduction_profile():
+    """No flow, cold column: steady state is T(z) = Ts + (G/k)(H - z)."""
+    import jax
+    H_val, T_sv, G = 1000.0, 243.15, 0.02   # base stays ~9.5 K below melting
+    grid, cfg, EC, em, state, sia3 = _energy_setup(H_val=H_val, T_s=T_sv)
+    T_s = jnp.full(grid.shape2, T_sv)
+    dt = 200.0 * SPY
+    Gf = jnp.full(grid.shape2, G)
+
+    @jax.jit
+    def iterate(E):
+        res = em.step(state.replace(enthalpy=E), sia3, T_s, dt,
+                      geothermal_flux=Gf)
+        return res.enthalpy, res.basal_melt_rate
+
+    E = state.enthalpy
+    for _ in range(300):
+        E, mb = iterate(E)
+    z = np.asarray(grid.z)
+    within = z <= H_val
+    T_num = np.asarray(EC.temperature(
+        E, EC.pressure(jnp.maximum(H_val - jnp.asarray(z), 0.0))))[2, 2]
+    T_exact = T_sv + G / 2.10 * (H_val - z)
+    np.testing.assert_allclose(T_num[within], T_exact[within], atol=0.05)
+    assert float(mb[2, 2]) == 0.0  # cold base, no melt
+
+
+def test_basal_melt_with_strong_geothermal():
+    """Huge geothermal flux melts the base: temperate base, positive melt
+    rate close to the excess-flux estimate."""
+    import jax
+    grid, cfg, EC, em, state, sia3 = _energy_setup(H_val=2000.0, T_s=260.15)
+    T_s = jnp.full(grid.shape2, 260.15)
+    G = 0.5  # W/m^2, very hot
+    dt = 100.0 * SPY
+    Gf = jnp.full(grid.shape2, G)
+
+    @jax.jit
+    def iterate(E):
+        res = em.step(state.replace(enthalpy=E), sia3, T_s, dt,
+                      geothermal_flux=Gf)
+        return res.enthalpy, res.basal_melt_rate
+
+    E = state.enthalpy
+    for _ in range(400):
+        E, mb = iterate(E)
+    res = em.step(state.replace(enthalpy=E), sia3, T_s, dt, geothermal_flux=Gf)
+    p_b = EC.pressure(2000.0)
+    assert bool(E[2, 2, 0] >= EC.enthalpy_cts(p_b))  # temperate base
+    mb = float(res.basal_melt_rate[2, 2]) * SPY      # m/a
+    # steady state: melt ~ (G - q_cond)/(rho L); q_cond = k dT/dz ~ k (Tm-Ts)/H
+    rho, L = 910.0, 3.34e5
+    q_cond = 2.10 * (float(EC.melting_temperature(p_b)) - 260.15) / 2000.0
+    mb_est = (G - q_cond) / (rho * L) * SPY
+    assert mb == pytest.approx(mb_est, rel=0.2)
+    assert 0.001 < mb < 0.2
+
+
+def test_eismint2_short_run_sane():
+    from pism_tpu.verification import eismint2
+    es = eismint2.setup("A", Mx=31, Mz=21, Lz=5000.0)
+    model = IceModel(grid=es.grid, config=es.config, surface=es.surface)
+    state, t, stats = model.step_once(es.state, 0.0, 2000 * SPY)
+    H = np.asarray(state.geometry.ice_thickness)
+    E = np.asarray(state.enthalpy)
+    assert not np.isnan(H).any() and not np.isnan(E).any()
+    # interior grows at M_max = 0.5 m/a while flow is negligible
+    assert H.max() == pytest.approx(1000.0, rel=0.05)
+    # margin area is ablation-limited: no ice far from the center
+    assert H[0, 0] == 0.0
+    # basal temperature at the divide warmed above the surface temperature
+    EC = EnthalpyConverter.from_config(es.config)
+    c = es.grid.My // 2
+    Tb = float(EC.temperature(jnp.asarray(E[c, c, 0]),
+                              EC.pressure(jnp.asarray(H[c, c]))))
+    assert 238.15 < Tb < 273.15
