@@ -83,8 +83,8 @@ class EnergyModel:
         E = state.enthalpy
         H = state.geometry.ice_thickness
         mask = state.geometry.cell_type
-        z, dz = self.z, self.dz
-        Mz = z.shape[0]
+        z = self.z.astype(E.dtype)
+        dz = self.dz.astype(E.dtype)
         Hc = H[..., None]
 
         if geothermal_flux is None:

@@ -92,7 +92,7 @@ def _softness_integral(flow_law, E3, H_face, z, n: float, enhancement: float):
     E3: (My, Mx, Mz) enthalpy already averaged onto the faces;
     H_face: (My, Mx). Trapezoid on levels clipped to H.
     """
-    zr = jnp.asarray(z)  # (Mz,)
+    zr = jnp.asarray(z, H_face.dtype)  # (Mz,)
     H = H_face[..., None]
     depth = jnp.maximum(H - zr, 0.0)
     p = flow_law.EC.pressure(depth)

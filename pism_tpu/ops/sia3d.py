@@ -50,7 +50,7 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
     H = geometry.ice_thickness
     s = geometry.ice_surface_elevation
     b = geometry.bed_elevation
-    z = jnp.asarray(grid.z)
+    z = jnp.asarray(grid.z, H.dtype)
 
     s_x, s_y = st.centered_grad(s, grid.dx, grid.dy, sh)
     slope2 = s_x ** 2 + s_y ** 2

@@ -1,0 +1,216 @@
+"""Shelfy-stream approximation (SSA): matrix-free operator and solvers.
+
+Rebuild of PISM ``src/stressbalance/ssa/SSAFD.cc`` (``compute_nuH``,
+``assemble_matrix``, ``assemble_rhs``, ``picard_iteration``) as a
+*matrix-free* method: the 2x2-block 9-point stencil is applied as fused
+whole-array shifted expressions (GSPMD supplies halos when sharded), the
+linear solves are Jacobi-preconditioned conjugate gradients in a
+``lax.while_loop`` whose dot products become psum collectives on a mesh,
+and the outer nonlinear iteration is PISM's Picard loop on the effective
+viscosity nuH — replacing PETSc KSP entirely.
+
+Continuous problem (velocities u, v; vertically-integrated):
+    d/dx(2 nuH (2 u_x + v_y)) + d/dy(nuH (u_y + v_x)) - beta u = rho g H s_x
+    d/dy(2 nuH (2 v_y + u_x)) + d/dx(nuH (u_y + v_x)) - beta v = rho g H s_y
+nu = (B/2) (eps_eff^2)^((1-n)/(2n)),
+eps_eff^2 = u_x^2 + v_y^2 + u_x v_y + (1/4)(u_y + v_x)^2 + eps_reg^2.
+
+Discretization: conservative face fluxes; nuH on staggered faces
+(T_xx, T_yy on east/west faces, T_xy on north/south faces), matching the
+reference's staggered scheme.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import stencils as st
+from .stencils import Shifter
+
+
+class NuH(NamedTuple):
+    e: jnp.ndarray   # nuH on east faces [Pa s m]
+    n: jnp.ndarray   # nuH on north faces
+
+
+# ---------------------------------------------------------------------------
+# effective viscosity
+# ---------------------------------------------------------------------------
+
+def compute_nuH(u, v, hardness_B, H, dx, dy, sh: Shifter, *, n_glen=3.0,
+                eps_reg2=1e-31, extension_nuH=None, extension_mask=None) -> NuH:
+    """Staggered effective viscosity times thickness.
+
+    hardness_B, H: cell-centered vertically-averaged hardness and thickness.
+    eps_reg2: Schoof regularization (strain-rate)^2 floor.
+    extension_nuH / extension_mask: where mask is true, replace by the
+    strength-extension constant (PISM ``SSAStrengthExtension``).
+    """
+    def face_nuH(ux, vy, uy, vx, B_f, H_f):
+        eps2 = ux ** 2 + vy ** 2 + ux * vy + 0.25 * (uy + vx) ** 2 + eps_reg2
+        nu = 0.5 * B_f * eps2 ** ((1.0 - n_glen) / (2.0 * n_glen))
+        return nu * H_f
+
+    # east faces
+    ux_e = st.grad_x_east(u, dx, sh)
+    vx_e = st.grad_x_east(v, dx, sh)
+    uy_e = st.grad_y_east(u, dy, sh)
+    vy_e = st.grad_y_east(v, dy, sh)
+    nuH_e = face_nuH(ux_e, vy_e, uy_e, vx_e,
+                     st.avg_to_east(hardness_B, sh), st.avg_to_east(H, sh))
+
+    # north faces
+    uy_n = st.grad_y_north(u, dy, sh)
+    vy_n = st.grad_y_north(v, dy, sh)
+    ux_n = st.grad_x_north(u, dx, sh)
+    vx_n = st.grad_x_north(v, dx, sh)
+    nuH_n = face_nuH(ux_n, vy_n, uy_n, vx_n,
+                     st.avg_to_north(hardness_B, sh), st.avg_to_north(H, sh))
+
+    if extension_nuH is not None:
+        ext_e = st.avg_to_east(extension_mask.astype(u.dtype), sh) > 0.49
+        ext_n = st.avg_to_north(extension_mask.astype(u.dtype), sh) > 0.49
+        nuH_e = jnp.where(ext_e, extension_nuH, nuH_e)
+        nuH_n = jnp.where(ext_n, extension_nuH, nuH_n)
+    return NuH(e=nuH_e, n=nuH_n)
+
+
+# ---------------------------------------------------------------------------
+# linear operator (frozen nuH, beta)
+# ---------------------------------------------------------------------------
+
+def apply_operator(u, v, nuH: NuH, beta, dx, dy, sh: Shifter):
+    """A(u, v) -> (Au, Av): MINUS the membrane-stress divergence plus basal
+    drag (so the system A x = b with b = driving stress is SPD)."""
+    # face stresses, x-equation: T_xx on east faces, T_xy on north faces
+    ux_e = st.grad_x_east(u, dx, sh)
+    vy_e = st.grad_y_east(v, dy, sh)
+    Txx_e = 2.0 * nuH.e * (2.0 * ux_e + vy_e)
+
+    uy_n = st.grad_y_north(u, dy, sh)
+    vx_n = st.grad_x_north(v, dx, sh)
+    Txy_n = nuH.n * (uy_n + vx_n)
+
+    div_x = st.div_staggered(Txx_e, Txy_n, dx, dy, sh)
+
+    # y-equation: T_yy on north faces, T_xy on east faces
+    vy_n = st.grad_y_north(v, dy, sh)
+    ux_n = st.grad_x_north(u, dx, sh)
+    Tyy_n = 2.0 * nuH.n * (2.0 * vy_n + ux_n)
+
+    uy_e = st.grad_y_east(u, dy, sh)
+    vx_e = st.grad_x_east(v, dx, sh)
+    Txy_e = nuH.e * (uy_e + vx_e)
+
+    div_y = st.div_staggered(Txy_e, Tyy_n, dx, dy, sh)
+
+    return -div_x + beta * u, -div_y + beta * v
+
+
+def operator_diagonal(nuH: NuH, beta, dx, dy, sh: Shifter):
+    """Diagonal (u and v own-coefficients) of the operator, for Jacobi
+    preconditioning. Uses the dominant normal-stress + shear terms."""
+    nuH_w = sh(nuH.e, 0, -1)
+    nuH_s = sh(nuH.n, -1, 0)
+    diag_u = (4.0 * (nuH.e + nuH_w) / dx ** 2
+              + (nuH.n + nuH_s) / dy ** 2 + beta)
+    diag_v = (4.0 * (nuH.n + nuH_s) / dy ** 2
+              + (nuH.e + nuH_w) / dx ** 2 + beta)
+    return diag_u, diag_v
+
+
+# ---------------------------------------------------------------------------
+# Jacobi-preconditioned CG on the frozen-coefficient system
+# ---------------------------------------------------------------------------
+
+def cg_solve(matvec, b, x0, precond, *, rtol=1e-5, atol=0.0, max_iter=300):
+    """Preconditioned conjugate gradients for pytree unknowns.
+
+    matvec/precond: pytree -> pytree. Dirichlet handling is the caller's
+    job (mask residuals, fix values). Runs as a lax.while_loop: on a device
+    mesh the reductions lower to psum collectives (the analog of the
+    allreduce in every PETSc KSP iteration; SURVEY.md §2.5).
+    """
+    def dot(a, b_):
+        leaves = jax.tree_util.tree_map(lambda x, y: jnp.sum(x * y), a, b_)
+        return jax.tree_util.tree_reduce(jnp.add, leaves)
+
+    r0 = jax.tree_util.tree_map(jnp.subtract, b, matvec(x0))
+    z0 = precond(r0)
+    rz0 = dot(r0, z0)
+    b_norm2 = dot(b, b)
+    tol2 = jnp.maximum(rtol ** 2 * b_norm2, atol ** 2)
+
+    def cond(carry):
+        x, r, z, p, rz, it = carry
+        return (dot(r, r) > tol2) & (it < max_iter)
+
+    def body(carry):
+        x, r, z, p, rz, it = carry
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-300)
+        x = jax.tree_util.tree_map(lambda a, c: a + alpha * c, x, p)
+        r = jax.tree_util.tree_map(lambda a, c: a - alpha * c, r, Ap)
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-300)
+        p = jax.tree_util.tree_map(lambda a, c: a + beta * c, z, p)
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, z, p, rz, iters = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, jnp.asarray(0)))
+    return x, iters, dot(r, r)
+
+
+def bicgstab_solve(matvec, b, x0, precond, *, rtol=1e-5, atol=0.0,
+                   max_iter=300):
+    """Right-preconditioned BiCGStab for pytree unknowns.
+
+    The discrete SSA operator is symmetric only up to boundary closure
+    (edge-clamped cross-derivative stencils), so BiCGStab is the default
+    inner solver; CG remains available for the periodic/SPD case.
+    """
+    tm = jax.tree_util.tree_map
+
+    def dot(a, b_):
+        leaves = tm(lambda x, y: jnp.sum(x * y), a, b_)
+        return jax.tree_util.tree_reduce(jnp.add, leaves)
+
+    def axpy(a, x, y):  # a*x + y
+        return tm(lambda u, w: a * u + w, x, y)
+
+    r0 = tm(jnp.subtract, b, matvec(x0))
+    rhat = r0
+    b_norm2 = dot(b, b)
+    tol2 = jnp.maximum(rtol ** 2 * b_norm2, atol ** 2)
+    one = jnp.ones((), dtype=b_norm2.dtype)
+
+    def cond(c):
+        x, r, p, v, rho, alpha, omega, it = c
+        return (dot(r, r) > tol2) & (it < max_iter)
+
+    def body(c):
+        x, r, p, v, rho, alpha, omega, it = c
+        rho_new = dot(rhat, r)
+        beta = (rho_new / jnp.where(rho == 0, 1e-300, rho)) * \
+               (alpha / jnp.where(omega == 0, 1e-300, omega))
+        p = axpy(beta, tm(lambda pp, vv: pp - omega * vv, p, v), r)
+        y = precond(p)
+        v = matvec(y)
+        alpha = rho_new / jnp.where(dot(rhat, v) == 0, 1e-300, dot(rhat, v))
+        s = axpy(-alpha, v, r)
+        z = precond(s)
+        t = matvec(z)
+        tt = dot(t, t)
+        omega = dot(t, s) / jnp.where(tt == 0, 1e-300, tt)
+        x = axpy(alpha, y, axpy(omega, z, x))
+        r = axpy(-omega, t, s)
+        return (x, r, p, v, rho_new, alpha, omega, it + 1)
+
+    zero = tm(jnp.zeros_like, b)
+    x, r, p, v, rho, alpha, omega, iters = jax.lax.while_loop(
+        cond, body, (x0, r0, zero, zero, one, one, one, jnp.asarray(0)))
+    return x, iters, dot(r, r)

@@ -1,0 +1,118 @@
+"""Basal strength: till yield stress and the sliding-law drag coefficient.
+
+Rebuild of PISM ``src/basalstrength/`` (``MohrCoulombYieldStress``,
+``ConstantYieldStress``) and the sliding-law part of
+``src/basalstrength/basal_resistance.cc``:
+
+- yield stress tau_c from till friction angle phi and effective pressure
+  N_till (Bueler & van Pelt 2015 exponential till model driven by the till
+  water layer), or a constant;
+- drag coefficient beta(u) for the regularized plastic / pseudo-plastic
+  sliding law: tau_b = -beta(|u|) u with
+      beta = tau_c * |u|^(q-1) / u_threshold^q      (pseudo-plastic)
+      beta = tau_c / sqrt(|u|^2 + u_reg^2)          (plastic, q=0)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from .. import state as S
+
+
+@dataclass
+class MohrCoulombYieldStress:
+    """tau_c = c0 + tan(phi) * N_till (PISM ``MohrCoulombYieldStress``)."""
+
+    config: object
+
+    def __post_init__(self):
+        cfg = self.config
+        self.c0 = cfg.get_number("basal_yield_stress.mohr_coulomb.till_cohesion")
+        self.phi_default = cfg.get_number(
+            "basal_yield_stress.mohr_coulomb.till_phi_default")
+        self.N0 = cfg.get_number(
+            "basal_yield_stress.mohr_coulomb.till_reference_effective_pressure")
+        self.e0 = cfg.get_number(
+            "basal_yield_stress.mohr_coulomb.till_reference_void_ratio")
+        self.Cc = cfg.get_number(
+            "basal_yield_stress.mohr_coulomb.till_compressibility_coefficient")
+        self.delta = cfg.get_number(
+            "basal_yield_stress.mohr_coulomb.till_effective_fraction_overburden")
+        self.W_max = cfg.get_number("hydrology.tillwat_max")
+        self.rho_i = cfg.get_number("constants.ice.density")
+        self.g = cfg.get_number("constants.standard_gravity")
+        self.tau_c_ice_free = cfg.get_number("basal_yield_stress.ice_free_bedrock")
+
+    def effective_pressure(self, tillwat, P_overburden):
+        """Bueler & van Pelt (2015) eq. 23: N_till from till water amount."""
+        s = jnp.clip(tillwat / self.W_max, 0.0, 1.0)
+        N = self.N0 * (self.delta * P_overburden / self.N0) ** s \
+            * 10.0 ** ((self.e0 / self.Cc) * (1.0 - s))
+        return jnp.minimum(P_overburden, N)
+
+    def compute(self, state: S.ModelState):
+        H = state.geometry.ice_thickness
+        mask = state.geometry.cell_type
+        P_ov = self.rho_i * self.g * H
+        tillwat = state.tillwat if state.tillwat is not None else jnp.zeros_like(H)
+        N = self.effective_pressure(tillwat, jnp.maximum(P_ov, 1.0))
+        phi = state.till_phi if state.till_phi is not None else self.phi_default
+        tau_c = self.c0 + jnp.tan(jnp.deg2rad(phi)) * N
+        # ice-free bedrock is strong; floating ice and ocean have no till drag
+        tau_c = jnp.where(mask == S.MASK_ICE_FREE_BEDROCK, self.tau_c_ice_free, tau_c)
+        tau_c = jnp.where(S.ocean(mask), 0.0, tau_c)
+        return tau_c
+
+
+@dataclass
+class ConstantYieldStress:
+    config: object
+
+    def __post_init__(self):
+        self.value = self.config.get_number("basal_yield_stress.constant.value")
+
+    def compute(self, state: S.ModelState):
+        H = state.geometry.ice_thickness
+        tau_c = jnp.full(H.shape, self.value, H.dtype)
+        return jnp.where(S.ocean(state.geometry.cell_type), 0.0, tau_c)
+
+
+def yield_stress_from_config(config):
+    name = config.get_string("basal_yield_stress.model")
+    if name == "constant":
+        return ConstantYieldStress(config)
+    if name == "mohr_coulomb":
+        return MohrCoulombYieldStress(config)
+    raise ValueError(f"unknown basal yield stress model {name!r}")
+
+
+@dataclass(frozen=True)
+class SlidingLaw:
+    """beta(|u|) for tau_b = -beta u (PISM ``IceBasalResistancePlasticLaw``
+    and ``IceBasalResistancePseudoPlasticLaw``)."""
+
+    pseudo_plastic: bool = False
+    q: float = 0.25
+    u_threshold: float = 100.0 / 3.15569259747e7   # m/s
+    plastic_reg: float = 0.01 / 3.15569259747e7    # m/s
+
+    @staticmethod
+    def from_config(config) -> "SlidingLaw":
+        return SlidingLaw(
+            pseudo_plastic=config.get_flag("basal_resistance.pseudo_plastic.enabled"),
+            q=config.get_number("basal_resistance.pseudo_plastic.q"),
+            u_threshold=config.get_number(
+                "basal_resistance.pseudo_plastic.u_threshold", "m s-1"),
+            plastic_reg=config.get_number(
+                "basal_resistance.plastic.regularization", "m s-1"),
+        )
+
+    def beta(self, tau_c, u, v):
+        speed2 = u ** 2 + v ** 2
+        if self.pseudo_plastic:
+            sp = jnp.sqrt(speed2 + self.plastic_reg ** 2)
+            return tau_c * sp ** (self.q - 1.0) / self.u_threshold ** self.q
+        return tau_c / jnp.sqrt(speed2 + self.plastic_reg ** 2)

@@ -94,7 +94,7 @@ def ensure_consistency(g: Geometry, ice_density: float, ocean_density: float,
         jnp.where(b < sl, MASK_ICE_FREE_OCEAN, MASK_ICE_FREE_BEDROCK),
     ).astype(jnp.int32)
 
-    gf = jnp.where(is_floating & has_ice, 0.0, 1.0)
+    gf = jnp.where(is_floating & has_ice, H.dtype.type(0.0), H.dtype.type(1.0))
 
     return g.replace(
         ice_surface_elevation=surface,

@@ -81,8 +81,10 @@ def setup(experiment: str = "A", Mx: int = 61, Mz: int = 61,
 
     def climate(geometry, t):
         shp = geometry.ice_thickness.shape
-        smb = jnp.minimum(M_max, S_B * (R_el - d))
-        T = T_min + S_T * d
+        dt_ = geometry.ice_thickness.dtype
+        dd = d.astype(dt_)
+        smb = jnp.minimum(jnp.asarray(M_max, dt_), (S_B * (R_el - dd)).astype(dt_))
+        T = (T_min + S_T * dd).astype(dt_)
         return jnp.broadcast_to(smb, shp), jnp.broadcast_to(T, shp)
 
     surface = FunctionSurface(climate)

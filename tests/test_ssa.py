@@ -1,0 +1,126 @@
+"""SSA stress-balance tests: exact test I (Schoof plastic-till stream),
+grid convergence, and floating-shelf behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pism_tpu import Config, Grid
+from pism_tpu.state import ModelState, new_geometry
+from pism_tpu.model.ssa import SSAFD
+from pism_tpu.physics.rheology import IsothermalGlen
+from pism_tpu.verification.ssa_exact import ExactI
+
+SPY = 3.15569259747e7
+
+
+def _solve_test_I(My, Mx=11):
+    ti = ExactI()
+    grid = Grid(Mx=Mx, My=My, Lx=10e3, Ly=60e3, periodicity="x")
+    tau_c = jnp.asarray(np.tile(ti.tau_c(grid.y)[:, None], (1, Mx)))
+    cfg = Config()
+    law = IsothermalGlen(A=float(ti.B) ** -3.0)
+    geom = new_geometry(jnp.full(grid.shape2, ti.H0), jnp.zeros(grid.shape2))
+    state = ModelState(geometry=geom)
+    bc = np.zeros(grid.shape2, bool)
+    bc[0, :] = bc[-1, :] = True
+    ssa = SSAFD(grid=grid, config=cfg, flow_law=law,
+                bc_mask=jnp.asarray(bc),
+                bc_u=jnp.zeros(grid.shape2), bc_v=jnp.zeros(grid.shape2),
+                taud_x=jnp.full(grid.shape2, ti.f),
+                taud_y=jnp.zeros(grid.shape2))
+    u, v = jax.jit(lambda s: ssa.solve(s, tau_c))(state)
+    return ti, grid, np.asarray(u), np.asarray(v)
+
+
+def test_I_exact_stream():
+    ti, grid, u, v = _solve_test_I(61)
+    uex = ti.velocity(grid.y)
+    err = np.abs(u[:, 5] - uex) * SPY
+    assert u[:, 5].max() * SPY == pytest.approx(777.5, rel=0.02)
+    assert err.max() < 10.0      # m/a on a ~780 m/a stream
+    assert np.abs(v).max() * SPY < 0.01
+
+
+def test_I_convergence():
+    errs = []
+    for My in (31, 61, 121):
+        ti, grid, u, v = _solve_test_I(My)
+        uex = ti.velocity(grid.y)
+        errs.append(np.abs(u[:, 5] - uex).max() * SPY)
+    assert errs[2] < errs[0]
+    assert errs[2] < 0.6 * errs[0]
+
+
+def test_floating_shelf_no_drag():
+    """A confined floating shelf with uniform thickness: zero driving
+    stress (flat surface) => velocity stays at the Dirichlet inflow value;
+    with a thickness gradient the shelf accelerates downstream."""
+    Mx, My = 41, 11
+    grid = Grid(Mx=Mx, My=My, Lx=100e3, Ly=25e3, periodicity="y")
+    cfg = Config()
+    law = IsothermalGlen(A=1e-25)
+    # thickness ramp 600 -> 200 m along +x, floating over deep ocean
+    Hx = np.linspace(600.0, 200.0, Mx)
+    H = jnp.asarray(np.tile(Hx[None, :], (My, 1)))
+    bed = jnp.full(grid.shape2, -2000.0)
+    geom = new_geometry(H, bed)
+    assert bool((np.asarray(geom.cell_type) == 3).all())  # all floating
+    state = ModelState(geometry=geom)
+    bc = np.zeros(grid.shape2, bool)
+    bc[:, 0] = True   # inflow velocity 100 m/a
+    u_in = np.zeros(grid.shape2)
+    u_in[:, 0] = 100.0 / SPY
+    ssa = SSAFD(grid=grid, config=cfg, flow_law=law,
+                bc_mask=jnp.asarray(bc), bc_u=jnp.asarray(u_in),
+                bc_v=jnp.zeros(grid.shape2))
+    u, v = jax.jit(lambda s: ssa.solve(s, None))(state)
+    u = np.asarray(u) * SPY
+    # accelerates monotonically downstream along the centerline interior
+    c = My // 2
+    assert u[c, 1] > 90.0
+    assert np.all(np.diff(u[c, 1:-1]) > -1e-6)
+    assert u[c, -2] > 2 * u[c, 1]
+
+
+def test_operator_positive_definite(rng):
+    from pism_tpu.ops import ssa as ssa_ops
+    from pism_tpu.ops.stencils import Shifter
+    g = Grid(Mx=16, My=12, Lx=80e3, Ly=60e3)
+    sh = Shifter(g)
+    nuH = ssa_ops.NuH(e=jnp.asarray(rng.uniform(1e13, 1e15, g.shape2)),
+                      n=jnp.asarray(rng.uniform(1e13, 1e15, g.shape2)))
+    beta = jnp.asarray(rng.uniform(1e3, 1e9, g.shape2))
+    for _ in range(5):
+        x = (jnp.asarray(rng.normal(size=g.shape2)),
+             jnp.asarray(rng.normal(size=g.shape2)))
+        Ax = ssa_ops.apply_operator(x[0], x[1], nuH, beta, g.dx, g.dy, sh)
+        xAx = float(sum(jnp.sum(a * b) for a, b in zip(Ax, x)))
+        assert xAx > 0.0
+
+
+def test_krylov_solvers_agree(rng):
+    """CG and BiCGStab agree on a mildly nonsymmetric SSA system."""
+    from pism_tpu.ops import ssa as ssa_ops
+    from pism_tpu.ops.stencils import Shifter
+    g = Grid(Mx=16, My=12, Lx=80e3, Ly=60e3)
+    sh = Shifter(g)
+    nuH = ssa_ops.NuH(e=jnp.full(g.shape2, 1e14), n=jnp.full(g.shape2, 1e14))
+    beta = jnp.full(g.shape2, 1e8)
+    b = (jnp.asarray(rng.normal(size=g.shape2) * 1e4),
+         jnp.asarray(rng.normal(size=g.shape2) * 1e4))
+
+    def matvec(x):
+        return ssa_ops.apply_operator(x[0], x[1], nuH, beta, g.dx, g.dy, sh)
+
+    du, dv = ssa_ops.operator_diagonal(nuH, beta, g.dx, g.dy, sh)
+
+    def precond(r):
+        return (r[0] / du, r[1] / dv)
+
+    x0 = (jnp.zeros(g.shape2), jnp.zeros(g.shape2))
+    xc, itc, rc = ssa_ops.cg_solve(matvec, b, x0, precond, rtol=1e-10)
+    xb, itb, rb = ssa_ops.bicgstab_solve(matvec, b, x0, precond, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(xc[0]), np.asarray(xb[0]), rtol=1e-6)
+    assert int(itc) < 300 and int(itb) < 300
