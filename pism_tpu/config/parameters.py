@@ -69,6 +69,12 @@ PARAMETERS = {
     "stress_balance.ssa.fd.ksp_rtol": (1.0e-5, None, "inner Krylov relative tolerance"),
     "stress_balance.ssa.fd.ksp_max_it": (300, None, "inner Krylov max iterations"),
     "stress_balance.ssa.fd.nuH_iter_failure_underrelaxation": (0.8, None, "under-relaxation on retry"),
+    "stress_balance.ssa.fd.beta_floor": (10.0, "Pa s m-1", "tiny drag on all icy cells; regularizes isolated floating cells"),
+    "stress_balance.ssa.fd.newton_rtol": (1.0e-7, None, "Newton convergence: |F| <= rtol |b|"),
+    "stress_balance.ssa.fd.newton_max_iterations": (100, None, "max Newton iterations"),
+    "stress_balance.ssa.fd.picard_warmup": (5, None, "Picard iterations before Newton"),
+    "stress_balance.ssa.fd.max_speed": (50.0e3, "m year-1", "hard clamp on SSA speeds (guards CFL dt collapse)"),
+    "time_stepping.max_steps_per_segment": (2000000, None, "while_loop runaway guard"),
     "stress_balance.ssa.Schoof_regularizing_velocity": (1.0, "m year-1", "SSA strain-rate regularization velocity"),
     "stress_balance.ssa.Schoof_regularizing_length": (1000.0, "km", "SSA strain-rate regularization length"),
     "stress_balance.calving_front_stress_bc": (True, None, "apply calving-front pressure BC"),

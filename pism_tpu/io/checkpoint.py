@@ -1,0 +1,138 @@
+"""Model-state checkpointing to CF/NetCDF-4 files.
+
+Mirrors the reference's design: PISM's output NetCDF *is* the checkpoint —
+every component declares its model state, ``-i file.nc`` restores exactly,
+and regression tests assert restart == uninterrupted run (SURVEY.md §5.4).
+Here the full ``ModelState`` pytree is written with PISM's variable names
+and CF metadata; ``load_state`` reconstructs it bit-exactly (arrays are
+stored in their native dtype). The full config is stored as a JSON global
+attribute (PISM stores its config in output attrs).
+
+Layout: 2D fields (time, y, x); 3D fields (time, y, x, z) with z = height
+above the ice base (PISM convention).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import state as S
+from ..config.config import Config
+from ..grid import Grid
+from .nc4 import File
+
+#: ModelState field -> (variable name, CF attrs, rank)
+_STATE_VARS = {
+    "enthalpy": ("enthalpy", {"units": "J kg-1", "long_name": "ice enthalpy"}, 3),
+    "bedrock_temperature": ("litho_temp", {"units": "K"}, 3),
+    "basal_melt_rate": ("bmelt", {"units": "m s-1",
+                                  "standard_name": "land_ice_basal_melt_rate"}, 2),
+    "u_ssa": ("u_ssa", {"units": "m s-1"}, 2),
+    "v_ssa": ("v_ssa", {"units": "m s-1"}, 2),
+    "tillwat": ("tillwat", {"units": "m"}, 2),
+    "till_phi": ("tillphi", {"units": "degrees"}, 2),
+    "hydro_W": ("bwat", {"units": "m"}, 2),
+    "hydro_P": ("bwp", {"units": "Pa"}, 2),
+    "age": ("age", {"units": "s"}, 3),
+    "bed_uplift": ("viscous_bed_displacement", {"units": "m"}, 2),
+    "bed_elastic": ("elastic_bed_displacement", {"units": "m"}, 2),
+    "bed_reference": ("bed_def_reference", {"units": "m"}, 2),
+    "fracture_density": ("fracture_density", {"units": "1"}, 2),
+}
+
+
+def _setup_dims(f: File, grid: Grid):
+    f.define_dimension("time", None, attrs={
+        "units": "seconds since 1-1-1", "calendar": "365_day", "axis": "T"})
+    f.define_dimension("y", grid.My, grid.y, attrs={
+        "units": "m", "axis": "Y", "standard_name": "projection_y_coordinate"})
+    f.define_dimension("x", grid.Mx, grid.x, attrs={
+        "units": "m", "axis": "X", "standard_name": "projection_x_coordinate"})
+    if grid.Mz > 1:
+        f.define_dimension("z", grid.Mz, grid.z, attrs={
+            "units": "m", "axis": "Z", "positive": "up",
+            "long_name": "height above ice base"})
+    if grid.Mbz > 1:
+        f.define_dimension("zb", grid.Mbz, grid.zb, attrs={
+            "units": "m", "axis": "Z", "positive": "up"})
+
+
+def save_state(path: str, state: S.ModelState, grid: Grid, t: float,
+               config: Optional[Config] = None):
+    with File(path, "w") as f:
+        _setup_dims(f, grid)
+        n = f.append_time(t)
+        g = state.geometry
+        f.write("thk", np.asarray(g.ice_thickness)[None], ("time", "y", "x"),
+                {"units": "m", "standard_name": "land_ice_thickness"}, time_index=n)
+        f.write("topg", np.asarray(g.bed_elevation)[None], ("time", "y", "x"),
+                {"units": "m", "standard_name": "bedrock_altitude"}, time_index=n)
+        f.write("sea_level", np.asarray(g.sea_level)[None], ("time", "y", "x"),
+                {"units": "m"}, time_index=n)
+        f.write("Href", np.asarray(g.ice_area_specific_volume)[None],
+                ("time", "y", "x"), {"units": "m"}, time_index=n)
+        f.write("usurf", np.asarray(g.ice_surface_elevation)[None],
+                ("time", "y", "x"),
+                {"units": "m", "standard_name": "surface_altitude"}, time_index=n)
+        f.write("mask", np.asarray(g.cell_type)[None], ("time", "y", "x"),
+                {"long_name": "ice-type (ice-free/grounded/floating/ocean)"},
+                time_index=n)
+        for field, (var, attrs, rank) in _STATE_VARS.items():
+            val = getattr(state, field)
+            if val is None:
+                continue
+            dims = ("time", "y", "x") if rank == 2 else ("time", "y", "x", "z")
+            if field == "bedrock_temperature":
+                dims = ("time", "y", "x", "zb")
+            f.write(var, np.asarray(val)[None], dims, attrs, time_index=n)
+        if config is not None:
+            f.set_global_attr("pism_config", config.to_json())
+        f.set_global_attr("source", "pism_tpu")
+        f.set_global_attr("grid_json", _grid_json(grid))
+
+
+def _grid_json(grid: Grid) -> str:
+    import json
+    return json.dumps({
+        "Mx": grid.Mx, "My": grid.My, "Mz": grid.Mz, "Mbz": grid.Mbz,
+        "Lx": grid.Lx, "Ly": grid.Ly, "Lz": grid.Lz, "Lbz": grid.Lbz,
+        "x0": grid.x0, "y0": grid.y0,
+        "vertical_spacing": grid.vertical_spacing, "lam": grid.lam,
+        "periodicity": grid.periodicity,
+    })
+
+
+def load_grid(path: str) -> Grid:
+    import json
+    with File(path, "r") as f:
+        return Grid(**json.loads(f.get_global_attr("grid_json")))
+
+
+def load_config(path: str) -> Config:
+    with File(path, "r") as f:
+        s = f.get_global_attr("pism_config")
+    return Config.from_json(s) if s else Config()
+
+
+def load_state(path: str, config: Optional[Config] = None):
+    """Returns (state, t). Bit-exact restore of everything saved."""
+    cfg = config or load_config(path)
+    with File(path, "r") as f:
+        t = float(f.read("time")[-1])
+        H = jnp.asarray(f.read("thk")[-1])
+        bed = jnp.asarray(f.read("topg")[-1])
+        sl = jnp.asarray(f.read("sea_level")[-1])
+        Href = jnp.asarray(f.read("Href")[-1])
+        geom = S.new_geometry(
+            H, bed, sea_level=sl, Href=Href,
+            ice_density=cfg.get_number("constants.ice.density"),
+            ocean_density=cfg.get_number("constants.sea_water.density"),
+            ice_free_thickness=cfg.get_number("geometry.ice_free_thickness_standard"))
+        kw = {}
+        for field, (var, _, _) in _STATE_VARS.items():
+            if f.has_variable(var):
+                kw[field] = jnp.asarray(f.read(var)[-1])
+        return S.ModelState(geometry=geom, **kw), t

@@ -1,0 +1,132 @@
+"""CF/NetCDF-4 compatible file I/O on h5py.
+
+The reference (PISM ``src/util/io/``) reads/writes NetCDF with pluggable
+backends (serial NetCDF, parallel NetCDF-4/HDF5, PNetCDF, PIO). NetCDF-4
+files ARE HDF5 files; this module writes HDF5 with netCDF-4 conventions
+(dimension scales, ``_Netcdf4Dimid``/``_Netcdf4Coordinates`` attributes,
+``_NCProperties``) so standard NetCDF tools (ncdump, xarray, PISM itself)
+can open our output, without requiring the netCDF4 python package.
+
+On TPU, fields are fetched from device and written on the host (the analog
+of PISM's collective writes); inside jitted loops I/O goes through
+host callbacks scheduled at segment boundaries (see model.output).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import h5py
+import numpy as np
+
+_NC_PROPS = b"version=2,pism_tpu=0.1"
+
+
+class File:
+    """Minimal NetCDF-4-compatible file (PISM ``pism::File`` analog)."""
+
+    def __init__(self, path: str, mode: str = "r"):
+        self.h5 = h5py.File(path, mode)
+        if mode in ("w", "w-", "x"):
+            self.h5.attrs.create("_NCProperties", _NC_PROPS)
+        self._dims: Dict[str, int] = {}
+        if mode == "r" or mode == "a":
+            for name, ds in self.h5.items():
+                if isinstance(ds, h5py.Dataset) and ds.attrs.get("CLASS") == b"DIMENSION_SCALE":
+                    self._dims[name] = ds.shape[0] if ds.shape else 0
+
+    # -- dimensions ----------------------------------------------------------
+    def define_dimension(self, name: str, length: Optional[int],
+                         values: Optional[np.ndarray] = None,
+                         attrs: Optional[dict] = None):
+        """length=None creates an unlimited (time) dimension."""
+        if name in self.h5:
+            return
+        if length is None:
+            ds = self.h5.create_dataset(name, shape=(0,), maxshape=(None,),
+                                        dtype="f8")
+            self._dims[name] = 0
+        else:
+            data = values if values is not None else np.zeros(length)
+            ds = self.h5.create_dataset(name, data=np.asarray(data, "f8"))
+            self._dims[name] = length
+        ds.make_scale(name)
+        ds.attrs["_Netcdf4Dimid"] = np.int32(len(self._dims) - 1)
+        for k, v in (attrs or {}).items():
+            ds.attrs[k] = v
+
+    def dimension_length(self, name: str) -> int:
+        return self.h5[name].shape[0]
+
+    # -- variables -----------------------------------------------------------
+    def define_variable(self, name: str, dims, dtype="f8",
+                        attrs: Optional[dict] = None):
+        if name in self.h5:
+            return self.h5[name]
+        shape = tuple(self.h5[d].shape[0] for d in dims)
+        maxshape = tuple(None if self.h5[d].maxshape[0] is None else self.h5[d].shape[0]
+                         for d in dims)
+        fill = (attrs or {}).get("_FillValue")
+        ds = self.h5.create_dataset(name, shape=shape, maxshape=maxshape,
+                                    dtype=dtype, fillvalue=fill)
+        for i, d in enumerate(dims):
+            ds.dims[i].attach_scale(self.h5[d])
+        for k, v in (attrs or {}).items():
+            if k != "_FillValue":
+                ds.attrs[k] = v
+        return ds
+
+    def write(self, name: str, data, dims=None, attrs=None, time_index=None):
+        """Write a variable; with time_index, append/overwrite one record of
+        a time-dependent variable (first dim = time)."""
+        data = np.asarray(data)
+        if name not in self.h5:
+            if dims is None:
+                raise ValueError(f"new variable {name!r} needs dims")
+            self.define_variable(name, dims, dtype=data.dtype, attrs=attrs)
+        ds = self.h5[name]
+        if time_index is None:
+            ds[...] = data
+        else:
+            if ds.shape[0] <= time_index:
+                ds.resize(time_index + 1, axis=0)
+            ds[time_index, ...] = data
+
+    def append_time(self, t: float, name: str = "time"):
+        ds = self.h5[name]
+        n = ds.shape[0]
+        ds.resize(n + 1, axis=0)
+        ds[n] = t
+        return n
+
+    def read(self, name: str) -> np.ndarray:
+        return np.asarray(self.h5[name])
+
+    def read_attrs(self, name: str) -> dict:
+        return dict(self.h5[name].attrs)
+
+    def variables(self):
+        return [k for k, v in self.h5.items()
+                if isinstance(v, h5py.Dataset)
+                and v.attrs.get("CLASS") != b"DIMENSION_SCALE"]
+
+    def set_global_attr(self, key: str, value):
+        self.h5.attrs[key] = value
+
+    def get_global_attr(self, key: str):
+        v = self.h5.attrs.get(key)
+        if isinstance(v, bytes):
+            v = v.decode()
+        return v
+
+    def has_variable(self, name):
+        return name in self.h5
+
+    def close(self):
+        self.h5.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

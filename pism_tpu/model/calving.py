@@ -1,0 +1,152 @@
+"""Calving, front retreat, and iceberg removal.
+
+Rebuild of PISM ``src/frontretreat/`` (``calving::CalvingAtThickness``,
+``EigenCalving``, ``vonMisesCalving``, ``FloatKill``, ``FrontRetreat``) and
+``IcebergRemover`` (``src/util/label_components.cc``). Calving laws compute
+either an instantaneous mask change or a retreat rate; retreat rates are
+converted to thickness loss in calving-front cells. Where the reference
+gathers the mask to rank 0 to label connected components, icebergs are
+removed here by an all-device flood fill: iterative mask dilation from
+grounded ice inside a ``lax.while_loop`` (SURVEY.md §2.5 "gather-to-one" ->
+label-propagation fixed point).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import state as S
+from ..ops import stencils as st
+from ..ops.stencils import Shifter
+
+
+def front_mask(icy, ice_free_ocean, sh: Shifter):
+    """Cells at the calving front: icy with an ice-free-ocean neighbor."""
+    nbr_ocean = (sh(ice_free_ocean, 0, 1) | sh(ice_free_ocean, 0, -1)
+                 | sh(ice_free_ocean, 1, 0) | sh(ice_free_ocean, -1, 0))
+    return icy & nbr_ocean
+
+
+def remove_icebergs(geometry, sh: Shifter, max_iters: Optional[int] = None):
+    """Drop floating cells not connected (4-neighborhood) to grounded ice.
+
+    Required for SSA well-posedness (free-floating fragments have no
+    constraint). Flood fill from grounded ice over the icy mask.
+    """
+    mask = geometry.cell_type
+    icy = S.icy(mask)
+    seed = S.grounded_ice(mask)
+    if max_iters is None:
+        max_iters = mask.shape[0] + mask.shape[1]
+
+    def body(carry):
+        reached, changed, it = carry
+        grown = reached | (icy & (
+            sh(reached, 0, 1) | sh(reached, 0, -1)
+            | sh(reached, 1, 0) | sh(reached, -1, 0)))
+        return grown, jnp.any(grown != reached), it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_iters)
+
+    reached, _, _ = jax.lax.while_loop(
+        cond, body, (seed, jnp.asarray(True), jnp.asarray(0)))
+    berg = icy & ~reached
+    H = jnp.where(berg, 0.0, geometry.ice_thickness)
+    Href = jnp.where(berg, 0.0, geometry.ice_area_specific_volume)
+    return geometry.replace(ice_thickness=H, ice_area_specific_volume=Href)
+
+
+@dataclass
+class CalvingModel:
+    """Composite calving component (PISM ``calving.methods`` comma list)."""
+
+    grid: object
+    config: object
+    methods: tuple = ()
+
+    def __post_init__(self):
+        cfg = self.config
+        self.sh = Shifter(self.grid)
+        if not self.methods:
+            m = cfg.get_string("calving.methods")
+            self.methods = tuple(s.strip() for s in m.split(",") if s.strip())
+        self.H_threshold = cfg.get_number("calving.thickness_calving.threshold")
+        self.eigen_K = cfg.get_number("calving.eigen_calving.K")
+        self.vm_sigma_max = cfg.get_number("calving.vonmises_calving.sigma_max")
+        self.remove_bergs = cfg.get_flag("geometry.remove_icebergs")
+        self.float_kill = cfg.get_flag("calving.float_kill.enabled") or \
+            "float_kill" in self.methods
+
+    # -- strain-rate eigenvalues from the SSA velocity ---------------------
+    def _strain_eigenvalues(self, u, v):
+        sh = self.sh
+        dx, dy = self.grid.dx, self.grid.dy
+        ux = (sh(u, 0, 1) - sh(u, 0, -1)) / (2 * dx)
+        uy = (sh(u, 1, 0) - sh(u, -1, 0)) / (2 * dy)
+        vx = (sh(v, 0, 1) - sh(v, 0, -1)) / (2 * dx)
+        vy = (sh(v, 1, 0) - sh(v, -1, 0)) / (2 * dy)
+        exy = 0.5 * (uy + vx)
+        tr = 0.5 * (ux + vy)
+        det = jnp.sqrt(jnp.maximum((0.5 * (ux - vy)) ** 2 + exy ** 2, 0.0))
+        return tr + det, tr - det  # eigen1 >= eigen2
+
+    def retreat_rate(self, geometry, u_ssa, v_ssa, hardness_B=None):
+        """Total horizontal retreat rate [m/s] from rate-based laws."""
+        rate = jnp.zeros_like(geometry.ice_thickness)
+        if "eigen_calving" in self.methods and self.eigen_K > 0:
+            l1, l2 = self._strain_eigenvalues(u_ssa, v_ssa)
+            rate = rate + self.eigen_K * jnp.maximum(l1, 0.0) * jnp.maximum(l2, 0.0)
+        if "vonmises_calving" in self.methods and hardness_B is not None:
+            # von Mises tensile stress (Morlighem et al. 2016)
+            l1, l2 = self._strain_eigenvalues(u_ssa, v_ssa)
+            e1, e2 = jnp.maximum(l1, 0.0), jnp.maximum(l2, 0.0)
+            eff = jnp.sqrt(0.5 * (e1 ** 2 + e2 ** 2))
+            sigma = jnp.sqrt(3.0) * hardness_B * eff ** (1.0 / 3.0)
+            speed = jnp.sqrt(u_ssa ** 2 + v_ssa ** 2)
+            rate = rate + speed * sigma / self.vm_sigma_max
+        return rate
+
+    def step(self, geometry, sb, dt):
+        """Apply all active calving mechanisms to the geometry."""
+        sh = self.sh
+        mask = geometry.cell_type
+        icy = S.icy(mask)
+        floating = S.floating_ice(mask)
+        ifo = mask == S.MASK_ICE_FREE_OCEAN
+        front = front_mask(icy, ifo, sh)
+        H = geometry.ice_thickness
+
+        if self.float_kill:
+            H = jnp.where(floating, 0.0, H)
+
+        if "thickness_calving" in self.methods and self.H_threshold > 0:
+            calve = front & floating & (H < self.H_threshold)
+            H = jnp.where(calve, 0.0, H)
+
+        rate_methods = {"eigen_calving", "vonmises_calving"} & set(self.methods)
+        if rate_methods and sb is not None:
+            rate = self.retreat_rate(geometry, sb.u_ssa, sb.v_ssa)
+            # convert horizontal retreat [m/s] at front cells into thickness
+            # loss: the front face sweeps rate*dt into the cell of size dx
+            loss_frac = jnp.clip(rate * dt / self.grid.dx, 0.0, 1.0)
+            H = jnp.where(front & floating, H * (1.0 - loss_frac), H)
+
+        geometry = geometry.replace(ice_thickness=H)
+        if self.remove_bergs:
+            geometry = remove_icebergs(geometry, sh)
+        return geometry
+
+
+def calving_from_config(grid, config):
+    methods = config.get_string("calving.methods")
+    fk = config.get_flag("calving.float_kill.enabled")
+    rb = config.get_flag("geometry.remove_icebergs")
+    if not methods and not fk and not rb:
+        return None
+    return CalvingModel(grid=grid, config=config)

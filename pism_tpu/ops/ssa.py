@@ -84,7 +84,11 @@ def compute_nuH(u, v, hardness_B, H, dx, dy, sh: Shifter, *, n_glen=3.0,
 
 def apply_operator(u, v, nuH: NuH, beta, dx, dy, sh: Shifter):
     """A(u, v) -> (Au, Av): MINUS the membrane-stress divergence plus basal
-    drag (so the system A x = b with b = driving stress is SPD)."""
+    drag (so the system A x = b with b = driving stress is SPD).
+
+    Faces across which no stress should be transmitted (calving fronts,
+    regional-mode boundaries) are handled by zeroing nuH on those faces
+    before calling (see ``model.ssa.SSAFD``)."""
     # face stresses, x-equation: T_xx on east faces, T_xy on north faces
     ux_e = st.grad_x_east(u, dx, sh)
     vy_e = st.grad_y_east(v, dy, sh)

@@ -1,0 +1,97 @@
+"""I/O tests: NetCDF-4(HDF5) structure, checkpoint round-trips, and
+restart-through-file exactness (PISM's most valuable regression pattern;
+SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import h5py
+import pytest
+
+from pism_tpu import Config, Grid
+from pism_tpu.io.nc4 import File
+from pism_tpu.io import checkpoint as ckpt
+from pism_tpu.state import ModelState, new_geometry
+from pism_tpu.model.icemodel import IceModel
+from pism_tpu.coupler.surface import Uniform
+from pism_tpu.verification import halfar
+
+SPY = 3.15569259747e7
+
+
+def test_nc4_structure(tmp_path, rng):
+    path = str(tmp_path / "out.nc")
+    with File(path, "w") as f:
+        f.define_dimension("time", None, attrs={"units": "seconds"})
+        f.define_dimension("y", 4, np.arange(4.0), attrs={"units": "m"})
+        f.define_dimension("x", 5, np.arange(5.0), attrs={"units": "m"})
+        n = f.append_time(12.5)
+        data = rng.normal(size=(4, 5))
+        f.write("thk", data[None], ("time", "y", "x"), {"units": "m"}, time_index=n)
+    # NetCDF-4 files are HDF5 with dimension scales
+    with h5py.File(path, "r") as h5:
+        assert "_NCProperties" in h5.attrs
+        assert h5["y"].attrs["CLASS"] == b"DIMENSION_SCALE"
+        assert h5["thk"].shape == (1, 4, 5)
+        assert h5["thk"].attrs["units"] == "m"
+    with File(path, "r") as f:
+        np.testing.assert_array_equal(f.read("thk")[0], data)
+        assert f.read("time")[-1] == 12.5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    grid = Grid(Mx=11, My=9, Lx=100e3, Ly=80e3, Mz=5, Lz=3000.0)
+    cfg = Config({"grid.Mx": 11})
+    H = jnp.asarray(np.linspace(0, 500, 9 * 11).reshape(9, 11))
+    state = ModelState(
+        geometry=new_geometry(H, jnp.zeros(grid.shape2) - 100.0),
+        enthalpy=jnp.ones(grid.shape3) * 1e5,
+        tillwat=jnp.full(grid.shape2, 0.5),
+        u_ssa=jnp.full(grid.shape2, 1e-6),
+        v_ssa=jnp.full(grid.shape2, -1e-6),
+    )
+    path = str(tmp_path / "state.nc")
+    ckpt.save_state(path, state, grid, t=123.0 * SPY, config=cfg)
+
+    grid2 = ckpt.load_grid(path)
+    assert grid2 == grid
+    cfg2 = ckpt.load_config(path)
+    assert cfg2.get_int("grid.Mx") == 11
+    state2, t2 = ckpt.load_state(path)
+    assert t2 == 123.0 * SPY
+    np.testing.assert_array_equal(np.asarray(state2.geometry.ice_thickness),
+                                  np.asarray(state.geometry.ice_thickness))
+    np.testing.assert_array_equal(np.asarray(state2.enthalpy),
+                                  np.asarray(state.enthalpy))
+    np.testing.assert_array_equal(np.asarray(state2.u_ssa), np.asarray(state.u_ssa))
+    assert state2.age is None  # absent fields stay absent
+
+
+def test_restart_through_file_bit_stable(tmp_path):
+    """Run A: 2 segments on device. Run B: checkpoint to NetCDF between
+    segments and restore. Final thickness must be bit-identical."""
+    sol = halfar.test_B()
+    grid = Grid(Mx=31, My=31, Lx=900e3, Ly=900e3)
+    cfg = Config({
+        "stress_balance.model": "sia",
+        "stress_balance.sia.flow_law": "isothermal_glen",
+        "flow_law.isothermal_Glen.ice_softness": halfar.A_SOFTNESS,
+        "energy.model": "none",
+    })
+    H0 = sol.thickness(sol.t0, grid.radius)
+    state0 = ModelState(geometry=new_geometry(jnp.asarray(H0), jnp.zeros(grid.shape2)))
+    model = IceModel(grid=grid, config=cfg, surface=Uniform(smb=0.0))
+
+    tA_end = sol.t0 + 100 * SPY
+    sA, tA, _ = model.step_once(state0, sol.t0, 50 * SPY)
+    sA, tA, _ = model.step_once(sA, tA, tA_end - tA)
+
+    sB, tB, _ = model.step_once(state0, sol.t0, 50 * SPY)
+    path = str(tmp_path / "restart.nc")
+    ckpt.save_state(path, sB, grid, tB, config=cfg)
+    sB2, tB2 = ckpt.load_state(path, config=cfg)
+    assert tB2 == tB
+    sB3, tB3, _ = model.step_once(sB2, tB2, tA_end - tB2)
+
+    np.testing.assert_array_equal(
+        np.asarray(sA.geometry.ice_thickness),
+        np.asarray(sB3.geometry.ice_thickness))
