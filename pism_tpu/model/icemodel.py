@@ -258,9 +258,15 @@ class IceModel:
     # ------------------------------------------------------------------ API
     def run(self, state: S.ModelState, time: Time,
             segment_seconds: Optional[float] = None,
-            callback: Optional[Callable] = None):
-        """Advance from time.start to time.end. ``callback(state, t, stats)``
-        runs on the host at every segment boundary (output scheduling)."""
+            callback: Optional[Callable] = None,
+            output: Optional[object] = None):
+        """Advance from time.start to time.end.
+
+        ``output``: an ``OutputManager``; segments are clamped to its next
+        requested output time so snapshots/series land exactly (PISM
+        ``hit_extra_times``). ``callback(state, t, stats)`` additionally runs
+        at every segment boundary.
+        """
         if segment_seconds is None:
             segment_seconds = self.config.get_number("runtime.segment_years", "seconds")
         state = self.prepare_state(state)
@@ -268,9 +274,13 @@ class IceModel:
         total_stats = None
         while t < time.end - 1e-6:
             t_seg = min(t + segment_seconds, time.end)
+            if output is not None:
+                t_seg = min(t_seg, output.next_time(t))
             state, t_dev, stats = self._advance(state, t, t_seg)
             t = float(t_dev)
             total_stats = _merge_stats(total_stats, stats)
+            if output is not None:
+                output.process(state, t, self)
             if callback is not None:
                 callback(state, t, stats)
         return state, total_stats

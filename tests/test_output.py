@@ -1,0 +1,95 @@
+"""Output-channel tests: extra/ts series scheduling, snapshots, diagnostics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pism_tpu import Config, Grid, Time
+from pism_tpu.io.nc4 import File
+from pism_tpu.model.icemodel import IceModel
+from pism_tpu.model.output import OutputManager
+from pism_tpu.model import diagnostics as diag
+from pism_tpu.state import ModelState, new_geometry
+from pism_tpu.coupler.surface import Uniform
+from pism_tpu.verification import halfar
+
+SPY = 3.15569259747e7
+
+
+@pytest.fixture
+def model_state():
+    sol = halfar.test_B()
+    grid = Grid(Mx=31, My=31, Lx=900e3, Ly=900e3)
+    cfg = Config({
+        "stress_balance.model": "sia",
+        "stress_balance.sia.flow_law": "isothermal_glen",
+        "flow_law.isothermal_Glen.ice_softness": halfar.A_SOFTNESS,
+        "energy.model": "none",
+    })
+    H0 = sol.thickness(sol.t0, grid.radius)
+    state = ModelState(geometry=new_geometry(jnp.asarray(H0), jnp.zeros(grid.shape2)))
+    model = IceModel(grid=grid, config=cfg, surface=Uniform(smb=0.0))
+    return sol, grid, cfg, model, state
+
+
+def test_extra_and_ts_series(tmp_path, model_state):
+    sol, grid, cfg, model, state = model_state
+    t0 = sol.t0
+    extra_times = [t0 + k * 50 * SPY for k in range(1, 5)]
+    ts_times = [t0 + k * 25 * SPY for k in range(1, 9)]
+    out = OutputManager(
+        grid=grid, config=cfg,
+        extra_times=extra_times, extra_vars=("thk", "usurf", "mask"),
+        extra_file=str(tmp_path / "extra.nc"),
+        ts_times=ts_times, ts_vars=("ice_volume_glacierized", "max_velocity"),
+        ts_file=str(tmp_path / "ts.nc"),
+    )
+    state, stats = model.run(state, Time(t0, t0 + 200 * SPY), output=out)
+    out.close()
+
+    with File(str(tmp_path / "extra.nc"), "r") as f:
+        times = f.read("time")
+        assert len(times) == 4
+        np.testing.assert_allclose(times, extra_times, rtol=0, atol=1.0)
+        thk = f.read("thk")
+        assert thk.shape == (4, 31, 31)
+        assert f.read_attrs("thk")["units"] == "m"
+
+    with File(str(tmp_path / "ts.nc"), "r") as f:
+        times = f.read("time")
+        assert len(times) == 8
+        vol = f.read("ice_volume_glacierized")
+        assert vol.shape == (8,)
+        # Halfar dome with zero SMB conserves volume (glacierized volume
+        # excludes sub-threshold margin cells, so only near-exact)
+        assert abs(vol[-1] - vol[0]) / vol[0] < 1e-6
+
+
+def test_snapshots(tmp_path, model_state):
+    sol, grid, cfg, model, state = model_state
+    t0 = sol.t0
+    out = OutputManager(
+        grid=grid, config=cfg,
+        snapshot_times=[t0 + 30 * SPY],
+        snapshot_file=str(tmp_path / "snap_{kyr:.4f}.nc"),
+    )
+    state, _ = model.run(state, Time(t0, t0 + 60 * SPY), output=out)
+    import glob
+    snaps = glob.glob(str(tmp_path / "snap_*.nc"))
+    assert len(snaps) == 1
+    from pism_tpu.io import checkpoint as ckpt
+    s2, t2 = ckpt.load_state(snaps[0], config=cfg)
+    assert abs(t2 - (t0 + 30 * SPY)) < 1.0  # snapshot hit the exact time
+
+
+def test_diagnostics_registry(model_state):
+    sol, grid, cfg, model, state = model_state
+    state = model.prepare_state(state)
+    vals = diag.compute_spatial(["thk", "usurf", "taud_mag", "velbar_mag"],
+                                state, model, sol.t0)
+    assert vals["thk"].shape == grid.shape2
+    assert float(vals["taud_mag"].max()) > 0
+    svals = diag.compute_scalar(["ice_volume", "ice_area_glacierized"],
+                                state, model, sol.t0)
+    assert float(svals["ice_volume"]) > 0
+    assert float(svals["ice_area_glacierized"]) > 0
