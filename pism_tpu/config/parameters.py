@@ -118,6 +118,10 @@ PARAMETERS = {
     "energy.bedrock_thermal.specific_heat_capacity": (1000.0, "J kg-1 K-1", "bedrock specific heat"),
     "energy.basal_melt.use_grounded_cell_fraction": (True, None, "scale basal melt by grounded fraction"),
 
+    # --- age ------------------------------------------------------------------
+    "age.enabled": (False, None, "transport 3D ice age"),
+    "age.initial_value": (0.0, "years", "initial age"),
+
     # --- geometry / mass transport ------------------------------------------
     "geometry.ice_free_thickness_standard": (0.01, "m", "H below this means ice-free"),
     "geometry.update.enabled": (True, None, "evolve ice geometry"),

@@ -1,0 +1,128 @@
+"""Atmosphere boundary models.
+
+Rebuild of PISM ``src/coupler/atmosphere/``: models supply near-surface air
+temperature [K] and precipitation [m/s ice equivalent] as functions of
+geometry and model time; "modifier" models chain on top (lapse-rate
+elevation corrections, scalar offsets). All are pure callables usable
+inside jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..util.units import SEC_PER_YEAR
+
+
+class AtmosphereInputs(NamedTuple):
+    temperature: jnp.ndarray      # mean-annual near-surface air temp [K]
+    temperature_july: jnp.ndarray  # mean summer temp [K] (for yearly cycles)
+    precipitation: jnp.ndarray    # [m/s ice equivalent]
+
+
+class AtmosphereModel:
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        raise NotImplementedError
+
+    def temperature_at(self, geometry, t, year_fraction):
+        """Instantaneous air temperature within the yearly cycle (PISM
+        ``AtmosphereModel::temp_time_series``): cosine cycle peaking in
+        summer (year_fraction ~ 0.5)."""
+        a = self(geometry, t)
+        Ta, Tj = a.temperature, a.temperature_july
+        cycle = jnp.cos(2.0 * jnp.pi * (year_fraction - 0.5))
+        return Ta + (Tj - Ta) * cycle
+
+
+@dataclass
+class Uniform(AtmosphereModel):
+    temperature: float = 263.15
+    temperature_july: Optional[float] = None
+    precipitation: float = 0.0  # m/s ice equivalent
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        shp = geometry.ice_thickness.shape
+        dt_ = geometry.ice_thickness.dtype
+        Tj = self.temperature_july if self.temperature_july is not None \
+            else self.temperature
+        return AtmosphereInputs(
+            jnp.full(shp, self.temperature, dt_),
+            jnp.full(shp, Tj, dt_),
+            jnp.full(shp, self.precipitation, dt_))
+
+
+@dataclass
+class Given(AtmosphereModel):
+    """Prescribed fields (PISM ``-atmosphere given`` with one time slice)."""
+
+    temperature: jnp.ndarray
+    precipitation: jnp.ndarray
+    temperature_july: Optional[jnp.ndarray] = None
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        Tj = self.temperature_july if self.temperature_july is not None \
+            else self.temperature
+        return AtmosphereInputs(jnp.asarray(self.temperature), jnp.asarray(Tj),
+                                jnp.asarray(self.precipitation))
+
+
+@dataclass
+class SeariseGreenland(AtmosphereModel):
+    """Fausto et al. (2009) Greenland temperature parameterization (PISM
+    ``atmosphere::SeariseGreenland``):
+      T_ma  = 41.83 - 6.309e-3 h - 0.7189 lat - 0.0672 lon  [degC]
+      T_jul = 14.70 - 5.426e-3 h - 0.1585 lat + 0.0518 lon  [degC]
+    with h = max(surface elevation, 0). Precipitation must be supplied
+    (PISM reads it from the input file)."""
+
+    latitude: jnp.ndarray      # degrees N
+    longitude: jnp.ndarray     # degrees W as negative? PISM uses degrees E in [-90,-10]
+    precipitation: jnp.ndarray  # m/s ice equivalent
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        h = jnp.maximum(geometry.ice_surface_elevation, 0.0)
+        lat, lon = jnp.asarray(self.latitude), jnp.asarray(self.longitude)
+        T_ma = 273.15 + 41.83 - 6.309e-3 * h - 0.7189 * lat - 0.0672 * lon
+        T_jul = 273.15 + 14.70 - 5.426e-3 * h - 0.1585 * lat + 0.0518 * lon
+        return AtmosphereInputs(T_ma, T_jul, jnp.asarray(self.precipitation))
+
+
+@dataclass
+class ElevationChange(AtmosphereModel):
+    """Lapse-rate modifier (PISM ``atmosphere::ElevationChange``): corrects
+    an inner model's temperature for surface-elevation change relative to a
+    reference surface."""
+
+    inner: AtmosphereModel
+    reference_surface: jnp.ndarray
+    lapse_rate: float = 6.0e-3   # K/m (positive: cooler when higher)
+    precip_scale_factor: float = 0.0  # exp scaling per K of warming (0 = off)
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        a = self.inner(geometry, t)
+        dh = geometry.ice_surface_elevation - jnp.asarray(self.reference_surface)
+        dT = -self.lapse_rate * dh
+        precip = a.precipitation
+        if self.precip_scale_factor != 0.0:
+            precip = precip * jnp.exp(self.precip_scale_factor * dT)
+        return AtmosphereInputs(a.temperature + dT, a.temperature_july + dT,
+                                precip)
+
+
+@dataclass
+class DeltaT(AtmosphereModel):
+    """Scalar temperature offset forcing (PISM ``-atmosphere ...,delta_T``).
+    ``offset(t)`` is a host-provided callable of model time -> K; for traced
+    use provide a jnp-compatible function."""
+
+    inner: AtmosphereModel
+    offset: Callable
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        a = self.inner(geometry, t)
+        dT = self.offset(t)
+        return AtmosphereInputs(a.temperature + dT, a.temperature_july + dT,
+                                a.precipitation)

@@ -38,7 +38,7 @@ _STATE_VARS = {
     "hydro_P": ("bwp", {"units": "Pa"}, 2),
     "age": ("age", {"units": "s"}, 3),
     "bed_uplift": ("viscous_bed_displacement", {"units": "m"}, 2),
-    "bed_elastic": ("elastic_bed_displacement", {"units": "m"}, 2),
+    "bed_load_reference": ("bed_def_load_reference", {"units": "m"}, 2),
     "bed_reference": ("bed_def_reference", {"units": "m"}, 2),
     "fracture_density": ("fracture_density", {"units": "1"}, 2),
 }

@@ -1,0 +1,135 @@
+"""Bed deformation (glacial isostatic adjustment).
+
+Rebuild of PISM ``src/earth/`` (``bed::PointwiseIsostasy``,
+``bed::LingleClark`` / ``BedDeformLC``): the Lingle & Clark (1985) model of
+a viscous half-space mantle under an elastic lithosphere plate, solved
+spectrally. Where the reference uses FFTW on an extended grid, this uses
+``jnp.fft`` (XLA FFT) on a 2x zero-padded grid; the per-mode Crank-Nicolson
+update for the viscous displacement u(k) of
+
+    2 eta |k| du/dt = -(rho_r g + D k^4) u - q,     q = rho_i g (H - H_ref)
+
+is unconditionally stable, so it can be applied every step. The elastic
+part uses the equilibrium flexural-plate spectral response
+u_e(k) = -q(k) / (rho_r g + D k^4) (the reference instead convolves a
+spherical-Earth Green's function; the plate response is the flat-Earth
+equivalent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import state as S
+
+
+@dataclass
+class PointwiseIsostasy:
+    """db = -(rho_i / rho_r) (H - H_ref) (PISM ``bed::PointwiseIsostasy``)."""
+
+    grid: object
+    config: object
+
+    def __post_init__(self):
+        cfg = self.config
+        self.f = cfg.get_number("constants.ice.density") / \
+            cfg.get_number("bed_deformation.lithosphere_density")
+
+    def step(self, state: S.ModelState, dt) -> S.ModelState:
+        g = state.geometry
+        bed_ref = state.bed_reference
+        load_ref = state.bed_load_reference  # reference thickness (see initialize)
+        bed = bed_ref - self.f * (g.ice_thickness - load_ref)
+        return state.replace(geometry=g.replace(bed_elevation=bed))
+
+    def initialize(self, state: S.ModelState) -> S.ModelState:
+        return state.replace(
+            bed_reference=state.geometry.bed_elevation,
+            bed_load_reference=state.geometry.ice_thickness)
+
+
+@dataclass
+class LingleClark:
+    grid: object
+    config: object
+    include_elastic: Optional[bool] = None
+
+    def __post_init__(self):
+        cfg = self.config
+        self.rho_i = cfg.get_number("constants.ice.density")
+        self.rho_r = cfg.get_number("bed_deformation.mantle_density")
+        self.g = cfg.get_number("constants.standard_gravity")
+        self.D = cfg.get_number("bed_deformation.lithosphere_flexural_rigidity")
+        self.eta = cfg.get_number("bed_deformation.mantle_viscosity")
+        if self.include_elastic is None:
+            self.include_elastic = cfg.get_flag("bed_deformation.lc.elastic_model")
+        fac = cfg.get_int("bed_deformation.lc.grid_size_factor")
+        grid = self.grid
+        self.Ny = fac * grid.My
+        self.Nx = fac * grid.Mx
+        ky = np.fft.fftfreq(self.Ny, grid.dy) * 2.0 * np.pi
+        kx = np.fft.rfftfreq(self.Nx, grid.dx) * 2.0 * np.pi
+        KY, KX = np.meshgrid(ky, kx, indexing="ij")
+        self.k = jnp.asarray(np.sqrt(KX ** 2 + KY ** 2))
+        self.k4 = self.k ** 4
+
+    def _pad(self, a):
+        out = jnp.zeros((self.Ny, self.Nx), a.dtype)
+        return out.at[:self.grid.My, :self.grid.Mx].set(a)
+
+    def _crop(self, a):
+        return a[:self.grid.My, :self.grid.Mx]
+
+    def step(self, state: S.ModelState, dt) -> S.ModelState:
+        g = state.geometry
+        H_ref = state.bed_load_reference          # reference load thickness
+        bed_ref = state.bed_reference      # undeformed bed
+        U = state.bed_uplift               # viscous displacement field
+
+        dload = g.ice_thickness - H_ref
+        q = self.rho_i * self.g * self._pad(dload)
+        q_hat = jnp.fft.rfft2(q)
+
+        U_hat = jnp.fft.rfft2(self._pad(U).astype(q.dtype))
+        alpha = self.rho_r * self.g + self.D * self.k4
+        two_eta_k = 2.0 * self.eta * jnp.maximum(self.k, 1e-12)
+        a_coef = two_eta_k / dt
+        U_hat_new = ((a_coef - 0.5 * alpha) * U_hat - q_hat) / (a_coef + 0.5 * alpha)
+        # k = 0 mode: immediate local isostatic equilibrium has no meaning on
+        # the mean; keep the mean displacement at its relaxed value
+        U_hat_new = U_hat_new.at[0, 0].set(-q_hat[0, 0] / (self.rho_r * self.g))
+        U_new = self._crop(jnp.fft.irfft2(U_hat_new, s=(self.Ny, self.Nx)))
+
+        bed = bed_ref + U_new
+        if self.include_elastic:
+            Ue_hat = -q_hat / alpha
+            Ue = self._crop(jnp.fft.irfft2(Ue_hat, s=(self.Ny, self.Nx)))
+            bed = bed + Ue
+            state = state.replace(bed_load_reference=H_ref)  # unchanged reference
+
+        geom = g.replace(bed_elevation=bed.astype(g.bed_elevation.dtype))
+        return state.replace(geometry=geom,
+                             bed_uplift=U_new.astype(U.dtype))
+
+    def initialize(self, state: S.ModelState) -> S.ModelState:
+        """Record the reference (assumed-equilibrium) bed and load."""
+        g = state.geometry
+        return state.replace(
+            bed_reference=g.bed_elevation,
+            bed_load_reference=g.ice_thickness,
+            bed_uplift=jnp.zeros_like(g.bed_elevation))
+
+
+def bed_deformation_from_config(grid, config):
+    name = config.get_string("bed_deformation.model")
+    if name in ("none", ""):
+        return None
+    if name == "iso":
+        return PointwiseIsostasy(grid=grid, config=config)
+    if name == "lc":
+        return LingleClark(grid=grid, config=config)
+    raise ValueError(f"unknown bed deformation model {name!r}")

@@ -96,6 +96,18 @@ class IceModel:
         if self.calving is None:
             from .calving import calving_from_config
             self.calving = calving_from_config(self.grid, cfg)
+        if self.bed_deformation is None:
+            from .beddef import bed_deformation_from_config
+            self.bed_deformation = bed_deformation_from_config(self.grid, cfg)
+        self.age_model = None
+        if cfg.get_flag("age.enabled"):
+            from .age import AgeModel
+            self.age_model = AgeModel(grid=self.grid, config=cfg)
+        self.btu = None
+        if energy_kind == "enthalpy":
+            from .btu import btu_from_config
+            self.btu = btu_from_config(self.grid, cfg)
+        self.geothermal = cfg.get_number("bootstrapping.defaults.geothermal_flux")
         sia_law = flow_law_from_config(cfg, "sia", self.EC) if "sia" in sb_model else None
         self.stress_balance = StressBalance(
             grid=self.grid, config=cfg, sia_flow_law=sia_law, ssa=self.ssa,
@@ -150,12 +162,25 @@ class IceModel:
 
         # 3. energy (enthalpy) step ---------------------------------------
         if self.energy_model is not None:
+            G = jnp.full(state.geometry.ice_thickness.shape, self.geothermal,
+                         state.geometry.ice_thickness.dtype)
+            if self.btu is not None and state.bedrock_temperature is not None:
+                p_b = self.EC.pressure(state.geometry.ice_thickness)
+                T_base = self.EC.temperature(state.enthalpy[..., 0], p_b)
+                bed_T, G = self.btu.step(state.bedrock_temperature, T_base,
+                                         G, dt_f)
+                state = state.replace(bedrock_temperature=bed_T)
             eres = self.energy_model.step(
                 state, sb.sia3, smb_in.temperature, dt_f,
+                geothermal_flux=G,
                 frictional_heating=sb.basal_frictional_heating,
                 tillwat=state.tillwat)
             state = state.replace(enthalpy=eres.enthalpy,
                                   basal_melt_rate=eres.basal_melt_rate)
+
+        # 4. age transport --------------------------------------------------
+        if self.age_model is not None and state.age is not None and sb.sia3 is not None:
+            state = state.replace(age=self.age_model.step(state, sb.sia3, dt_f))
 
         # 5. hydrology -----------------------------------------------------
         if self.hydrology is not None:
@@ -246,6 +271,9 @@ class IceModel:
                 kw["u_ssa"] = z2
             if state.v_ssa is None:
                 kw["v_ssa"] = z2
+        if self.bed_deformation is not None and state.bed_reference is None:
+            state = self.bed_deformation.initialize(state.replace(**kw))
+            kw = {}
         if self.energy_model is not None and state.enthalpy is None:
             from .energy import bootstrap_enthalpy
             smb = self.surface(state.geometry, 0.0)

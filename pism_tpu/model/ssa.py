@@ -230,7 +230,11 @@ class SSAFD:
         uv = free((u_init, v_init))
 
         b_norm2 = dot(free((bx, by)), free((bx, by)))
-        newton_tol2 = jnp.maximum(self.newton_rtol ** 2 * b_norm2,
+        # f32 cannot resolve residuals much below ~1e-5 relative; floor the
+        # Newton tolerance so the loop terminates instead of maxing out
+        rtol = self.newton_rtol if dtype == jnp.float64 else \
+            max(self.newton_rtol, 3.0e-5)
+        newton_tol2 = jnp.maximum(rtol ** 2 * b_norm2,
                                   jnp.asarray(1e-300, dtype))
 
         # ---- Picard warmup: frozen-coefficient linear solves ------------
@@ -273,7 +277,7 @@ class SSAFD:
         alphas = jnp.asarray([1.0, 0.5, 0.25, 0.0625, 0.01], dtype)
 
         def newton_body(carry):
-            uv, F, F2, it = carry
+            uv, F, F2, _chg2, it = carry
             u, v = full(uv)
             nuH = make_nuH(u, v)
             beta = beta_fn(u, v)
@@ -309,29 +313,33 @@ class SSAFD:
             picard_F = residual(picard_uv)
             picard_F2 = dot(picard_F, picard_F)
 
-            take_newton = newton_F2 < picard_F2
+            # Newton only when it both improves on the current iterate and
+            # beats the Picard candidate; otherwise take the Picard step
+            # unconditionally (a fixed-point sweep need not decrease |F|
+            # monotonically, but it is what converges globally — as in the
+            # reference, whose solver is pure Picard).
+            take_newton = (newton_F2 < picard_F2) & (newton_F2 < F2)
             uv_new = (jnp.where(take_newton, newton_uv[0], picard_uv[0]),
                       jnp.where(take_newton, newton_uv[1], picard_uv[1]))
-            F2_new = jnp.minimum(newton_F2, picard_F2)
+            F2_new = jnp.where(take_newton, newton_F2, picard_F2)
             F_new = residual(uv_new)
-            # no candidate improved: keep the old iterate and stop
-            worse = F2_new >= F2
-            uv_new = (jnp.where(worse, uv[0], uv_new[0]),
-                      jnp.where(worse, uv[1], uv_new[1]))
-            F_new = (jnp.where(worse, F[0], F_new[0]),
-                     jnp.where(worse, F[1], F_new[1]))
-            F2_new = jnp.where(worse, F2, F2_new)
-            it_new = jnp.where(worse, self.newton_max, it + 1)
-            return (uv_new, F_new, F2_new, it_new)
+            # stagnation measure: relative velocity change of this sweep
+            dchg = (uv_new[0] - uv[0], uv_new[1] - uv[1])
+            chg2 = dot(dchg, dchg) / jnp.maximum(dot(uv_new, uv_new), 1e-300)
+            return (uv_new, F_new, F2_new, chg2, it + 1)
+
+        chg_tol2 = jnp.asarray((1e-8 if dtype == jnp.float64 else 1e-5) ** 2,
+                               dtype)
 
         def newton_cond(carry):
-            _, _, F2, it = carry
-            return (F2 > newton_tol2) & (it < self.newton_max)
+            _, _, F2, chg2, it = carry
+            return (F2 > newton_tol2) & (chg2 > chg_tol2) & (it < self.newton_max)
 
         F0 = residual(uv)
         F20 = dot(F0, F0)
-        uv, F, F2, iters = jax.lax.while_loop(
-            newton_cond, newton_body, (uv, F0, F20, jnp.asarray(0)))
+        uv, F, F2, chg2, iters = jax.lax.while_loop(
+            newton_cond, newton_body,
+            (uv, F0, F20, jnp.asarray(1.0, dtype), jnp.asarray(0)))
 
         u, v = full(uv)
         u = jnp.clip(u, -self.max_speed, self.max_speed)

@@ -128,7 +128,7 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
 
     if enthalpy is None:
         # isothermal closed form: K = e * A * H^(n+2) / (n+2)
-        A = flow_law.softness(jnp.zeros(()), jnp.zeros(()))
+        A = flow_law.softness(jnp.zeros((), H.dtype), jnp.zeros((), H.dtype))
         Ke = enhancement * A * H_e ** (n + 2.0) / (n + 2.0)
         Kn = enhancement * A * H_n ** (n + 2.0) / (n + 2.0)
     else:

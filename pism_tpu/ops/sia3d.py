@@ -59,7 +59,7 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
     Hc = H[..., None]
     depth = jnp.maximum(Hc - z, 0.0)
     if enthalpy is None:
-        A = flow_law.softness(jnp.zeros(()), jnp.zeros(()))
+        A = flow_law.softness(jnp.zeros((), H.dtype), jnp.zeros((), H.dtype))
         A3 = jnp.broadcast_to(A, depth.shape)
     else:
         p = flow_law.EC.pressure(depth)

@@ -149,7 +149,7 @@ class ModelState:
     hydro_P: Optional[jnp.ndarray] = None            # water pressure Pa
     age: Optional[jnp.ndarray] = None                # (My, Mx, Mz) s
     bed_uplift: Optional[jnp.ndarray] = None         # viscous bed displacement state
-    bed_elastic: Optional[jnp.ndarray] = None
+    bed_load_reference: Optional[jnp.ndarray] = None
     bed_reference: Optional[jnp.ndarray] = None      # undeformed bed + initial load
     fracture_density: Optional[jnp.ndarray] = None
 
