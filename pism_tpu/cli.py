@@ -1,0 +1,175 @@
+"""Command-line driver.
+
+Rebuild of PISM's executable layer (``src/pism.cc``; historically ``pismr``
+/ ``pisms`` / ``pismv``): restart (``-i``) or simplified-geometry start
+(``-eisII A``), run duration (``-y/-ys/-ye``), output channels
+(``-o``, ``-extra_file/-extra_times/-extra_vars``, ``-ts_file/-ts_times``),
+and arbitrary config parameters as ``-config key=value`` pairs (in PISM
+every parameter is its own flag; one generic flag keeps the same power).
+
+Examples:
+  python -m pism_tpu -eisII A -y 200000 -o eis2A.nc
+  python -m pism_tpu -i restart.nc -y 100 -extra_file ex.nc \
+      -extra_times 0:10:100 -extra_vars thk,velbar_mag
+  python -m pism_tpu -test B -My 61 -y 1000   (verification run)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time as _wall
+
+import numpy as np
+
+from .config.config import Config
+from .grid import Grid
+from .util.timecal import Time
+from .util.units import SEC_PER_YEAR
+
+
+def parse_times(spec: str, year_length: float):
+    """PISM-style time list: "a:step:b" or comma list, in model years."""
+    if ":" in spec:
+        a, step, b = (float(s) for s in spec.split(":"))
+        return [t * year_length for t in np.arange(a, b + step / 2, step)]
+    return [float(s) * year_length for s in spec.split(",")]
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="pism_tpu", description=__doc__)
+    p.add_argument("-i", metavar="FILE", help="restart from a model-state file")
+    p.add_argument("-eisII", metavar="EXP", help="EISMINT II experiment (A-G)")
+    p.add_argument("-test", metavar="LETTER", help="verification test (B, C, I)")
+    p.add_argument("-y", type=float, default=None, help="run length [years]")
+    p.add_argument("-ys", type=float, default=None, help="start time [years]")
+    p.add_argument("-ye", type=float, default=None, help="end time [years]")
+    p.add_argument("-o", default="out.nc", help="output (model state) file")
+    p.add_argument("-Mx", type=int, default=None)
+    p.add_argument("-My", type=int, default=None)
+    p.add_argument("-Mz", type=int, default=None)
+    p.add_argument("-extra_file", default=None)
+    p.add_argument("-extra_times", default=None)
+    p.add_argument("-extra_vars", default="thk,usurf,velbar_mag,mask")
+    p.add_argument("-ts_file", default=None)
+    p.add_argument("-ts_times", default=None)
+    p.add_argument("-backup_interval", type=float, default=0.0,
+                   help="wall-clock hours between backups")
+    p.add_argument("-config", action="append", default=[],
+                   metavar="KEY=VALUE", help="config override (repeatable)")
+    p.add_argument("-platform", default=None, help="jax platform (cpu/tpu)")
+    p.add_argument("-verbose", type=int, default=2)
+    return p
+
+
+def _apply_config_overrides(cfg: Config, pairs):
+    for pair in pairs:
+        k, v = pair.split("=", 1)
+        for conv in (int, float):
+            try:
+                if conv is int and ("." in v or "e" in v.lower()):
+                    continue
+                cfg.update({k: conv(v)})
+                break
+            except (ValueError, KeyError):
+                continue
+        else:
+            if v in ("true", "false", "yes", "no"):
+                cfg.update({k: v in ("true", "yes")})
+            else:
+                cfg.update({k: v})
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+
+    from .io import checkpoint as ckpt
+    from .model.icemodel import IceModel
+    from .model.output import OutputManager
+    from .state import ModelState, new_geometry
+
+    t0 = 0.0
+    if args.eisII:
+        from .verification import eismint2
+        es = eismint2.setup(args.eisII, Mx=args.Mx or 61, Mz=args.Mz or 61)
+        grid, cfg, state, surface = es.grid, es.config, es.state, es.surface
+    elif args.test:
+        from .verification import halfar
+        sol = halfar.test_B() if args.test.upper() == "B" else halfar.test_C()
+        Mx = args.Mx or 61
+        grid = Grid(Mx=Mx, My=args.My or Mx, Lx=900e3, Ly=900e3)
+        cfg = Config({
+            "stress_balance.model": "sia",
+            "stress_balance.sia.flow_law": "isothermal_glen",
+            "flow_law.isothermal_Glen.ice_softness": halfar.A_SOFTNESS,
+            "energy.model": "none"})
+        t0 = sol.t0
+        state = ModelState(geometry=new_geometry(
+            jnp.asarray(sol.thickness(t0, grid.radius)), jnp.zeros(grid.shape2)))
+        from .coupler.surface import FunctionSurface
+        lam = sol.lam
+
+        def smb(geometry, t):
+            m = lam / t * geometry.ice_thickness
+            return m, jnp.full(geometry.ice_thickness.shape, 263.15)
+
+        surface = FunctionSurface(smb)
+    elif args.i:
+        grid = ckpt.load_grid(args.i)
+        cfg = ckpt.load_config(args.i)
+        state, t0 = ckpt.load_state(args.i, config=cfg)
+        from .coupler.surface import Uniform
+        surface = Uniform(smb=0.0)  # continuation runs should supply forcing
+    else:
+        print("error: need one of -i, -eisII, -test", file=sys.stderr)
+        return 1
+
+    _apply_config_overrides(cfg, args.config)
+
+    yl = SEC_PER_YEAR
+    ys = args.ys * yl if args.ys is not None else t0
+    if args.ye is not None:
+        ye = args.ye * yl
+    elif args.y is not None:
+        ye = ys + args.y * yl
+    else:
+        ye = ys
+    run_time = Time(start=ys, end=ye)
+
+    model = IceModel(grid=grid, config=cfg, surface=surface)
+
+    out = OutputManager(
+        grid=grid, config=cfg,
+        extra_times=parse_times(args.extra_times, yl) if args.extra_times else (),
+        extra_vars=tuple(args.extra_vars.split(",")),
+        extra_file=args.extra_file,
+        ts_times=parse_times(args.ts_times, yl) if args.ts_times else (),
+        ts_file=args.ts_file,
+        backup_interval=args.backup_interval * 3600.0,
+    )
+
+    wall0 = _wall.time()
+
+    def report(state_, t, stats):
+        if args.verbose >= 2:
+            vol = float(jnp.sum(state_.geometry.ice_thickness)) \
+                * grid.dx * grid.dy / 1e9
+            print(f"t = {t / yl:12.2f} a   steps = {int(stats.nsteps):7d}   "
+                  f"volume = {vol:14.1f} km3   wall = {_wall.time() - wall0:7.1f} s",
+                  flush=True)
+
+    state, stats = model.run(state, run_time, output=out, callback=report)
+    out.close()
+    ckpt.save_state(args.o, state, grid, run_time.end, config=cfg)
+    if args.verbose >= 1:
+        print(f"done; state written to {args.o}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

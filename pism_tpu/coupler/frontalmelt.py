@@ -1,0 +1,65 @@
+"""Frontal melt models.
+
+Rebuild of PISM ``src/coupler/frontalmelt/`` (``Constant``, ``Given``,
+``DischargeRouting``): supply a frontal (vertical calving-face) melt rate
+[m/s] that the front-retreat machinery applies at marine ice fronts.
+``DischargeRouting`` uses the Rignot/Xu et al. (2013) plume
+parameterization fed by subglacial discharge from the routing hydrology.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from ..util.units import SEC_PER_YEAR
+
+
+class FrontalMeltModel:
+    def __call__(self, geometry, t, state=None):
+        raise NotImplementedError
+
+
+@dataclass
+class Constant(FrontalMeltModel):
+    rate: float = 0.0   # m/s
+
+    def __call__(self, geometry, t, state=None):
+        H = geometry.ice_thickness
+        return jnp.full(H.shape, self.rate, H.dtype)
+
+
+@dataclass
+class Given(FrontalMeltModel):
+    rate_field: jnp.ndarray
+
+    def __call__(self, geometry, t, state=None):
+        return jnp.asarray(self.rate_field)
+
+
+@dataclass
+class DischargeRouting(FrontalMeltModel):
+    """Rignot et al. (2016)/Xu et al. (2013) plume parameterization:
+    melt = (A h q_sg^alpha + B) theta^beta, with q_sg the subglacial
+    discharge per unit width [m/day], h the water depth [m], theta the
+    thermal forcing [K]."""
+
+    theta: jnp.ndarray           # thermal forcing field [K]
+    A: float = 3e-4
+    B: float = 0.15
+    alpha: float = 0.39
+    beta: float = 1.18
+
+    def __call__(self, geometry, t, state=None):
+        h = jnp.maximum(geometry.sea_level - geometry.bed_elevation, 0.0)
+        if state is not None and state.hydro_W is not None:
+            # crude discharge proxy: transportable water layer drained per day
+            q_sg = state.hydro_W  # [m]
+        else:
+            q_sg = jnp.zeros_like(h)
+        theta = jnp.asarray(self.theta)
+        melt_m_per_day = (self.A * h * q_sg ** self.alpha + self.B) \
+            * jnp.maximum(theta, 0.0) ** self.beta
+        return melt_m_per_day / 86400.0

@@ -1,0 +1,50 @@
+"""Sea-level forcing models.
+
+Rebuild of PISM ``src/coupler/ocean/sea_level/`` (``Initialization``,
+``Delta_SL``, ``Delta_SL_2D``): supply the sea-level field entering the
+flotation criterion. Scalar forcings take a host-provided callable of model
+time (a ``ScalarForcing`` analog); 2D variants take fields.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+
+class SeaLevelModel:
+    def __call__(self, geometry, t):
+        raise NotImplementedError
+
+
+@dataclass
+class Constant(SeaLevelModel):
+    value: float = 0.0
+
+    def __call__(self, geometry, t):
+        H = geometry.ice_thickness
+        return jnp.full(H.shape, self.value, H.dtype)
+
+
+@dataclass
+class DeltaSL(SeaLevelModel):
+    """Scalar offset on an inner model (PISM ``-sea_level ...,delta_sl``)."""
+
+    inner: SeaLevelModel
+    offset: Callable    # t -> meters (jnp-traceable)
+
+    def __call__(self, geometry, t):
+        return self.inner(geometry, t) + self.offset(t)
+
+
+@dataclass
+class DeltaSL2D(SeaLevelModel):
+    """2D offset field (PISM ``delta_sl_2d``)."""
+
+    inner: SeaLevelModel
+    offset_field: jnp.ndarray
+
+    def __call__(self, geometry, t):
+        return self.inner(geometry, t) + jnp.asarray(self.offset_field)

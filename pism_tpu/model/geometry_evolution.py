@@ -35,6 +35,7 @@ class MassTransportResult(NamedTuple):
     nonneg_flux: jnp.ndarray            # ice created by the H>=0 clip (m^3/s)
     smb_flux: jnp.ndarray               # applied surface mass balance (m^3/s)
     bmb_flux: jnp.ndarray               # applied basal mass balance (m^3/s)
+    Href: Optional[jnp.ndarray] = None  # part-grid area-specific volume [m]
 
 
 def advective_flux(u_face_e, v_face_n, H, sh: Shifter):
@@ -74,9 +75,16 @@ def limit_flux(Qe, Qn, H, dt, dx: float, dy: float, sh: Shifter) -> FluxLimited:
 
 
 def flow_step(geometry: S.Geometry, dt, Qe, Qn, grid, sh: Shifter,
-              interior_mask: Optional[jnp.ndarray] = None) -> MassTransportResult:
+              interior_mask: Optional[jnp.ndarray] = None,
+              part_grid: bool = False) -> MassTransportResult:
     """Apply -div(Q) dt with flux limiting. ``interior_mask`` (optional)
-    zeroes fluxes on faces touching masked-out cells (regional mode)."""
+    zeroes fluxes on faces touching masked-out cells (regional mode).
+
+    With ``part_grid`` (PISM ``geometry.part_grid.enabled``; Albrecht et al.
+    2011): flux entering ice-free ocean cells adjacent to the front fills
+    the area-specific volume Href instead of creating thin ice; the cell
+    becomes ice-covered once Href reaches the mean thickness of its icy
+    neighbors (sub-grid calving-front advance)."""
     H = geometry.ice_thickness
     dx, dy = grid.dx, grid.dy
 
@@ -87,7 +95,34 @@ def flow_step(geometry: S.Geometry, dt, Qe, Qn, grid, sh: Shifter,
 
     Qe, Qn = limit_flux(Qe, Qn, H, dt, dx, dy, sh)
     div = st.div_staggered(Qe, Qn, dx, dy, sh)
-    H_new = H - dt * div
+    dH = -dt * div
+    Href = geometry.ice_area_specific_volume
+
+    if part_grid:
+        mask = geometry.cell_type
+        icy = S.icy(mask)
+        ocean_free = mask == S.MASK_ICE_FREE_OCEAN
+        nbr_icy = (sh(icy, 0, 1) | sh(icy, 0, -1)
+                   | sh(icy, 1, 0) | sh(icy, -1, 0))
+        partial = ocean_free & nbr_icy          # candidate part-grid cells
+        # inflow into partial cells accumulates in Href
+        Href = jnp.where(partial, Href + jnp.maximum(dH, 0.0), Href)
+        H_new = jnp.where(partial, H, H + dH)
+        # promotion threshold: mean thickness of icy neighbors
+        icy_f = icy.astype(H.dtype)
+        nsum = (sh(H * icy_f, 0, 1) + sh(H * icy_f, 0, -1)
+                + sh(H * icy_f, 1, 0) + sh(H * icy_f, -1, 0))
+        ncnt = (sh(icy_f, 0, 1) + sh(icy_f, 0, -1)
+                + sh(icy_f, 1, 0) + sh(icy_f, -1, 0))
+        H_thresh = nsum / jnp.maximum(ncnt, 1.0)
+        promote = partial & (Href >= jnp.maximum(H_thresh, 1.0))
+        H_new = jnp.where(promote, Href, H_new)
+        Href = jnp.where(promote, 0.0, Href)
+        # Href in cells no longer adjacent to ice melts away implicitly
+        Href = jnp.where(partial | icy, Href, 0.0)
+    else:
+        H_new = H + dH
+
     # The limiter guarantees H_new >= -eps; clamp roundoff and account for it.
     clipped = jnp.maximum(H_new, 0.0)
     nonneg = jnp.sum(clipped - H_new) * dx * dy / jnp.maximum(dt, 1e-30)
@@ -97,6 +132,7 @@ def flow_step(geometry: S.Geometry, dt, Qe, Qn, grid, sh: Shifter,
         nonneg_flux=nonneg,
         smb_flux=jnp.zeros(()),
         bmb_flux=jnp.zeros(()),
+        Href=Href,
     )
 
 

@@ -120,6 +120,8 @@ class IceModel:
         self.max_dt = cfg.get_number("time_stepping.maximum_time_step", "seconds")
         self.cfl_factor = cfg.get_number("time_stepping.cfl_factor")
         self.geometry_evolves = cfg.get_flag("geometry.update.enabled")
+        self.part_grid = cfg.get_flag("geometry.part_grid.enabled")
+        self.subgl = cfg.get_flag("geometry.grounded_cell_fraction")
 
         self._advance = jax.jit(self._make_advance())
 
@@ -193,8 +195,11 @@ class IceModel:
                                                geometry.ice_thickness, sh)
             Qe = sb.qe + qe_adv
             Qn = sb.qn + qn_adv
-            res = ge.flow_step(geometry, dt_f, Qe, Qn, grid, sh)
+            res = ge.flow_step(geometry, dt_f, Qe, Qn, grid, sh,
+                               part_grid=self.part_grid)
             H = res.thickness
+            if res.Href is not None:
+                geometry = geometry.replace(ice_area_specific_volume=res.Href)
 
             bmb = jnp.zeros_like(H)
             if state.basal_melt_rate is not None:
@@ -207,7 +212,7 @@ class IceModel:
                 H, dt_f, smb_in.smb, bmb, grid.dx, grid.dy)
 
             geometry = geometry.replace(ice_thickness=H)
-            geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin)
+            geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
             div_vol = jnp.sum(res.flux_divergence) * grid.dx * grid.dy
             nonneg = res.nonneg_flux
         else:
@@ -216,7 +221,7 @@ class IceModel:
         # 8. calving / front retreat --------------------------------------
         if self.calving is not None:
             geometry = self.calving.step(geometry, sb, dt_f)
-            geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin)
+            geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
 
         state = state.replace(geometry=geometry, u_ssa=sb.u_ssa, v_ssa=sb.v_ssa)
 

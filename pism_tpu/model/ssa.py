@@ -135,7 +135,37 @@ class SSAFD:
 
         With diagnostics=True also returns a dict with the Newton iteration
         count and final/initial residual norms (PISM logs the same from its
-        Picard loop)."""
+        Picard loop).
+
+        The nonlinear solve runs in float64 regardless of the model field
+        dtype: nuH spans ~1e13..1e19 Pa s m and the Krylov iterations
+        stagnate (and the Newton tangents overflow) in float32. Inputs are
+        cast on entry, velocities cast back on exit; everything else in the
+        model stays in the configured dtype. (PISM is all-double; this is
+        the minimal-precision-island equivalent.)
+        """
+        out_dtype = state.geometry.ice_thickness.dtype
+        if out_dtype != jnp.float64:
+            f64 = lambda a: None if a is None else jnp.asarray(a, jnp.float64)
+            geom64 = state.geometry.replace(
+                ice_thickness=f64(state.geometry.ice_thickness),
+                bed_elevation=f64(state.geometry.bed_elevation),
+                sea_level=f64(state.geometry.sea_level),
+                ice_surface_elevation=f64(state.geometry.ice_surface_elevation),
+            )
+            state = state.replace(
+                geometry=geom64,
+                enthalpy=f64(state.enthalpy),
+                u_ssa=f64(state.u_ssa), v_ssa=f64(state.v_ssa))
+            tau_c = f64(tau_c)
+            u0, v0 = f64(u0), f64(v0)
+            res = self.solve(state, tau_c, u0, v0, diagnostics)
+            if diagnostics:
+                u, v, info = res
+                return u.astype(out_dtype), v.astype(out_dtype), info
+            u, v = res
+            return u.astype(out_dtype), v.astype(out_dtype)
+
         grid, sh = self.grid, self.sh
         geom = state.geometry
         H = geom.ice_thickness

@@ -45,13 +45,25 @@ def compute_nuH(u, v, hardness_B, H, dx, dy, sh: Shifter, *, n_glen=3.0,
     """Staggered effective viscosity times thickness.
 
     hardness_B, H: cell-centered vertically-averaged hardness and thickness.
-    eps_reg2: Schoof regularization (strain-rate)^2 floor.
+    eps_reg2: Schoof regularization (strain-rate)^2 floor, in (1/s)^2.
     extension_nuH / extension_mask: where mask is true, replace by the
     strength-extension constant (PISM ``SSAStrengthExtension``).
+
+    Internally strain rates are computed in 1/year units: SI strain-rate
+    squares (~1e-27) raised to negative fractional powers overflow float32
+    (and their autodiff tangents overflow harder); per-year magnitudes
+    (~1e-5) keep the whole computation and its JVP in f32 range. The
+    rescaling factor SPY^((n-1)/n) restores SI nuH.
     """
+    from ..util.units import SEC_PER_YEAR as SPY
+    rescale = SPY ** ((n_glen - 1.0) / n_glen)
+    reg2_a = eps_reg2 * SPY * SPY
+
     def face_nuH(ux, vy, uy, vx, B_f, H_f):
-        eps2 = ux ** 2 + vy ** 2 + ux * vy + 0.25 * (uy + vx) ** 2 + eps_reg2
-        nu = 0.5 * B_f * eps2 ** ((1.0 - n_glen) / (2.0 * n_glen))
+        # strain rates arrive in 1/s; convert to 1/year
+        ux, vy, uy, vx = (g * SPY for g in (ux, vy, uy, vx))
+        eps2 = ux ** 2 + vy ** 2 + ux * vy + 0.25 * (uy + vx) ** 2 + reg2_a
+        nu = 0.5 * B_f * eps2 ** ((1.0 - n_glen) / (2.0 * n_glen)) * rescale
         return nu * H_f
 
     # east faces

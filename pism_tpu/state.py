@@ -74,6 +74,32 @@ def new_geometry(thickness, bed, sea_level=None, Href=None,
     return ensure_consistency(g, ice_density, ocean_density, ice_free_thickness)
 
 
+def grounded_fraction(H, b, sl, mu):
+    """Sub-grid grounded area fraction by linear interpolation of the
+    flotation excess F = mu H - (sl - b) between neighboring cell centers
+    (PISM ``grounded_cell_fraction()``; Gladstone/Feldmann-style sub-grid
+    grounding line). Edge-clamped ghosts."""
+    from .ops.stencils import shift
+
+    F = mu * H - jnp.maximum(sl - b, 0.0)
+
+    def lam(Fa, Fb):
+        """Fraction of the segment from a to b with F > 0."""
+        both_pos = (Fa >= 0) & (Fb >= 0)
+        both_neg = (Fa < 0) & (Fb < 0)
+        cross = Fa / jnp.where(Fa - Fb == 0, 1e-30, Fa - Fb)
+        frac_a_pos = jnp.clip(cross, 0.0, 1.0)         # F>0 near a
+        frac = jnp.where(Fa >= 0, frac_a_pos, 1.0 - jnp.clip(cross, 0.0, 1.0))
+        return jnp.where(both_pos, 1.0, jnp.where(both_neg, 0.0, frac))
+
+    halves = []
+    for jy, ix in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        F_mid = 0.5 * (F + shift(F, jy, ix))   # value at the face
+        halves.append(lam(F, F_mid))
+    gf = sum(halves) / 4.0
+    return jnp.clip(gf, 0.0, 1.0).astype(H.dtype)
+
+
 def ensure_consistency(g: Geometry, ice_density: float, ocean_density: float,
                        ice_free_thickness: float = 0.01,
                        compute_grounded_fraction: bool = False) -> Geometry:
@@ -94,7 +120,12 @@ def ensure_consistency(g: Geometry, ice_density: float, ocean_density: float,
         jnp.where(b < sl, MASK_ICE_FREE_OCEAN, MASK_ICE_FREE_BEDROCK),
     ).astype(jnp.int32)
 
-    gf = jnp.where(is_floating & has_ice, H.dtype.type(0.0), H.dtype.type(1.0))
+    if compute_grounded_fraction:
+        gf = grounded_fraction(H, b, sl, mu)
+        gf = jnp.where(has_ice, gf, jnp.where(b < sl, 0.0, 1.0)).astype(H.dtype)
+    else:
+        gf = jnp.where(is_floating & has_ice, H.dtype.type(0.0),
+                       H.dtype.type(1.0))
 
     return g.replace(
         ice_surface_elevation=surface,

@@ -86,6 +86,10 @@ def setup(Mx: int = 151, My: int = 7, Lx: float = 1500.0e3,
         "calving.methods": "thickness_calving",
         "calving.thickness_calving.threshold": 30.0,
         "geometry.remove_icebergs": True,
+        # sub-grid front advance: inflow to ice-free ocean accumulates in
+        # Href instead of creating near-zero-thickness cells whose SSA
+        # speeds would dominate the CFL
+        "geometry.part_grid.enabled": True,
         "time_stepping.maximum_time_step": 10.0,  # years
     })
 
