@@ -154,6 +154,17 @@ PARAMETERS = {
     "calving.front_retreat.use_cfl": (False, None, "restrict dt by retreat-rate CFL"),
     "geometry.remove_icebergs": (False, None, "drop shelves not connected to grounded ice"),
 
+    # --- fracture density ------------------------------------------------------
+    "fracture_density.enabled": (False, None, "evolve the fracture phase field"),
+    "fracture_density.gamma": (1.0, None, "fracture growth rate factor"),
+    "fracture_density.initiation_threshold": (7.0e-10, "s-1", "strain rate above which fractures form"),
+    "fracture_density.gamma_h": (0.0, None, "fracture healing rate factor"),
+    "fracture_density.healing_threshold": (2.0e-10, "s-1", "strain rate below which fractures heal"),
+    "fracture_density.softening_lower_limit": (1.0, None, "1 = no rheology softening feedback"),
+
+    # --- regional mode ----------------------------------------------------------
+    "regional.enabled": (False, None, "outlet-glacier subdomain mode (no_model_mask)"),
+
     # --- bed deformation -----------------------------------------------------
     "bed_deformation.model": ("none", None, "none | iso | lc | given"),
     "bed_deformation.update_interval": (10.0, "years", "how often to update the bed"),
@@ -196,6 +207,7 @@ PARAMETERS = {
     # --- output / runtime ----------------------------------------------------
     "runtime.float_dtype": ("float64", None, "float32 | float64: dtype of model fields"),
     "runtime.segment_years": (50.0, "years", "max model-years per jitted while_loop segment"),
+    "runtime.device_loop": (True, None, "run segments as on-device while_loops; False = host-dispatched steps (workaround for TPU runtimes that mishandle long nested while_loops)"),
     "output.ice_free_thickness_standard": (0.01, "m", "reporting ice-free threshold"),
     "run_info.institution": ("", None, "institution attribute for output files"),
     "run_info.title": ("", None, "title attribute for output files"),

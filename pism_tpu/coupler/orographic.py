@@ -1,0 +1,79 @@
+"""Orographic precipitation: Smith & Barstad (2004) linear theory.
+
+Rebuild of PISM ``atmosphere::OrographicPrecipitation`` (the LTOP model,
+FFT-based in the reference via FFTW; here ``jnp.fft``): precipitation from
+forced uplift of moist air over the evolving ice surface,
+
+    P_hat(k, l) = Cw i sigma h_hat /
+        ((1 - i m H_w)(1 + i sigma tau_c)(1 + i sigma tau_f)),
+
+sigma = U k + V l (intrinsic frequency), m the vertical wavenumber from
+moist stability N_m. P = max(P_background + ifft(P_hat), 0). Because the
+surface evolves, precipitation responds to ice-sheet growth — the feedback
+PISM uses this model for.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..util.units import SEC_PER_YEAR
+from .atmosphere import AtmosphereInputs, AtmosphereModel
+
+
+@dataclass
+class OrographicPrecipitation(AtmosphereModel):
+    grid: object
+    wind_u: float = 10.0        # m/s eastward
+    wind_v: float = 0.0
+    tau_c: float = 1000.0       # cloud conversion time [s]
+    tau_f: float = 1000.0       # fallout time [s]
+    Hw: float = 2500.0          # water vapor scale height [m]
+    Nm: float = 0.005           # moist stability frequency [1/s]
+    Cw: float = 0.001           # uplift sensitivity [kg m^-3]
+    background_precip: float = 0.3 / SEC_PER_YEAR  # m/s ice equivalent
+    temperature: float = 263.15
+    temperature_july: float = 268.15
+    rho_water: float = 1000.0
+
+    def __post_init__(self):
+        g = self.grid
+        kx = np.fft.rfftfreq(g.Mx, g.dx) * 2.0 * np.pi
+        ky = np.fft.fftfreq(g.My, g.dy) * 2.0 * np.pi
+        KY, KX = np.meshgrid(ky, kx, indexing="ij")
+        self._kx = jnp.asarray(KX)
+        self._ky = jnp.asarray(KY)
+
+    def precipitation_field(self, surface):
+        h = jnp.asarray(surface, jnp.float64)
+        h_hat = jnp.fft.rfft2(h - jnp.mean(h))
+        kx, ky = self._kx, self._ky
+        sigma = self.wind_u * kx + self.wind_v * ky
+        k2 = kx ** 2 + ky ** 2
+        # vertical wavenumber (moist, hydrostatic limit with regularization)
+        sigma_reg = jnp.where(jnp.abs(sigma) < 1e-10,
+                              jnp.sign(sigma) * 1e-10 + (sigma == 0) * 1e-10,
+                              sigma)
+        m2 = (self.Nm ** 2 / sigma_reg ** 2 - 1.0) * k2
+        m = jnp.where(m2 >= 0,
+                      jnp.sqrt(jnp.abs(m2)) * jnp.sign(sigma_reg),
+                      1j * jnp.sqrt(jnp.abs(m2))).astype(jnp.complex128)
+        denom = ((1.0 - 1j * m * self.Hw)
+                 * (1.0 + 1j * sigma * self.tau_c)
+                 * (1.0 + 1j * sigma * self.tau_f))
+        P_hat = self.Cw * 1j * sigma * h_hat / denom
+        P = jnp.fft.irfft2(P_hat, s=h.shape)   # kg m^-2 s^-1
+        P = P / self.rho_water                 # m/s water equivalent
+        return jnp.maximum(self.background_precip + P, 0.0)
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        s = geometry.ice_surface_elevation
+        P = self.precipitation_field(s).astype(s.dtype)
+        shp = s.shape
+        return AtmosphereInputs(
+            jnp.full(shp, self.temperature, s.dtype),
+            jnp.full(shp, self.temperature_july, s.dtype),
+            P)

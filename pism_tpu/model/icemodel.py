@@ -70,6 +70,9 @@ class IceModel:
     yield_stress: object = None
     calving: object = None
     bed_deformation: object = None
+    # regional mode (PISM src/regional/): thickness/enthalpy are frozen
+    # where no_model_mask is set (outlet-glacier subdomain runs)
+    no_model_mask: object = None
 
     def __post_init__(self):
         cfg = self.config
@@ -99,6 +102,11 @@ class IceModel:
         if self.bed_deformation is None:
             from .beddef import bed_deformation_from_config
             self.bed_deformation = bed_deformation_from_config(self.grid, cfg)
+        self.fracture = None
+        if cfg.get_flag("fracture_density.enabled"):
+            from .fracture import FractureDensity
+            self.fracture = FractureDensity(grid=self.grid, config=cfg)
+        self._nmm_ref = None   # (H_ref, E_ref) for regional mode
         self.age_model = None
         if cfg.get_flag("age.enabled"):
             from .age import AgeModel
@@ -122,19 +130,42 @@ class IceModel:
         self.geometry_evolves = cfg.get_flag("geometry.update.enabled")
         self.part_grid = cfg.get_flag("geometry.part_grid.enabled")
         self.subgl = cfg.get_flag("geometry.grounded_cell_fraction")
+        self.skip_max = cfg.get_int("time_stepping.skip.max") \
+            if cfg.get_flag("time_stepping.skip.enabled") else 1
 
-        self._advance = jax.jit(self._make_advance())
+        self.device_loop = cfg.get_flag("runtime.device_loop")
+        self._advance_device = jax.jit(self._make_advance())
+        self._step_jit = jax.jit(self._step)
+
+    def _advance(self, state, t0, t_end):
+        """One segment: on-device while_loop, or host-dispatched steps."""
+        if self.device_loop:
+            return self._advance_device(state, t0, t_end)
+        t = jnp.float64(t0)
+        stats = StepStats.zero()
+        while float(t) < float(t_end) - 1e-6:
+            state, t, stats = self._step_jit(state, t, jnp.float64(t_end), stats)
+        return state, t, stats
 
     # ------------------------------------------------------------------ step
     def _compute_dt(self, sb: StressBalanceResult, t, t_end):
+        """Adaptive dt. With the skip mechanism, the mass-transport
+        stability limits allow skip_max substeps per expensive update, so
+        the step dt is skip_max times the mass limit (substeps divide it
+        back down)."""
         grid = self.grid
         limits = [jnp.asarray(self.max_dt, jnp.float64)]
+        mass_limits = []
         if self.stress_balance.model in ("sia", "ssa+sia"):
-            limits.append(sia_ops.max_timestep_diffusivity(
+            mass_limits.append(sia_ops.max_timestep_diffusivity(
                 sb.max_diffusivity, grid.dx, grid.dy, self.adaptive_ratio))
         if self.stress_balance.model in ("ssa", "ssa+sia"):
-            limits.append(self.cfl_factor * ge.max_timestep_cfl_2d(
+            mass_limits.append(self.cfl_factor * ge.max_timestep_cfl_2d(
                 sb.u_face_e, sb.v_face_n, grid.dx, grid.dy))
+        if mass_limits:
+            mass_dt = functools.reduce(
+                jnp.minimum, [jnp.asarray(l, jnp.float64) for l in mass_limits])
+            limits.append(self.skip_max * mass_dt)
         if sb.sia3 is not None:
             from ..ops.sia3d import max_timestep_cfl_3d
             limits.append(self.cfl_factor * max_timestep_cfl_3d(
@@ -184,6 +215,12 @@ class IceModel:
         if self.age_model is not None and state.age is not None and sb.sia3 is not None:
             state = state.replace(age=self.age_model.step(state, sb.sia3, dt_f))
 
+        # 4b. fracture density ----------------------------------------------
+        if self.fracture is not None and state.fracture_density is not None \
+                and sb.u_ssa is not None:
+            state = state.replace(fracture_density=self.fracture.step(
+                state, sb.u_ssa, sb.v_ssa, dt_f))
+
         # 5. hydrology -----------------------------------------------------
         if self.hydrology is not None:
             state = self.hydrology.step(state, dt_f)
@@ -191,30 +228,67 @@ class IceModel:
         # 7. mass transport ------------------------------------------------
         geometry = state.geometry
         if self.geometry_evolves:
-            qe_adv, qn_adv = ge.advective_flux(sb.u_face_e, sb.v_face_n,
-                                               geometry.ice_thickness, sh)
-            Qe = sb.qe + qe_adv
-            Qn = sb.qn + qn_adv
-            res = ge.flow_step(geometry, dt_f, Qe, Qn, grid, sh,
-                               part_grid=self.part_grid)
-            H = res.thickness
-            if res.Href is not None:
-                geometry = geometry.replace(ice_area_specific_volume=res.Href)
+            def mass_substep(geometry, dt_sub, qe_d=None, qn_d=None):
+                """One mass-continuity substep with frozen sliding
+                velocities; the (cheap) SIA diffusive flux is recomputed
+                from the current geometry unless supplied."""
+                if qe_d is None and self.stress_balance.model in ("sia", "ssa+sia"):
+                    flux = sia_ops.diffusivity(
+                        self.stress_balance.sia_flow_law, geometry,
+                        state.enthalpy, grid, sh,
+                        n=self.stress_balance.n_sia,
+                        enhancement=self.stress_balance.e_sia,
+                        rho=self.rho_i, g=self.stress_balance.g,
+                        gradient_method=self.stress_balance.gradient_method)
+                    qe_d, qn_d = flux.qe, flux.qn
+                elif qe_d is None:
+                    qe_d = jnp.zeros_like(geometry.ice_thickness)
+                    qn_d = qe_d
+                qe_adv, qn_adv = ge.advective_flux(
+                    sb.u_face_e, sb.v_face_n, geometry.ice_thickness, sh)
+                res = ge.flow_step(geometry, dt_sub, qe_d + qe_adv,
+                                   qn_d + qn_adv, grid, sh,
+                                   part_grid=self.part_grid)
+                H = res.thickness
+                if res.Href is not None:
+                    geometry = geometry.replace(ice_area_specific_volume=res.Href)
 
-            bmb = jnp.zeros_like(H)
-            if state.basal_melt_rate is not None:
-                bmb = bmb + state.basal_melt_rate
-            if self.ocean is not None:
-                shelf_melt = self.ocean(geometry, t)
-                bmb = bmb + jnp.where(S.floating_ice(geometry.cell_type),
-                                      shelf_melt, 0.0)
-            H, smb_app, bmb_app = ge.source_term_step(
-                H, dt_f, smb_in.smb, bmb, grid.dx, grid.dy)
+                bmb = jnp.zeros_like(H)
+                if state.basal_melt_rate is not None:
+                    bmb = bmb + state.basal_melt_rate
+                if self.ocean is not None:
+                    shelf_melt = self.ocean(geometry, t)
+                    bmb = bmb + jnp.where(S.floating_ice(geometry.cell_type),
+                                          shelf_melt, 0.0)
+                H, smb_app, bmb_app = ge.source_term_step(
+                    H, dt_sub, smb_in.smb, bmb, grid.dx, grid.dy)
+                geometry = geometry.replace(ice_thickness=H)
+                geometry = S.ensure_consistency(
+                    geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
+                div_vol = jnp.sum(res.flux_divergence) * grid.dx * grid.dy
+                return geometry, (smb_app, bmb_app, div_vol, res.nonneg_flux)
 
-            geometry = geometry.replace(ice_thickness=H)
-            geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
-            div_vol = jnp.sum(res.flux_divergence) * grid.dx * grid.dy
-            nonneg = res.nonneg_flux
+            if self.skip_max > 1:
+                # PISM's "skip": several cheap mass substeps per expensive
+                # stress-balance/energy update (dt here is skip_max * the
+                # mass-step limit, selected in _compute_dt)
+                dt_sub = dt_f / self.skip_max
+
+                def body(_, carry):
+                    geometry, acc = carry
+                    geometry, vals = mass_substep(geometry, dt_sub)
+                    return geometry, tuple(a + v for a, v in zip(acc, vals))
+
+                z = jnp.zeros((), self.dtype)
+                geometry, (smb_app, bmb_app, div_vol, nonneg) = jax.lax.fori_loop(
+                    0, self.skip_max, body, (geometry, (z, z, z, z)))
+                smb_app = smb_app / self.skip_max
+                bmb_app = bmb_app / self.skip_max
+                div_vol = div_vol / self.skip_max
+                nonneg = nonneg / self.skip_max
+            else:
+                geometry, (smb_app, bmb_app, div_vol, nonneg) = \
+                    mass_substep(geometry, dt_f, sb.qe, sb.qn)
         else:
             smb_app = bmb_app = div_vol = nonneg = jnp.zeros((), self.dtype)
 
@@ -224,6 +298,20 @@ class IceModel:
             geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
 
         state = state.replace(geometry=geometry, u_ssa=sb.u_ssa, v_ssa=sb.v_ssa)
+
+        # 8b. regional mode: freeze state in the no-model strip -------------
+        if self.no_model_mask is not None and self._nmm_ref is not None:
+            nmm = jnp.asarray(self.no_model_mask, bool)
+            H_ref, E_ref = self._nmm_ref
+            geom_r = state.geometry
+            geom_r = geom_r.replace(ice_thickness=jnp.where(
+                nmm, H_ref, geom_r.ice_thickness))
+            geom_r = S.ensure_consistency(geom_r, self.rho_i, self.rho_w,
+                                          self.Hmin, self.subgl)
+            state = state.replace(geometry=geom_r)
+            if E_ref is not None and state.enthalpy is not None:
+                state = state.replace(enthalpy=jnp.where(
+                    nmm[..., None], E_ref, state.enthalpy))
 
         # 9. bed deformation ----------------------------------------------
         if self.bed_deformation is not None:
@@ -276,6 +364,10 @@ class IceModel:
                 kw["u_ssa"] = z2
             if state.v_ssa is None:
                 kw["v_ssa"] = z2
+        if self.fracture is not None and state.fracture_density is None:
+            kw["fracture_density"] = z2
+        if self.no_model_mask is not None and self._nmm_ref is None:
+            self._nmm_ref = (state.geometry.ice_thickness, state.enthalpy)
         if self.bed_deformation is not None and state.bed_reference is None:
             state = self.bed_deformation.initialize(state.replace(**kw))
             kw = {}

@@ -129,6 +129,106 @@ class SSAFD:
         return 0.5 * self.g * (self.rho * H ** 2 - self.rho_w * d ** 2)
 
     # ------------------------------------------------------------------
+    def build_problem(self, state: S.ModelState, tau_c=None,
+                      differentiable_beta: bool = False) -> dict:
+        """Assemble the discrete SSA problem: masks, RHS (driving stress +
+        calving-front terms), and the nonlinear residual closure. Used by
+        :meth:`solve` and by the inverse toolkit (which differentiates the
+        residual with respect to tau_c via the implicit function theorem).
+
+        ``differentiable_beta``: by default the sliding-law drag coefficient
+        is wrapped in stop_gradient inside the residual — beta ~
+        tau_c |u|^(q-1) is near-singular at u -> 0 and the exact Newton
+        direction through it is wild (per-cell steps of 1e4 m/a that defeat
+        any line search); freezing beta in the linearization (drag handled
+        Picard-style, viscosity Newton-style) is the reference's effective
+        scheme and ISSM's 'incomplete Jacobian'. The residual VALUE is
+        unchanged either way. The inverse toolkit sets True: adjoints need
+        d(beta u)/du and d(beta u)/d tau_c.
+        """
+        grid, sh = self.grid, self.sh
+        geom = state.geometry
+        H = geom.ice_thickness
+        mask = geom.cell_type
+        dtype = H.dtype
+        dx, dy = grid.dx, grid.dy
+
+        icy = S.icy(mask)
+
+        B = self._hardness(state)
+        if self.taud_x is not None:
+            bx = jnp.asarray(self.taud_x, dtype)
+            by = jnp.asarray(self.taud_y, dtype)
+        else:
+            bx, by = self.driving_stress(geom, icy)
+
+        # calving-front pressure-imbalance terms on front faces
+        Tf = self._front_stress(geom)
+        icy_e = sh(icy, 0, 1)
+        icy_w = sh(icy, 0, -1)
+        icy_n = sh(icy, 1, 0)
+        icy_s = sh(icy, -1, 0)
+        bx = bx + jnp.where(icy & ~icy_e, Tf / dx, 0.0) \
+                - jnp.where(icy & ~icy_w, Tf / dx, 0.0)
+        by = by + jnp.where(icy & ~icy_n, Tf / dy, 0.0) \
+                - jnp.where(icy & ~icy_s, Tf / dy, 0.0)
+
+        # stress transmitted only across icy-icy faces
+        keep_e = (icy & icy_e).astype(dtype)
+        keep_n = (icy & icy_n).astype(dtype)
+
+        extension_mask = icy & (H < self.extension_Hmin)
+
+        if tau_c is None:
+            tau_c = jnp.zeros_like(H)
+        grounded_ice_mask = S.grounded_ice(mask)
+
+        # Dirichlet rows: ice-free cells (decoupled) + static BC
+        if self.bc_mask is not None:
+            bc_mask = jnp.asarray(self.bc_mask, bool) | ~icy
+            bc_u = jnp.where(jnp.asarray(self.bc_mask, bool),
+                             jnp.asarray(self.bc_u, dtype), 0.0)
+            bc_v = jnp.where(jnp.asarray(self.bc_mask, bool),
+                             jnp.asarray(self.bc_v, dtype), 0.0)
+        else:
+            bc_mask = ~icy
+            bc_u = jnp.zeros_like(H)
+            bc_v = jnp.zeros_like(H)
+
+        def free(x):
+            return (jnp.where(bc_mask, 0.0, x[0]), jnp.where(bc_mask, 0.0, x[1]))
+
+        def full(x):
+            return (jnp.where(bc_mask, bc_u, x[0]), jnp.where(bc_mask, bc_v, x[1]))
+
+        def make_nuH(u, v):
+            nuH = ssa_ops.compute_nuH(
+                u, v, B, H, dx, dy, sh, n_glen=self.n_glen,
+                eps_reg2=self.eps_reg2, extension_nuH=self.extension_nuH,
+                extension_mask=extension_mask)
+            return ssa_ops.NuH((nuH.e + self.epsilon) * keep_e,
+                               (nuH.n + self.epsilon) * keep_n)
+
+        def beta_fn(u, v, tc=tau_c, reg=None):
+            tc_eff = jnp.where(grounded_ice_mask, tc, 0.0)
+            return self.sliding_law.beta(tc_eff, u, v, reg=reg) + self.beta_floor
+
+        def residual(uv, tc=tau_c):
+            """Nonlinear residual on the free rows (full fields in the
+            stencil, so nonzero Dirichlet values need no RHS correction)."""
+            u, v = full(uv)
+            nuH = make_nuH(u, v)
+            beta = beta_fn(u, v, tc)
+            if not differentiable_beta:
+                beta = jax.lax.stop_gradient(beta)
+            Au, Av = ssa_ops.apply_operator(u, v, nuH, beta, dx, dy, sh)
+            return free((Au - bx, Av - by))
+
+        return dict(residual=residual, free=free, full=full,
+                    make_nuH=make_nuH, beta_fn=beta_fn,
+                    bc_mask=bc_mask, bc_u=bc_u, bc_v=bc_v, bx=bx, by=by,
+                    icy=icy, tau_c=tau_c)
+
     def solve(self, state: S.ModelState, tau_c=None, u0=None, v0=None,
               diagnostics: bool = False):
         """Solve for (u, v); fully traced (usable inside jitted step).
@@ -173,82 +273,12 @@ class SSAFD:
         dtype = H.dtype
         dx, dy = grid.dx, grid.dy
 
-        icy = S.icy(mask)
-
-        B = self._hardness(state)
-        if self.taud_x is not None:
-            bx = jnp.asarray(self.taud_x, dtype)
-            by = jnp.asarray(self.taud_y, dtype)
-        else:
-            bx, by = self.driving_stress(geom, icy)
-
-        # calving-front pressure-imbalance terms on front faces
-        Tf = self._front_stress(geom)
-        icy_e = sh(icy, 0, 1)
-        icy_w = sh(icy, 0, -1)
-        icy_n = sh(icy, 1, 0)
-        icy_s = sh(icy, -1, 0)
-        bx = bx + jnp.where(icy & ~icy_e, Tf / dx, 0.0) \
-                - jnp.where(icy & ~icy_w, Tf / dx, 0.0)
-        by = by + jnp.where(icy & ~icy_n, Tf / dy, 0.0) \
-                - jnp.where(icy & ~icy_s, Tf / dy, 0.0)
-
-        # stress transmitted only across icy-icy faces
-        keep_e = (icy & icy_e).astype(dtype)
-        keep_n = (icy & icy_n).astype(dtype)
-
-        extension_mask = icy & (H < self.extension_Hmin)
-
-        if tau_c is None:
-            tau_c = jnp.zeros_like(H)
-        tau_c_eff = jnp.where(S.grounded_ice(mask), tau_c, 0.0)
-
-        # Dirichlet rows: ice-free cells (decoupled) + static BC
-        if self.bc_mask is not None:
-            bc_mask = jnp.asarray(self.bc_mask, bool) | ~icy
-            bc_u = jnp.where(jnp.asarray(self.bc_mask, bool),
-                             jnp.asarray(self.bc_u, dtype), 0.0)
-            bc_v = jnp.where(jnp.asarray(self.bc_mask, bool),
-                             jnp.asarray(self.bc_v, dtype), 0.0)
-        else:
-            bc_mask = ~icy
-            bc_u = jnp.zeros_like(H)
-            bc_v = jnp.zeros_like(H)
-
-        def free(x):
-            return (jnp.where(bc_mask, 0.0, x[0]), jnp.where(bc_mask, 0.0, x[1]))
-
-        def full(x):
-            return (jnp.where(bc_mask, bc_u, x[0]), jnp.where(bc_mask, bc_v, x[1]))
-
-        def make_nuH(u, v):
-            nuH = ssa_ops.compute_nuH(
-                u, v, B, H, dx, dy, sh, n_glen=self.n_glen,
-                eps_reg2=self.eps_reg2, extension_nuH=self.extension_nuH,
-                extension_mask=extension_mask)
-            return ssa_ops.NuH((nuH.e + self.epsilon) * keep_e,
-                               (nuH.n + self.epsilon) * keep_n)
-
-        def beta_fn(u, v):
-            return self.sliding_law.beta(tau_c_eff, u, v) + self.beta_floor
-
-        def residual(uv):
-            """Nonlinear residual on the free rows (full fields in the
-            stencil, so nonzero Dirichlet values need no RHS correction).
-
-            The sliding-law drag coefficient is wrapped in stop_gradient:
-            beta ~ tau_c |u|^(q-1) is near-singular at u -> 0, and the exact
-            Newton direction through it is wild (per-cell steps of 1e4 m/a
-            that defeat any global line search). Freezing beta in the
-            linearization (drag handled Picard-style, viscosity handled
-            Newton-style) is the reference's effective scheme and ISSM's
-            'incomplete Jacobian'; the residual VALUE is unchanged, so the
-            convergence test remains the true nonlinear residual."""
-            u, v = full(uv)
-            nuH = make_nuH(u, v)
-            beta = jax.lax.stop_gradient(beta_fn(u, v))
-            Au, Av = ssa_ops.apply_operator(u, v, nuH, beta, dx, dy, sh)
-            return free((Au - bx, Av - by))
+        P = self.build_problem(state, tau_c)
+        free, full = P["free"], P["full"]
+        residual = P["residual"]
+        make_nuH, beta_fn = P["make_nuH"], P["beta_fn"]
+        bc_mask, bc_u, bc_v = P["bc_mask"], P["bc_u"], P["bc_v"]
+        bx, by = P["bx"], P["by"]
 
         def dot(a, b_):
             return jnp.sum(a[0] * b_[0]) + jnp.sum(a[1] * b_[1])
@@ -267,11 +297,24 @@ class SSAFD:
         newton_tol2 = jnp.maximum(rtol ** 2 * b_norm2,
                                   jnp.asarray(1e-300, dtype))
 
-        # ---- Picard warmup: frozen-coefficient linear solves ------------
-        def picard_iter(_, uv):
+        # ---- Picard warmup with drag-regularization continuation --------
+        # The regularized-plastic beta(u -> 0) ~ tau_c/u_reg is so stiff that
+        # Picard from a cold start crawls (u grows by a modest factor per
+        # sweep). Continuation fixes the scale immediately: the first sweep
+        # uses nearly-linear drag (u_reg ~ 1000 m/a), each following sweep
+        # tightens u_reg geometrically down to the configured value.
+        reg0 = 1000.0 / 3.15569259747e7   # m/s
+        reg_final = self.sliding_law.plastic_reg
+        nwarm = max(self.picard_warmup, 1)
+        decay = (reg_final / reg0) ** (1.0 / nwarm)
+
+        def picard_iter(i, uv, reg=None):
             u, v = full(uv)
             nuH = make_nuH(u, v)
-            beta = beta_fn(u, v)
+            if reg is None:
+                reg = reg0 * decay ** (i + 1.0)
+                reg = jnp.maximum(reg, reg_final)
+            beta = beta_fn(u, v, reg=reg)
 
             def matvec(x):
                 xu, xv = free(x)
@@ -339,7 +382,7 @@ class SSAFD:
             newton_uv = (uv[0] + alphas[k] * d[0], uv[1] + alphas[k] * d[1])
             newton_F2 = norms[k]
 
-            picard_uv = picard_iter(0, uv)
+            picard_uv = picard_iter(0, uv, reg=reg_final)
             picard_F = residual(picard_uv)
             picard_F2 = dot(picard_F, picard_F)
 

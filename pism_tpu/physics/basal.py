@@ -110,9 +110,13 @@ class SlidingLaw:
                 "basal_resistance.plastic.regularization", "m s-1"),
         )
 
-    def beta(self, tau_c, u, v):
+    def beta(self, tau_c, u, v, reg=None):
+        """Drag coefficient; ``reg`` overrides the regularization velocity
+        (the nonlinear solver's continuation warmup starts with a large reg
+        — nearly linear drag — and tightens toward the configured value)."""
+        r = self.plastic_reg if reg is None else reg
         speed2 = u ** 2 + v ** 2
         if self.pseudo_plastic:
-            sp = jnp.sqrt(speed2 + self.plastic_reg ** 2)
+            sp = jnp.sqrt(speed2 + r ** 2)
             return tau_c * sp ** (self.q - 1.0) / self.u_threshold ** self.q
-        return tau_c / jnp.sqrt(speed2 + self.plastic_reg ** 2)
+        return tau_c / jnp.sqrt(speed2 + r ** 2)
