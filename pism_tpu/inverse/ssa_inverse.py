@@ -142,12 +142,17 @@ class TaucInversion:
         grad_fn = jax.jit(jax.value_and_grad(self.objective))
 
         misfits = []
+        best = (jnp.inf, theta)
         for k in range(iterations):
             J, g = grad_fn(theta)
             misfits.append(float(J))
+            if float(J) < best[0]:
+                best = (float(J), theta)
             updates, opt_state = opt.update(g, opt_state)
             theta = optax.apply_updates(theta, updates)
-        tau_c = jnp.exp(theta)
+        # return the best evaluated iterate (the raw last step can overshoot
+        # into the plastic dead zone, where gradients vanish)
+        tau_c = jnp.exp(best[1])
         u, v = self.ssa.solve(self.state, tau_c)
         return InversionResult(tau_c=tau_c, u=u, v=v,
                                misfits=jnp.asarray(misfits))

@@ -80,6 +80,7 @@ class SSAFD:
         # (not yet removed by the iceberg remover) non-singular
         self.beta_floor = cfg.get_number("stress_balance.ssa.fd.beta_floor")
         self.max_speed = cfg.get_number("stress_balance.ssa.fd.max_speed", "m s-1")
+        self.subgl_drag = cfg.get_flag("geometry.grounded_cell_fraction")
         if self.sliding_law is None:
             self.sliding_law = SlidingLaw.from_config(cfg)
 
@@ -182,6 +183,10 @@ class SSAFD:
         if tau_c is None:
             tau_c = jnp.zeros_like(H)
         grounded_ice_mask = S.grounded_ice(mask)
+        # sub-grid grounding line: scale basal drag by the grounded cell
+        # fraction (PISM ``geometry.grounded_cell_fraction``; Feldmann et
+        # al. 2014) — essential against coarse-grid GL over-advance
+        gf = geom.cell_grounded_fraction if self.subgl_drag else None
 
         # Dirichlet rows: ice-free cells (decoupled) + static BC
         if self.bc_mask is not None:
@@ -210,7 +215,10 @@ class SSAFD:
                                (nuH.n + self.epsilon) * keep_n)
 
         def beta_fn(u, v, tc=tau_c, reg=None):
-            tc_eff = jnp.where(grounded_ice_mask, tc, 0.0)
+            if gf is not None:
+                tc_eff = tc * jnp.where(icy, gf, 0.0)
+            else:
+                tc_eff = jnp.where(grounded_ice_mask, tc, 0.0)
             return self.sliding_law.beta(tc_eff, u, v, reg=reg) + self.beta_floor
 
         def residual(uv, tc=tau_c):

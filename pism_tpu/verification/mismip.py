@@ -57,10 +57,20 @@ class MISMIPSetup:
     surface: FunctionSurface
 
 
+def initial_profile(x, H_divide: float = 2800.0, margin: float = 950.0e3):
+    """Near-steady Vialov-type initial thickness (the MISMIP protocol
+    initializes from a semi-analytic profile, not a thin slab: the
+    uniform-slab spin-up transient is O(50 kyr) because kinematic waves
+    from the divide/GL cross the flank at ~H^4)."""
+    xi = np.minimum(np.abs(np.asarray(x)) / margin, 1.0)
+    return H_divide * np.maximum(1.0 - xi ** (4.0 / 3.0), 0.0) ** (3.0 / 8.0)
+
+
 def setup(Mx: int = 151, My: int = 7, Lx: float = 1500.0e3,
-          H_init: float = 100.0) -> MISMIPSetup:
+          H_init: float = None) -> MISMIPSetup:
     """Half-domain flowline setup: divide at x = 0 handled by symmetry of
-    the full domain [-Lx, Lx]; narrow periodic y."""
+    the full domain [-Lx, Lx]; narrow periodic y. H_init: constant slab
+    thickness (None = near-steady analytic profile)."""
     wy = (My - 1) / 2.0 * (2 * Lx / (Mx - 1))
     grid = Grid(Mx=Mx, My=My, Lx=Lx, Ly=wy, periodicity="y")
 
@@ -90,11 +100,17 @@ def setup(Mx: int = 151, My: int = 7, Lx: float = 1500.0e3,
         # Href instead of creating near-zero-thickness cells whose SSA
         # speeds would dominate the CFL
         "geometry.part_grid.enabled": True,
+        # sub-grid grounding line (basal drag scaled by grounded fraction):
+        # without it the GL over-advances badly at 20 km resolution
+        "geometry.grounded_cell_fraction": True,
         "time_stepping.maximum_time_step": 10.0,  # years
     })
 
     bed = np.tile(bed_elevation_linear(grid.x)[None, :], (My, 1))
-    H0 = np.where(np.abs(grid.x) < 700e3, H_init, 0.0)
+    if H_init is None:
+        H0 = initial_profile(grid.x)
+    else:
+        H0 = np.where(np.abs(grid.x) < 700e3, H_init, 0.0)
     H0 = np.tile(H0[None, :], (My, 1))
     geometry = new_geometry(jnp.asarray(H0), jnp.asarray(bed),
                             ice_density=RHO_I, ocean_density=RHO_W)
