@@ -97,7 +97,9 @@ class EnergyModel:
         T_sfc = jnp.minimum(surface_T, EC.T_melting)
         E_sfc = EC.enthalpy(T_sfc, 0.0, EC.pressure(0.0))     # (My, Mx)
         p_base = EC.pressure(H)
-        Es_base = EC.enthalpy_cts(p_base)
+        # enthalpy at the basal pressure-melting point (finite also for the
+        # cold converter, whose E_s(p) is +inf)
+        Es_base = EC.enthalpy(EC.melting_temperature(p_base), 0.0, p_base)
 
         floating = S.floating_ice(mask)
         icy = S.icy(mask)

@@ -82,7 +82,13 @@ class IceModel:
 
         sb_model = cfg.get_string("stress_balance.model")
         energy_kind = cfg.get_string("energy.model")
-        if energy_kind == "enthalpy" and self.energy_model is None:
+        if energy_kind == "cold":
+            # legacy temperature-based model (PISM ``TemperatureModel``):
+            # the enthalpy solver with a cold converter (omega forced to 0,
+            # no drainage) reproduces the cold-ice limit
+            from ..physics.enthalpy_converter import ColdEnthalpyConverter
+            self.EC = ColdEnthalpyConverter.from_config(cfg)
+        if energy_kind in ("enthalpy", "cold") and self.energy_model is None:
             from .energy import EnergyModel
             self.energy_model = EnergyModel(grid=self.grid, config=cfg, EC=self.EC)
         if "ssa" in sb_model:

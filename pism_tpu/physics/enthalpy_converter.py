@@ -25,9 +25,9 @@ class EnthalpyConverter:
     g: float = 9.81
     p_air: float = 101325.0
 
-    @staticmethod
-    def from_config(config) -> "EnthalpyConverter":
-        return EnthalpyConverter(
+    @classmethod
+    def from_config(cls, config) -> "EnthalpyConverter":
+        return cls(
             T_melting=config.get_number("constants.fresh_water.melting_point_temperature"),
             T_ref=config.get_number("energy.enthalpy.reference_temperature"),
             c_i=config.get_number("constants.ice.specific_heat_capacity"),
