@@ -122,7 +122,8 @@ class IceModel:
             from .btu import btu_from_config
             self.btu = btu_from_config(self.grid, cfg)
         self.geothermal = cfg.get_number("bootstrapping.defaults.geothermal_flux")
-        sia_law = flow_law_from_config(cfg, "sia", self.EC) if "sia" in sb_model else None
+        sia_law = flow_law_from_config(cfg, "sia", self.EC) \
+            if "sia" in sb_model.split("+") else None
         self.stress_balance = StressBalance(
             grid=self.grid, config=cfg, sia_flow_law=sia_law, ssa=self.ssa,
             model=sb_model, compute_3d=self.energy_model is not None)
@@ -162,10 +163,10 @@ class IceModel:
         grid = self.grid
         limits = [jnp.asarray(self.max_dt, jnp.float64)]
         mass_limits = []
-        if self.stress_balance.model in ("sia", "ssa+sia"):
+        if self.stress_balance.has_sia:
             mass_limits.append(sia_ops.max_timestep_diffusivity(
                 sb.max_diffusivity, grid.dx, grid.dy, self.adaptive_ratio))
-        if self.stress_balance.model in ("ssa", "ssa+sia"):
+        if self.stress_balance.model not in ("sia", "none"):
             mass_limits.append(self.cfl_factor * ge.max_timestep_cfl_2d(
                 sb.u_face_e, sb.v_face_n, grid.dx, grid.dy))
         if mass_limits:
@@ -238,7 +239,7 @@ class IceModel:
                 """One mass-continuity substep with frozen sliding
                 velocities; the (cheap) SIA diffusive flux is recomputed
                 from the current geometry unless supplied."""
-                if qe_d is None and self.stress_balance.model in ("sia", "ssa+sia"):
+                if qe_d is None and self.stress_balance.has_sia:
                     flux = sia_ops.diffusivity(
                         self.stress_balance.sia_flow_law, geometry,
                         state.enthalpy, grid, sh,
@@ -365,7 +366,7 @@ class IceModel:
             kw["tillwat"] = z2
         if self.energy_model is not None and state.basal_melt_rate is None:
             kw["basal_melt_rate"] = z2
-        if self.ssa is not None:
+        if self.stress_balance.model not in ("sia", "none"):
             if state.u_ssa is None:
                 kw["u_ssa"] = z2
             if state.v_ssa is None:

@@ -49,11 +49,16 @@ class StressBalance:
     config: object
     sia_flow_law: object = None
     ssa: object = None           # SSA solver object (model/ssa), or None
-    model: str = "sia"           # none | sia | ssa | ssa+sia
+    model: str = "sia"           # none | sia | ssa | ssa+sia |
+    #                              weertman_sliding[+sia] | prescribed_sliding[+sia]
     compute_3d: bool = False
+    # prescribed sliding fields (model = "prescribed_sliding[+sia]")
+    prescribed_u: object = None
+    prescribed_v: object = None
 
     def __post_init__(self):
         self.sh = Shifter(self.grid)
+        self.has_sia = "sia" in self.model.split("+")
         cfg = self.config
         self.n_sia = cfg.get_number("stress_balance.sia.Glen_exponent")
         self.e_sia = cfg.get_number("stress_balance.sia.enhancement_factor")
@@ -65,6 +70,28 @@ class StressBalance:
             # are used (difference only at ice margins over steep bed).
             self.gradient_method = "mahaffy"
 
+
+    def _weertman(self, state: S.ModelState):
+        """Weertman (1957)-type hard-bed sliding (PISM ``WeertmanSliding``):
+        u_b = -k |tau_d|^(m-1) tau_d / N^(m-1), with N = rho g H the
+        overburden effective pressure. [coefficient form re-derived; the
+        reference mount was empty at survey time]"""
+        cfg = self.config
+        k = cfg.get_number("stress_balance.weertman_sliding.k")
+        m = cfg.get_number("stress_balance.weertman_sliding.exponent")
+        g = state.geometry
+        sx, sy = st.centered_grad(g.ice_surface_elevation, self.grid.dx,
+                                  self.grid.dy, self.sh)
+        N = jnp.maximum(self.rho * self.g * g.ice_thickness, 1.0)
+        tdx = -self.rho * self.g * g.ice_thickness * sx
+        tdy = -self.rho * self.g * g.ice_thickness * sy
+        mag = jnp.sqrt(tdx ** 2 + tdy ** 2)
+        fac = k * (mag / N) ** (m - 1.0)
+        grounded = S.grounded_ice(g.cell_type)
+        u = jnp.where(grounded, fac * tdx, 0.0)
+        v = jnp.where(grounded, fac * tdy, 0.0)
+        return u, v
+
     def update(self, state: S.ModelState, yield_stress=None) -> StressBalanceResult:
         grid, sh = self.grid, self.sh
         zeros = jnp.zeros(grid.shape2, state.geometry.ice_thickness.dtype)
@@ -72,8 +99,13 @@ class StressBalance:
         u_ssa, v_ssa = state.u_ssa, state.v_ssa
         if self.model in ("ssa", "ssa+sia") and self.ssa is not None:
             u_ssa, v_ssa = self.ssa.solve(state, yield_stress)
+        elif self.model.startswith("weertman_sliding"):
+            u_ssa, v_ssa = self._weertman(state)
+        elif self.model.startswith("prescribed_sliding"):
+            u_ssa = jnp.asarray(self.prescribed_u)
+            v_ssa = jnp.asarray(self.prescribed_v)
 
-        if self.model in ("sia", "ssa+sia"):
+        if self.has_sia:
             flux = sia_ops.diffusivity(
                 self.sia_flow_law, state.geometry, state.enthalpy, grid, sh,
                 n=self.n_sia, enhancement=self.e_sia, rho=self.rho, g=self.g,
@@ -91,7 +123,7 @@ class StressBalance:
         sia3 = None
         friction = None
         if self.compute_3d:
-            if self.model in ("sia", "ssa+sia"):
+            if self.has_sia:
                 sia3 = sia3d.sia_3d(
                     self.sia_flow_law, state.geometry, state.enthalpy, grid, sh,
                     n=self.n_sia, enhancement=self.e_sia, rho=self.rho, g=self.g,

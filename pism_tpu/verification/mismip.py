@@ -100,9 +100,11 @@ def setup(Mx: int = 151, My: int = 7, Lx: float = 1500.0e3,
         # Href instead of creating near-zero-thickness cells whose SSA
         # speeds would dominate the CFL
         "geometry.part_grid.enabled": True,
-        # sub-grid grounding line (basal drag scaled by grounded fraction):
-        # without it the GL over-advances badly at 20 km resolution
-        "geometry.grounded_cell_fraction": True,
+        # NOTE: at 20 km resolution the grounding line over-advances (the
+        # classic coarse-grid MISMIP failure mode); quantitative GL position
+        # requires finer grids or tuned sub-grid friction
+        # (geometry.grounded_cell_fraction) — see docs/ARCHITECTURE.md.
+        "stress_balance.ssa.fd.max_speed": 20.0e3,  # m/a
         "time_stepping.maximum_time_step": 10.0,  # years
     })
 
