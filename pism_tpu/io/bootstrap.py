@@ -1,0 +1,87 @@
+"""Bootstrapping: build a model state from heuristics + an input file on a
+different grid.
+
+Rebuild of PISM's ``-bootstrap`` path (``src/icemodel/initialization.cc``
+``bootstrap_2d/3d`` + ``src/util/io/io_helpers.cc`` regridding): 2D input
+fields (thickness, bed topography, climate fields) are read from a CF
+NetCDF file on its own grid and bilinearly regridded onto the model grid
+(native C++ regridder with numpy fallback); the 3D enthalpy is initialized
+from the surface-temperature/geothermal-flux heuristic profile.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import native
+from ..grid import Grid
+from ..model.energy import bootstrap_enthalpy
+from ..physics.enthalpy_converter import EnthalpyConverter
+from ..state import ModelState, new_geometry
+from .nc4 import File
+
+#: PISM standard variable names consulted at bootstrap
+DEFAULT_VARS = {
+    "thk": "thk",
+    "topg": "topg",
+    "tillwat": "tillwat",
+    "ice_surface_temp": "ice_surface_temp",
+}
+
+
+def read_and_regrid(path: str, grid: Grid, variables=None,
+                    fill=np.nan) -> Dict[str, np.ndarray]:
+    """Read 2D (y, x) or (time, y, x) variables and regrid onto ``grid``."""
+    variables = variables or list(DEFAULT_VARS.values())
+    out = {}
+    with File(path, "r") as f:
+        xs = np.asarray(f.read("x"), float)
+        ys = np.asarray(f.read("y"), float)
+        for name in variables:
+            if not f.has_variable(name):
+                continue
+            data = np.asarray(f.read(name), float)
+            if data.ndim == 3:
+                data = data[-1]
+            out[name] = native.regrid_bilinear(data, xs, ys, grid.x, grid.y,
+                                               fill=fill)
+    return out
+
+
+def bootstrap(path: str, grid: Grid, config) -> ModelState:
+    """PISM ``-i file.nc -bootstrap``: regrid 2D inputs, apply heuristics
+    for everything else."""
+    fields = read_and_regrid(path, grid)
+    if "thk" not in fields:
+        raise ValueError(f"{path!r} has no ice thickness variable 'thk'")
+    H = np.nan_to_num(fields["thk"], nan=0.0)
+    bed = np.nan_to_num(fields.get("topg", np.zeros_like(H)), nan=0.0)
+
+    geom = new_geometry(
+        jnp.asarray(np.maximum(H, 0.0)), jnp.asarray(bed),
+        ice_density=config.get_number("constants.ice.density"),
+        ocean_density=config.get_number("constants.sea_water.density"),
+        ice_free_thickness=config.get_number("geometry.ice_free_thickness_standard"))
+
+    kw = {}
+    if "tillwat" in fields:
+        kw["tillwat"] = jnp.asarray(np.nan_to_num(fields["tillwat"], nan=0.0))
+
+    if config.get_string("energy.model") in ("enthalpy", "cold") and grid.Mz > 1:
+        T_sfc = fields.get(
+            "ice_surface_temp",
+            np.full(grid.shape2,
+                    config.get_number("bootstrapping.defaults.ice_surface_temp")))
+        T_sfc = np.nan_to_num(
+            T_sfc, nan=config.get_number("bootstrapping.defaults.ice_surface_temp"))
+        EC = EnthalpyConverter.from_config(config)
+        kw["enthalpy"] = bootstrap_enthalpy(
+            grid, EC, geom.ice_thickness, jnp.asarray(T_sfc),
+            geothermal=config.get_number("bootstrapping.defaults.geothermal_flux"),
+            k_i=config.get_number("constants.ice.thermal_conductivity"))
+        kw["basal_melt_rate"] = jnp.zeros(grid.shape2)
+
+    return ModelState(geometry=geom, **kw)
