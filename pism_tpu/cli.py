@@ -39,6 +39,8 @@ def parse_times(spec: str, year_length: float):
 def build_parser():
     p = argparse.ArgumentParser(prog="pism_tpu", description=__doc__)
     p.add_argument("-i", metavar="FILE", help="restart from a model-state file")
+    p.add_argument("-bootstrap", action="store_true",
+                   help="treat -i as a bootstrap file (regrid 2D fields, heuristics for the rest)")
     p.add_argument("-eisII", metavar="EXP", help="EISMINT II experiment (A-G)")
     p.add_argument("-test", metavar="LETTER", help="verification test (B, C, I)")
     p.add_argument("-y", type=float, default=None, help="run length [years]")
@@ -119,6 +121,17 @@ def main(argv=None):
             return m, jnp.full(geometry.ice_thickness.shape, 263.15)
 
         surface = FunctionSurface(smb)
+    elif args.i and args.bootstrap:
+        from .io.bootstrap import bootstrap as _bootstrap
+        cfg = Config()
+        grid = Grid(Mx=args.Mx or cfg.get_int("grid.Mx"),
+                    My=args.My or cfg.get_int("grid.My"),
+                    Lx=cfg.get_number("grid.Lx"), Ly=cfg.get_number("grid.Ly"),
+                    Mz=args.Mz or cfg.get_int("grid.Mz"),
+                    Lz=cfg.get_number("grid.Lz"))
+        state = _bootstrap(args.i, grid, cfg)
+        from .coupler.surface import Uniform
+        surface = Uniform(smb=0.0)
     elif args.i:
         grid = ckpt.load_grid(args.i)
         cfg = ckpt.load_config(args.i)
