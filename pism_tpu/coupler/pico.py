@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import state as S
 from ..ops.stencils import Shifter
@@ -120,6 +121,25 @@ class Pico(OceanModel):
         box = jnp.where(shelf & (box == 0), self.n_boxes, box)
         return PicoGeometry(box.astype(jnp.int32), d_gl, d_if)
 
+    def _per_basin_mean(self, field, where):
+        """Mean of `field` over `where` cells per basin, scattered back to
+        cells (segment_sum over the static basin labels)."""
+        nb = int(np.max(np.asarray(self.basin_mask))) + 1
+        seg = jnp.asarray(self.basin_mask, jnp.int32).ravel()
+        w = where.astype(field.dtype).ravel()
+        s = jax.ops.segment_sum(field.ravel() * w, seg, num_segments=nb)
+        n = jax.ops.segment_sum(w, seg, num_segments=nb)
+        mean = s / jnp.maximum(n, 1.0)
+        return mean[seg].reshape(field.shape)
+
+    def _per_basin_area(self, member_mask):
+        nb = int(np.max(np.asarray(self.basin_mask))) + 1
+        seg = jnp.asarray(self.basin_mask, jnp.int32).ravel()
+        w = member_mask.astype(jnp.float64).ravel()
+        area = jax.ops.segment_sum(w, seg, num_segments=nb) \
+            * self.grid.dx * self.grid.dy
+        return area[seg].reshape(member_mask.shape)
+
     # ------------------------------------------------------------------
     def inputs(self, geometry, t) -> OceanInputs:
         pg = self.boxes(geometry)
@@ -131,6 +151,15 @@ class Pico(OceanModel):
 
         T0 = jnp.asarray(self.temperature_ocean, dtype)
         S0 = jnp.asarray(self.salinity_ocean, dtype)
+        if self.basin_mask is not None:
+            # PISM averages the ambient water properties over each basin's
+            # continental shelf (ocean cells above the shelf-depth cutoff)
+            shelf_depth = self.config.get_number("ocean.pico.continental_shelf_depth")
+            cont = (geometry.cell_type == S.MASK_ICE_FREE_OCEAN) & \
+                (geometry.bed_elevation >= shelf_depth)
+            cont = cont | shelf  # fall back to cavity cells if no shelf cells
+            T0 = self._per_basin_mean(T0, cont)
+            S0 = self._per_basin_mean(S0, cont)
 
         area_cell = self.grid.dx * self.grid.dy
         melt = jnp.zeros_like(H)
@@ -138,7 +167,11 @@ class Pico(OceanModel):
 
         # --- box 1 (quadratic; Reese et al. 2018 eq. A6) -------------------
         box1 = pg.box == 1
-        A1 = jnp.maximum(jnp.sum(jnp.where(box1, 1.0, 0.0)) * area_cell, area_cell)
+        if self.basin_mask is not None:
+            A1 = jnp.maximum(self._per_basin_area(box1), area_cell)
+        else:
+            A1 = jnp.maximum(jnp.sum(jnp.where(box1, 1.0, 0.0)) * area_cell,
+                             area_cell)
         g1 = A1 * self.gamma_T
         s1 = S0 / (self.nu * self.lam)
         Tf0 = A_LIQ * S0 + B_LIQ + C_LIQ * p
@@ -162,8 +195,11 @@ class Pico(OceanModel):
         Tk, Sk = T1, S1
         for kk in range(2, self.n_boxes + 1):
             in_k = pg.box == kk
-            Ak = jnp.maximum(jnp.sum(jnp.where(in_k, 1.0, 0.0)) * area_cell,
-                             area_cell)
+            if self.basin_mask is not None:
+                Ak = jnp.maximum(self._per_basin_area(in_k), area_cell)
+            else:
+                Ak = jnp.maximum(jnp.sum(jnp.where(in_k, 1.0, 0.0)) * area_cell,
+                                 area_cell)
             gk = Ak * self.gamma_T
             Tfk = A_LIQ * Sk + B_LIQ + C_LIQ * p
             Tstark = Tfk - Tk

@@ -1,0 +1,48 @@
+"""Every registered diagnostic evaluates finitely on a representative
+thermo-coupled state (PISM's diagnostics are exercised the same way by its
+regression suite)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pism_tpu.model import diagnostics as diag
+from pism_tpu.model.icemodel import IceModel
+from pism_tpu.verification import eismint2
+
+SPY = 3.15569259747e7
+
+
+@pytest.fixture(scope="module")
+def thermo_state():
+    es = eismint2.setup("A", Mx=31, Mz=15, Lz=5000.0)
+    model = IceModel(grid=es.grid, config=es.config, surface=es.surface)
+    state, t, _ = model.step_once(es.state, 0.0, 3000 * SPY)
+    return model, state, t
+
+
+def test_all_spatial_diagnostics_finite(thermo_state):
+    model, state, t = thermo_state
+    vals = diag.compute_spatial(list(diag.SPATIAL), state, model, t)
+    for name, v in vals.items():
+        arr = np.asarray(v)
+        assert arr.shape[:2] == model.grid.shape2, name
+        assert np.isfinite(arr).all(), name
+
+
+def test_all_scalar_diagnostics_finite(thermo_state):
+    model, state, t = thermo_state
+    vals = diag.compute_scalar(list(diag.SCALAR), state, model, t)
+    for name, v in vals.items():
+        assert np.isfinite(float(v)), name
+    assert float(vals["ice_volume"]) > 0
+    assert float(vals["ice_mass"]) == pytest.approx(
+        float(vals["ice_volume"]) * 910.0, rel=1e-12)
+    # cold-ice volume is positive and less than the total
+    assert 0 < float(vals["ice_volume_cold"]) <= float(vals["ice_volume"]) * 1.01
+
+
+def test_registry_size():
+    # a representative slice of PISM's diagnostic dictionary
+    assert len(diag.SPATIAL) >= 25
+    assert len(diag.SCALAR) >= 10

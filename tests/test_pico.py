@@ -65,6 +65,26 @@ def test_melt_pattern_warm_water(shelf_setup):
     assert (melt[mask != 3] == 0).all()
 
 
+def test_per_basin_averaging(shelf_setup):
+    """With a basin mask, ambient properties are averaged per basin: a
+    basin fed by warm water melts faster than a cold one."""
+    grid, geom = shelf_setup
+    cfg = Config()
+    basins = np.ones(grid.shape2, np.int32)
+    basins[6:, :] = 2                       # split the domain into 2 basins
+    T0 = np.full(grid.shape2, 271.35)       # cold everywhere...
+    T0[6:, :] = 274.15                      # ...warm ambient in basin 2
+    pico = Pico(temperature_ocean=jnp.asarray(T0),
+                salinity_ocean=jnp.full(grid.shape2, 34.7),
+                config=cfg, grid=grid, basin_mask=jnp.asarray(basins))
+    out = pico.inputs(geom, 0.0)
+    melt = np.asarray(out.shelf_base_melt) * SPY
+    mask = np.asarray(geom.cell_type)
+    m_cold = melt[(mask == 3) & (basins == 1)].mean()
+    m_warm = melt[(mask == 3) & (basins == 2)].mean()
+    assert m_warm > 2.0 * max(m_cold, 1e-6)
+
+
 def test_cold_water_low_melt(shelf_setup):
     grid, geom = shelf_setup
     cfg = Config()
