@@ -100,6 +100,9 @@ def main(argv=None):
         from .verification import eismint2
         es = eismint2.setup(args.eisII, Mx=args.Mx or 61, Mz=args.Mz or 61)
         grid, cfg, state, surface = es.grid, es.config, es.state, es.surface
+        if args.i:  # restart experiment B/C/D/... from an A steady state
+            grid = ckpt.load_grid(args.i)
+            state, t0 = ckpt.load_state(args.i, config=cfg)
     elif args.test:
         from .verification import halfar
         sol = halfar.test_B() if args.test.upper() == "B" else halfar.test_C()
