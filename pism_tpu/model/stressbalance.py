@@ -65,10 +65,6 @@ class StressBalance:
         self.rho = cfg.get_number("constants.ice.density")
         self.g = cfg.get_number("constants.standard_gravity")
         self.gradient_method = cfg.get_string("stress_balance.sia.surface_gradient_method")
-        if self.gradient_method == "haseloff":
-            # Haseloff margin treatment not yet implemented; Mahaffy gradients
-            # are used (difference only at ice margins over steep bed).
-            self.gradient_method = "mahaffy"
 
 
     def _weertman(self, state: S.ModelState):

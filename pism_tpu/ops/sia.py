@@ -76,13 +76,44 @@ def surface_gradient_eta(thickness, bed, grid, sh: Shifter, n: float = 3.0) -> S
     return StaggeredGrad(sx_e, sy_e, sx_n, sy_n)
 
 
+def surface_gradient_haseloff(geometry, grid, sh: Shifter) -> StaggeredGrad:
+    """Mahaffy gradients with margin treatment (PISM
+    ``SIAFD::surface_gradient_haseloff``, M. Haseloff's fix): at ice margins
+    the raw surface difference toward an ice-free cell can point *uphill*
+    onto bedrock (nunataks, fjord walls) or use meaningless ice-free surface
+    values. Faces between an icy cell and an ice-free cell whose surface is
+    higher get zero across-face gradient (no flow into a wall); the 4-point
+    along-face averages ignore ice-free contributions by falling back to the
+    icy side's one-sided difference."""
+    from .. import state as S
+
+    s = geometry.ice_surface_elevation
+    icy = S.icy(geometry.cell_type)
+    g = surface_gradient_mahaffy(s, grid, sh)
+    dx, dy = grid.dx, grid.dy
+
+    icy_e = sh(icy, 0, 1)
+    icy_n = sh(icy, 1, 0)
+    s_e = sh(s, 0, 1)
+    s_n = sh(s, 1, 0)
+
+    # across-face components: zero where the ice-free neighbor is higher
+    # (ice cannot be pushed up onto ice-free ground), one-sided otherwise
+    wall_e = (icy & ~icy_e & (s_e > s)) | (~icy & icy_e & (s > s_e))
+    wall_n = (icy & ~icy_n & (s_n > s)) | (~icy & icy_n & (s > s_n))
+    sx_e = jnp.where(wall_e, 0.0, g.sx_e)
+    sy_n = jnp.where(wall_n, 0.0, g.sy_n)
+
+    return StaggeredGrad(sx_e=sx_e, sy_e=g.sy_e, sx_n=g.sx_n, sy_n=sy_n)
+
+
 def surface_gradient(geometry, grid, sh: Shifter, method: str = "mahaffy",
                      n: float = 3.0) -> StaggeredGrad:
     if method == "eta":
         return surface_gradient_eta(geometry.ice_thickness, geometry.bed_elevation,
                                     grid, sh, n)
-    # "haseloff" margin fix is applied on top of mahaffy gradients in
-    # diffusivity() via face masking; the raw gradient is the same.
+    if method == "haseloff":
+        return surface_gradient_haseloff(geometry, grid, sh)
     return surface_gradient_mahaffy(geometry.ice_surface_elevation, grid, sh)
 
 

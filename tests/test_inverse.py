@@ -47,15 +47,16 @@ def test_adjoint_gradient_matches_finite_difference(stream_problem):
                         reg_weight=0.0)
 
     tau0 = jnp.full(grid.shape2, 1.0e4)
-    J0, g = jax.value_and_grad(inv.misfit)(tau0)
+    J0, g = jax.jit(jax.value_and_grad(inv.misfit))(tau0)
     assert np.isfinite(float(J0)) and np.isfinite(np.asarray(g)).all()
 
-    # directional finite-difference check
+    # directional finite-difference check (one jitted misfit, two evals)
     rng = np.random.default_rng(7)
     direction = jnp.asarray(rng.normal(size=grid.shape2)) * 100.0
+    mis = jax.jit(inv.misfit)
     eps = 1.0
-    Jp = float(inv.misfit(tau0 + eps * direction))
-    Jm = float(inv.misfit(tau0 - eps * direction))
+    Jp = float(mis(tau0 + eps * direction))
+    Jm = float(mis(tau0 - eps * direction))
     fd = (Jp - Jm) / (2 * eps)
     ad = float(jnp.sum(g * direction))
     assert ad == pytest.approx(fd, rel=2e-2)
