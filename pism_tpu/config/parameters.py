@@ -123,6 +123,9 @@ PARAMETERS = {
     # --- age ------------------------------------------------------------------
     "age.enabled": (False, None, "transport 3D ice age"),
     "age.initial_value": (0.0, "years", "initial age"),
+    "age.isochrones.enabled": (False, None, "trace isochrone deposition layers"),
+    "age.isochrones.n_layers": (16, None, "static layer-array size"),
+    "age.isochrones.deposition_times": ("", None, "years: 'a:step:b' or comma list"),
 
     # --- geometry / mass transport ------------------------------------------
     "geometry.ice_free_thickness_standard": (0.01, "m", "H below this means ice-free"),

@@ -88,6 +88,11 @@ def save_state(path: str, state: S.ModelState, grid: Grid, t: float,
             if field == "bedrock_temperature":
                 dims = ("time", "y", "x", "zb")
             f.write(var, np.asarray(val)[None], dims, attrs, time_index=n)
+        if state.iso_layers is not None:
+            f.define_dimension("nl", int(state.iso_layers.shape[-1]))
+            f.write("isochronal_layer_thickness", np.asarray(state.iso_layers)[None],
+                    ("time", "y", "x", "nl"), {"units": "m"}, time_index=n)
+            f.set_global_attr("iso_top", int(state.iso_top))
         if config is not None:
             f.set_global_attr("pism_config", config.to_json())
         f.set_global_attr("source", "pism_tpu")
@@ -135,4 +140,9 @@ def load_state(path: str, config: Optional[Config] = None):
         for field, (var, _, _) in _STATE_VARS.items():
             if f.has_variable(var):
                 kw[field] = jnp.asarray(f.read(var)[-1])
+        if f.has_variable("isochronal_layer_thickness"):
+            kw["iso_layers"] = jnp.asarray(
+                f.read("isochronal_layer_thickness")[-1])
+            kw["iso_top"] = jnp.asarray(int(f.get_global_attr("iso_top")),
+                                        jnp.int32)
         return S.ModelState(geometry=geom, **kw), t

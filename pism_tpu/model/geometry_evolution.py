@@ -36,6 +36,8 @@ class MassTransportResult(NamedTuple):
     smb_flux: jnp.ndarray               # applied surface mass balance (m^3/s)
     bmb_flux: jnp.ndarray               # applied basal mass balance (m^3/s)
     Href: Optional[jnp.ndarray] = None  # part-grid area-specific volume [m]
+    Qe: Optional[jnp.ndarray] = None    # limited staggered flux (isochrones)
+    Qn: Optional[jnp.ndarray] = None
 
 
 def advective_flux(u_face_e, v_face_n, H, sh: Shifter):
@@ -133,6 +135,7 @@ def flow_step(geometry: S.Geometry, dt, Qe, Qn, grid, sh: Shifter,
         smb_flux=jnp.zeros(()),
         bmb_flux=jnp.zeros(()),
         Href=Href,
+        Qe=Qe, Qn=Qn,
     )
 
 

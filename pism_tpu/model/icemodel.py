@@ -108,6 +108,20 @@ class IceModel:
         if self.bed_deformation is None:
             from .beddef import bed_deformation_from_config
             self.bed_deformation = bed_deformation_from_config(self.grid, cfg)
+        self.isochrones = None
+        if cfg.get_flag("age.isochrones.enabled"):
+            from .isochrones import Isochrones
+            from ..cli import parse_times
+            spec = cfg.get_string("age.isochrones.deposition_times")
+            dep = parse_times(spec, 3.15569259747e7) if spec else []
+            self.isochrones = Isochrones(
+                grid=self.grid, n_layers=cfg.get_int("age.isochrones.n_layers"))
+            self._iso_dep_times = dep
+            import numpy as _np
+            NL = self.isochrones.n_layers
+            times = _np.full((NL,), _np.inf)
+            times[1:1 + min(len(dep), NL - 1)] = dep[: NL - 1]
+            self._iso_times_arr = jnp.asarray(times)
         self.fracture = None
         if cfg.get_flag("fracture_density.enabled"):
             from .fracture import FractureDensity
@@ -234,8 +248,10 @@ class IceModel:
 
         # 7. mass transport ------------------------------------------------
         geometry = state.geometry
+        iso_on = self.isochrones is not None and state.iso_layers is not None
+        iso_carry = (state.iso_layers, state.iso_top) if iso_on else None
         if self.geometry_evolves:
-            def mass_substep(geometry, dt_sub, qe_d=None, qn_d=None):
+            def mass_substep(geometry, iso_carry, dt_sub, qe_d=None, qn_d=None):
                 """One mass-continuity substep with frozen sliding
                 velocities; the (cheap) SIA diffusive flux is recomputed
                 from the current geometry unless supplied."""
@@ -269,11 +285,21 @@ class IceModel:
                                           shelf_melt, 0.0)
                 H, smb_app, bmb_app = ge.source_term_step(
                     H, dt_sub, smb_in.smb, bmb, grid.dx, grid.dy)
+                if iso_carry is not None:
+                    from .isochrones import IsochroneState
+                    iso = IsochroneState(
+                        layers=iso_carry[0], top=iso_carry[1],
+                        deposition_times=jnp.asarray(self._iso_times_arr))
+                    iso = self.isochrones.step(
+                        iso, t, dt_sub, res.Qe, res.Qn,
+                        geometry.ice_thickness, H, smb_in.smb, bmb)
+                    iso_carry = (iso.layers, iso.top)
                 geometry = geometry.replace(ice_thickness=H)
                 geometry = S.ensure_consistency(
                     geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
                 div_vol = jnp.sum(res.flux_divergence) * grid.dx * grid.dy
-                return geometry, (smb_app, bmb_app, div_vol, res.nonneg_flux)
+                return geometry, iso_carry, (smb_app, bmb_app, div_vol,
+                                             res.nonneg_flux)
 
             if self.skip_max > 1:
                 # PISM's "skip": several cheap mass substeps per expensive
@@ -282,22 +308,26 @@ class IceModel:
                 dt_sub = dt_f / self.skip_max
 
                 def body(_, carry):
-                    geometry, acc = carry
-                    geometry, vals = mass_substep(geometry, dt_sub)
-                    return geometry, tuple(a + v for a, v in zip(acc, vals))
+                    geometry, iso_c, acc = carry
+                    geometry, iso_c, vals = mass_substep(geometry, iso_c, dt_sub)
+                    return geometry, iso_c, tuple(a + v for a, v in zip(acc, vals))
 
                 z = jnp.zeros((), self.dtype)
-                geometry, (smb_app, bmb_app, div_vol, nonneg) = jax.lax.fori_loop(
-                    0, self.skip_max, body, (geometry, (z, z, z, z)))
+                geometry, iso_carry, (smb_app, bmb_app, div_vol, nonneg) = \
+                    jax.lax.fori_loop(0, self.skip_max, body,
+                                      (geometry, iso_carry, (z, z, z, z)))
                 smb_app = smb_app / self.skip_max
                 bmb_app = bmb_app / self.skip_max
                 div_vol = div_vol / self.skip_max
                 nonneg = nonneg / self.skip_max
             else:
-                geometry, (smb_app, bmb_app, div_vol, nonneg) = \
-                    mass_substep(geometry, dt_f, sb.qe, sb.qn)
+                geometry, iso_carry, (smb_app, bmb_app, div_vol, nonneg) = \
+                    mass_substep(geometry, iso_carry, dt_f, sb.qe, sb.qn)
         else:
             smb_app = bmb_app = div_vol = nonneg = jnp.zeros((), self.dtype)
+
+        if iso_on:
+            state = state.replace(iso_layers=iso_carry[0], iso_top=iso_carry[1])
 
         # 8. calving / front retreat --------------------------------------
         if self.calving is not None:
@@ -373,6 +403,11 @@ class IceModel:
                 kw["v_ssa"] = z2
         if self.fracture is not None and state.fracture_density is None:
             kw["fracture_density"] = z2
+        if self.isochrones is not None and state.iso_layers is None:
+            iso0 = self.isochrones.initialize(H, self._iso_dep_times)
+            kw["iso_layers"] = iso0.layers
+            kw["iso_top"] = iso0.top
+            self._iso_times_arr = iso0.deposition_times
         if self.no_model_mask is not None and self._nmm_ref is None:
             self._nmm_ref = (state.geometry.ice_thickness, state.enthalpy)
         if self.bed_deformation is not None and state.bed_reference is None:

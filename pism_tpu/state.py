@@ -183,6 +183,8 @@ class ModelState:
     bed_load_reference: Optional[jnp.ndarray] = None
     bed_reference: Optional[jnp.ndarray] = None      # undeformed bed + initial load
     fracture_density: Optional[jnp.ndarray] = None
+    iso_layers: Optional[jnp.ndarray] = None         # (My, Mx, NL) isochrone layers
+    iso_top: Optional[jnp.ndarray] = None            # int32 active top layer
 
     def replace(self, **kw) -> "ModelState":
         return dataclasses.replace(self, **kw)
