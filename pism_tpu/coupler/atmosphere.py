@@ -63,10 +63,12 @@ class Given(AtmosphereModel):
     temperature_july: Optional[jnp.ndarray] = None
 
     def __call__(self, geometry, t) -> AtmosphereInputs:
+        dt_ = geometry.ice_thickness.dtype
         Tj = self.temperature_july if self.temperature_july is not None \
             else self.temperature
-        return AtmosphereInputs(jnp.asarray(self.temperature), jnp.asarray(Tj),
-                                jnp.asarray(self.precipitation))
+        return AtmosphereInputs(jnp.asarray(self.temperature, dt_),
+                                jnp.asarray(Tj, dt_),
+                                jnp.asarray(self.precipitation, dt_))
 
 
 @dataclass
@@ -83,11 +85,14 @@ class SeariseGreenland(AtmosphereModel):
     precipitation: jnp.ndarray  # m/s ice equivalent
 
     def __call__(self, geometry, t) -> AtmosphereInputs:
+        dt_ = geometry.ice_thickness.dtype
         h = jnp.maximum(geometry.ice_surface_elevation, 0.0)
-        lat, lon = jnp.asarray(self.latitude), jnp.asarray(self.longitude)
+        lat = jnp.asarray(self.latitude, dt_)
+        lon = jnp.asarray(self.longitude, dt_)
         T_ma = 273.15 + 41.83 - 6.309e-3 * h - 0.7189 * lat - 0.0672 * lon
         T_jul = 273.15 + 14.70 - 5.426e-3 * h - 0.1585 * lat + 0.0518 * lon
-        return AtmosphereInputs(T_ma, T_jul, jnp.asarray(self.precipitation))
+        return AtmosphereInputs(T_ma.astype(dt_), T_jul.astype(dt_),
+                                jnp.asarray(self.precipitation, dt_))
 
 
 @dataclass
@@ -103,7 +108,8 @@ class ElevationChange(AtmosphereModel):
 
     def __call__(self, geometry, t) -> AtmosphereInputs:
         a = self.inner(geometry, t)
-        dh = geometry.ice_surface_elevation - jnp.asarray(self.reference_surface)
+        dh = geometry.ice_surface_elevation - jnp.asarray(
+            self.reference_surface, geometry.ice_thickness.dtype)
         dT = -self.lapse_rate * dh
         precip = a.precipitation
         if self.precip_scale_factor != 0.0:

@@ -117,10 +117,93 @@ class Routing(NullTransport):
         return state.replace(hydro_W=W)
 
 
+@dataclass
+class Distributed(Routing):
+    """PISM ``hydrology::Distributed`` (Bueler & van Pelt 2015): linked
+    cavities with an evolving water pressure P. On top of the routing
+    transport (with the hydraulic potential psi = P + rho_w g b), the
+    pressure evolves from the cavity volume balance:
+
+        dP/dt = (rho_w g / phi0) [ O(W) - C(W, P) - dW/dt|transport ]
+
+    with cavity opening O = c1 |u_b| (W_r - W)_+ and creep closure
+    C = c2 A P_eff^3 W, P_eff = P_overburden - P, clipped to
+    0 <= P <= P_overburden. The sliding speed enters from the model state's
+    basal velocity.
+    """
+
+    def __post_init__(self):
+        super().__post_init__()
+        cfg = self.config
+        self.phi0 = cfg.get_number("hydrology.regularizing_porosity")
+        self.Wr = cfg.get_number("hydrology.roughness_scale")
+        self.c1 = cfg.get_number("hydrology.cavitation_opening_coefficient")
+        self.c2 = cfg.get_number("hydrology.creep_closure_coefficient")
+        self.A_soft = cfg.get_number("flow_law.isothermal_Glen.ice_softness")
+        self.g_ = cfg.get_number("constants.standard_gravity")
+
+    def step(self, state: S.ModelState, dt) -> S.ModelState:
+        state = NullTransport.step(self, state, dt)
+        grid, sh = self.grid, self.sh
+        H = state.geometry.ice_thickness
+        b = state.geometry.bed_elevation
+        W = state.hydro_W if state.hydro_W is not None else jnp.zeros_like(H)
+        P = state.hydro_P
+        P_ov = self.rho_i * self.g_ * H
+        if P is None:
+            P = P_ov  # start at overburden
+
+        u = state.u_ssa if state.u_ssa is not None else jnp.zeros_like(H)
+        v = state.v_ssa if state.v_ssa is not None else jnp.zeros_like(H)
+        speed = jnp.sqrt(u ** 2 + v ** 2)
+
+        m_b = state.basal_melt_rate if state.basal_melt_rate is not None \
+            else jnp.zeros_like(H)
+        inflow = (self.rho_i / self.rho_w) * m_b
+        overflow = jnp.where(state.tillwat >= self.W_max, inflow, 0.0)
+
+        dt_sub = dt / self.n_subcycles
+
+        def substep(carry, _):
+            W, P = carry
+            psi = P + self.rho_w * self.g_ * b
+            dpx = st.grad_x_east(psi, grid.dx, sh)
+            dpy = st.grad_y_north(psi, grid.dy, sh)
+            gpe = jnp.sqrt(dpx ** 2 + st.grad_y_east(psi, grid.dy, sh) ** 2) + 1e-12
+            gpn = jnp.sqrt(st.grad_x_north(psi, grid.dx, sh) ** 2 + dpy ** 2) + 1e-12
+            We = jnp.where(dpx <= 0.0, W, sh(W, 0, 1))
+            Wn = jnp.where(dpy <= 0.0, W, sh(W, 1, 0))
+            qe = -self.k * We ** self.alpha * gpe ** (self.beta_exp - 2.0) * dpx
+            qn = -self.k * Wn ** self.alpha * gpn ** (self.beta_exp - 2.0) * dpy
+            from ..model.geometry_evolution import limit_flux
+            qe, qn = limit_flux(qe, qn, W, dt_sub, grid.dx, grid.dy, sh)
+            div = st.div_staggered(qe, qn, grid.dx, grid.dy, sh)
+            dW_trans = overflow - div
+            W_new = jnp.maximum(W + dt_sub * dW_trans, 0.0)
+
+            opening = self.c1 * speed * jnp.maximum(self.Wr - W, 0.0)
+            P_eff = jnp.maximum(P_ov - P, 0.0)
+            closure = self.c2 * self.A_soft * P_eff ** 3 * W
+            # van Pelt & Bueler closure: (phi0/rho_w g) dP/dt
+            #   = dW/dt|transport - (opening - closure)
+            dP = (self.rho_w * self.g_ / self.phi0) * \
+                (dW_trans - (opening - closure))
+            P_new = jnp.clip(P + dt_sub * dP, 0.0, P_ov)
+            return (W_new, P_new), None
+
+        (W, P), _ = jax.lax.scan(substep, (W, P), None, length=self.n_subcycles)
+        ocean = S.ocean(state.geometry.cell_type)
+        W = jnp.where(ocean, 0.0, W)
+        P = jnp.where(ocean, 0.0, P)
+        return state.replace(hydro_W=W, hydro_P=P)
+
+
 def hydrology_from_config(grid, config):
     name = config.get_string("hydrology.model")
     if name in ("null", ""):
         return NullTransport(grid=grid, config=config)
     if name == "routing":
         return Routing(grid=grid, config=config)
+    if name == "distributed":
+        return Distributed(grid=grid, config=config)
     raise ValueError(f"unknown hydrology model {name!r}")
