@@ -81,6 +81,7 @@ class SSAFD:
         self.beta_floor = cfg.get_number("stress_balance.ssa.fd.beta_floor")
         self.max_speed = cfg.get_number("stress_balance.ssa.fd.max_speed", "m s-1")
         self.subgl_drag = cfg.get_flag("geometry.grounded_cell_fraction")
+        self.solve_dtype = cfg.get_string("stress_balance.ssa.fd.solve_dtype")
         if self.sliding_law is None:
             self.sliding_law = SlidingLaw.from_config(cfg)
 
@@ -245,15 +246,17 @@ class SSAFD:
         count and final/initial residual norms (PISM logs the same from its
         Picard loop).
 
-        The nonlinear solve runs in float64 regardless of the model field
-        dtype: nuH spans ~1e13..1e19 Pa s m and the Krylov iterations
-        stagnate (and the Newton tangents overflow) in float32. Inputs are
-        cast on entry, velocities cast back on exit; everything else in the
-        model stays in the configured dtype. (PISM is all-double; this is
-        the minimal-precision-island equivalent.)
+        Precision: with ``stress_balance.ssa.fd.solve_dtype = "float64"``
+        (default) the nonlinear solve runs in a float64 island regardless of
+        the model field dtype — nuH spans ~1e13..1e19 Pa s m and pure-f32
+        Krylov iterations stagnate. ``"mixed"`` keeps the vectors (and all
+        stencil work) in float32 but accumulates every Krylov/Newton dot
+        product in float64 — the scalar recurrences are where f32
+        cancellation kills convergence; much faster on TPUs where f64 is
+        emulated.
         """
         out_dtype = state.geometry.ice_thickness.dtype
-        if out_dtype != jnp.float64:
+        if out_dtype != jnp.float64 and self.solve_dtype == "float64":
             f64 = lambda a: None if a is None else jnp.asarray(a, jnp.float64)
             geom64 = state.geometry.replace(
                 ice_thickness=f64(state.geometry.ice_thickness),
@@ -288,7 +291,13 @@ class SSAFD:
         bc_mask, bc_u, bc_v = P["bc_mask"], P["bc_u"], P["bc_v"]
         bx, by = P["bx"], P["by"]
 
+        # mixed precision: accumulate reductions in f64 under f32 vectors
+        ddt = jnp.float64 if dtype == jnp.float32 else None
+
         def dot(a, b_):
+            if ddt is not None:
+                return jnp.sum(a[0].astype(ddt) * b_[0].astype(ddt)) \
+                    + jnp.sum(a[1].astype(ddt) * b_[1].astype(ddt))
             return jnp.sum(a[0] * b_[0]) + jnp.sum(a[1] * b_[1])
 
         u_init = u0 if u0 is not None else (
@@ -343,7 +352,7 @@ class SSAFD:
             sol, _, _ = ssa_ops.bicgstab_solve(
                 matvec, rhs, free(uv),
                 lambda r: (r[0] / diag_u, r[1] / diag_v),
-                rtol=self.ksp_rtol, max_iter=self.ksp_max)
+                rtol=self.ksp_rtol, max_iter=self.ksp_max, dot_dtype=ddt)
             return free(sol)
 
         uv = jax.lax.fori_loop(0, self.picard_warmup, picard_iter, uv)
@@ -358,7 +367,7 @@ class SSAFD:
         alphas = jnp.asarray([1.0, 0.5, 0.25, 0.0625, 0.01], dtype)
 
         def newton_body(carry):
-            uv, F, F2, _chg2, it = carry
+            uv, F, F2, _chg2, _F2prev, it = carry
             u, v = full(uv)
             nuH = make_nuH(u, v)
             beta = beta_fn(u, v)
@@ -377,7 +386,7 @@ class SSAFD:
             d, _, _ = ssa_ops.bicgstab_solve(
                 jmv, negF, zero,
                 lambda r: (r[0] / diag_u, r[1] / diag_v),
-                rtol=self.ksp_rtol, max_iter=self.ksp_max)
+                rtol=self.ksp_rtol, max_iter=self.ksp_max, dot_dtype=ddt)
             d = free(d)
 
             def trial_norm(alpha):
@@ -407,20 +416,30 @@ class SSAFD:
             # stagnation measure: relative velocity change of this sweep
             dchg = (uv_new[0] - uv[0], uv_new[1] - uv[1])
             chg2 = dot(dchg, dchg) / jnp.maximum(dot(uv_new, uv_new), 1e-300)
-            return (uv_new, F_new, F2_new, chg2, it + 1)
+            return (uv_new, F_new, F2_new, chg2, F2, it + 1)
 
-        chg_tol2 = jnp.asarray((1e-8 if dtype == jnp.float64 else 1e-5) ** 2,
-                               dtype)
+        chg_tol2 = jnp.asarray((1e-8 if dtype == jnp.float64 else 1e-4) ** 2,
+                               jnp.float64 if ddt is not None else dtype)
+
+        # residual-stagnation stop: slow (few-%/sweep) Picard convergence is
+        # legitimate, so only stop when the residual is essentially flat.
+        # In mixed precision the f32 stencil noise floor sits above any
+        # fixed F tolerance, so the effective stop is velocity stagnation
+        # (chg_tol below, loosened to 1e-4 relative per sweep).
+        stag = 0.999
 
         def newton_cond(carry):
-            _, _, F2, chg2, it = carry
-            return (F2 > newton_tol2) & (chg2 > chg_tol2) & (it < self.newton_max)
+            _, _, F2, chg2, F2prev, it = carry
+            improving = F2 < stag * F2prev
+            return (F2 > newton_tol2) & (chg2 > chg_tol2) & improving \
+                & (it < self.newton_max)
 
         F0 = residual(uv)
         F20 = dot(F0, F0)
-        uv, F, F2, chg2, iters = jax.lax.while_loop(
+        uv, F, F2, chg2, F2prev, iters = jax.lax.while_loop(
             newton_cond, newton_body,
-            (uv, F0, F20, jnp.asarray(1.0, dtype), jnp.asarray(0)))
+            (uv, F0, F20, jnp.ones((), F20.dtype),
+             jnp.full((), jnp.inf, F20.dtype), jnp.asarray(0)))
 
         u, v = full(uv)
         u = jnp.clip(u, -self.max_speed, self.max_speed)

@@ -182,21 +182,29 @@ def cg_solve(matvec, b, x0, precond, *, rtol=1e-5, atol=0.0, max_iter=300):
 
 
 def bicgstab_solve(matvec, b, x0, precond, *, rtol=1e-5, atol=0.0,
-                   max_iter=300):
+                   max_iter=300, dot_dtype=None):
     """Right-preconditioned BiCGStab for pytree unknowns.
 
     The discrete SSA operator is symmetric only up to boundary closure
     (edge-clamped cross-derivative stencils), so BiCGStab is the default
     inner solver; CG remains available for the periodic/SPD case.
+
+    dot_dtype: accumulate the Krylov dot products in this dtype (pass
+    float64 for mixed-precision solves with float32 vectors — the scalar
+    recurrences are where f32 cancellation kills convergence).
     """
     tm = jax.tree_util.tree_map
 
     def dot(a, b_):
-        leaves = tm(lambda x, y: jnp.sum(x * y), a, b_)
+        if dot_dtype is not None:
+            leaves = tm(lambda x, y: jnp.sum(x.astype(dot_dtype)
+                                             * y.astype(dot_dtype)), a, b_)
+        else:
+            leaves = tm(lambda x, y: jnp.sum(x * y), a, b_)
         return jax.tree_util.tree_reduce(jnp.add, leaves)
 
-    def axpy(a, x, y):  # a*x + y
-        return tm(lambda u, w: a * u + w, x, y)
+    def axpy(a, x, y):  # a*x + y (scalar cast to the vector dtype)
+        return tm(lambda u, w: a.astype(u.dtype) * u + w, x, y)
 
     r0 = tm(jnp.subtract, b, matvec(x0))
     rhat = r0
@@ -213,7 +221,8 @@ def bicgstab_solve(matvec, b, x0, precond, *, rtol=1e-5, atol=0.0,
         rho_new = dot(rhat, r)
         beta = (rho_new / jnp.where(rho == 0, 1e-300, rho)) * \
                (alpha / jnp.where(omega == 0, 1e-300, omega))
-        p = axpy(beta, tm(lambda pp, vv: pp - omega * vv, p, v), r)
+        p = axpy(beta, tm(lambda pp, vv: pp - omega.astype(pp.dtype) * vv,
+                          p, v), r)
         y = precond(p)
         v = matvec(y)
         alpha = rho_new / jnp.where(dot(rhat, v) == 0, 1e-300, dot(rhat, v))
