@@ -6,11 +6,18 @@ gradients on both face sets, D = Gamma H^(n+2) |grad s|^(n-1), q = -D grad s
 — one pass, no HBM round-trips between the ~10 intermediate fields XLA
 would otherwise materialize at larger grid sizes.
 
-The kernel consumes ghost-padded inputs (one clamped ghost ring, prepared by
-the caller) and writes the four face fields. Grids up to ~700x700 (f32) fit
-a single VMEM block; larger grids fall back to the XLA path (tiling with
-halo-overlapping BlockSpecs is a later optimization). On non-TPU backends
-the kernel runs in interpreter mode (used by the CPU equivalence tests).
+Kernels consume ghost-padded inputs (one clamped ghost ring, prepared by the
+caller) and write the four face fields. The isothermal kernel is a single
+VMEM block (grids to ~700x700 f32); the thermomechanical kernel is tiled
+over y-blocks with one-row halo overlap (pre-materialized windows, adaptive
+block height to fit VMEM) and is auto-routed from ``ops.sia.diffusivity``
+on TPU. On non-TPU backends kernels run in interpreter mode (used by the
+CPU equivalence tests).
+
+Gotcha (axon/Mosaic): under ``jax_enable_x64`` any python-int literal in a
+BlockSpec ``index_map`` traces as int64 and Mosaic fails to legalize the
+index-map's ``func.return`` ("failed to legalize operation 'func.return'");
+index maps must return np.int32 values.
 """
 
 from __future__ import annotations
@@ -19,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -61,6 +69,186 @@ def _sia_kernel(n: float, gamma: float, dx: float, dy: float,
     Dn_ref[:] = Dn
     qe_ref[:] = -De * sx_e
     qn_ref[:] = -Dn * sy_n
+
+
+def _sia_thermo_body(n: float, C: float, dx: float, dy: float, ty: int,
+                     zspec: tuple, EC_consts: tuple, pb_consts: tuple,
+                     Hp, sp, Ep, qe_ref, qn_ref, De_ref, Dn_ref):
+    """Fused thermomechanical SIA: Mahaffy gradients + GPBLD softness
+    z-integral + diffusivity + flux, one VMEM pass per y-block.
+
+    Hp, sp: (TY+2, Mx+2) ghost-padded values; Ep: (Mz, TY+2, Mx+2)
+    enthalpy (z leading so the reduction runs over the leading axis).
+    """
+    T_melting, T_ref, c_i, L0, beta_cc, rho_i, g = EC_consts
+    A_cold, A_warm, Q_cold, Q_warm, T_crit, R, wfc, wfl = pb_consts
+    # closed-form vertical levels, as python floats unrolled per level
+    # (pallas kernels cannot capture constant arrays)
+    kind, Lz, lam, Mz = zspec
+
+    def z_level(k: int) -> float:
+        zeta = k / max(Mz - 1, 1)
+        if kind == "quadratic":
+            return Lz * (zeta / lam) * (1.0 + (lam - 1.0) * zeta)
+        return Lz * zeta
+
+    # explicit row slices: the VMEM window may carry extra alignment rows
+    # below the halo (window height ty+8; only rows 0..ty+2 are meaningful)
+    rc, rn, rs = slice(1, ty + 1), slice(2, ty + 2), slice(0, ty)
+    c = (rc, slice(1, -1))
+    e = (rc, slice(2, None))
+    nn = (rn, slice(1, -1))
+    ne = (rn, slice(2, None))
+    s_ = (rs, slice(1, -1))
+    se = (rs, slice(2, None))
+    w = (rc, slice(0, -2))
+    nw = (rn, slice(0, -2))
+
+    H_e = 0.5 * (Hp[c] + Hp[e])
+    H_n = 0.5 * (Hp[c] + Hp[nn])
+    E_e = 0.5 * (Ep[(slice(None),) + c] + Ep[(slice(None),) + e])
+    E_n = 0.5 * (Ep[(slice(None),) + c] + Ep[(slice(None),) + nn])
+
+    sx_e = (sp[e] - sp[c]) / dx
+    sy_e = (sp[nn] + sp[ne] - sp[s_] - sp[se]) / (4.0 * dy)
+    sy_n = (sp[nn] - sp[c]) / dy
+    sx_n = (sp[e] + sp[ne] - sp[w] - sp[nw]) / (4.0 * dx)
+
+    def K_integral(E3, Hf):
+        """K = int_0^H A(E, p) (H - z)^(n+1) dz, trapezoid on clipped z.
+
+        Unrolled per level as pure 2D VPU work (Mosaic-friendly; Mz is
+        small and static)."""
+        dt_ = Hf.dtype
+
+        def f_level(k):
+            zk = z_level(k)
+            depth = jnp.maximum(Hf - zk, 0.0)
+            p = 101325.0 + rho_i * g * depth
+            Tm = T_melting - beta_cc * p
+            Es = c_i * (Tm - T_ref)
+            Ek = E3[k]
+            T = jnp.where(Ek < Es, T_ref + Ek / c_i, Tm)
+            T_pa = T - Tm + T_melting
+            cold = T_pa < T_crit
+            # scalar-scalar jnp.where defaults to f64 under x64
+            Aarr = jnp.where(cold, jnp.asarray(A_cold, dt_),
+                             jnp.asarray(A_warm, dt_))
+            Q = jnp.where(cold, jnp.asarray(Q_cold, dt_),
+                          jnp.asarray(Q_warm, dt_))
+            soft = Aarr * jnp.exp(-Q / (R * T_pa))
+            omega = jnp.minimum(jnp.clip((Ek - Es) / L0, 0.0, 1.0), wfl)
+            return soft * (1.0 + wfc * omega) * depth ** (n + 1.0)
+
+        K = jnp.zeros_like(Hf)
+        f_lo = f_level(0)
+        for k in range(Mz - 1):
+            f_hi = f_level(k + 1)
+            z_lo = jnp.minimum(jnp.asarray(z_level(k), dt_), Hf)
+            z_hi = jnp.minimum(jnp.asarray(z_level(k + 1), dt_), Hf)
+            K = K + 0.5 * (f_lo + f_hi) * (z_hi - z_lo)
+            f_lo = f_hi
+        return K
+
+    Ke = K_integral(E_e, H_e)
+    Kn = K_integral(E_n, H_n)
+
+    slope2_e = sx_e * sx_e + sy_e * sy_e
+    slope2_n = sx_n * sx_n + sy_n * sy_n
+    De = C * slope2_e ** ((n - 1.0) / 2.0) * Ke
+    Dn = C * slope2_n ** ((n - 1.0) / 2.0) * Kn
+
+    De_ref[:] = De
+    Dn_ref[:] = Dn
+    qe_ref[:] = -De * sx_e
+    qn_ref[:] = -Dn * sy_n
+
+
+def sia_flux_thermo_pallas(H, s, E, *, grid, n: float = 3.0,
+                           enhancement: float = 1.0, rho: float = 910.0,
+                           g: float = 9.81, dx: float, dy: float,
+                           EC, pb_law, block_y: int = 32,  # must be a multiple of 8
+                           interpret: bool = None):
+    """Fused thermomechanical (GPBLD) SIA diffusivity + flux via Pallas,
+    tiled over y-blocks with one-row halo overlap. E: (My, Mx, Mz)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    My, Mx = H.shape
+    C = 2.0 * (rho * g) ** n
+
+    # shrink the y-block so the (Mz, TY+8, Mx+2) enthalpy window fits VMEM:
+    # the pipeline double-buffers every window, so budget ~4 MB per copy
+    Mz_ = E.shape[-1]
+    bpe = jnp.dtype(H.dtype).itemsize
+    while block_y > 8 and (Mz_ + 2) * (block_y + 8) * (Mx + 2) * bpe > 4 * 2 ** 20:
+        block_y //= 2
+
+    Hp = jnp.pad(H, 1, mode="edge")
+    sp = jnp.pad(s, 1, mode="edge")
+    Ep = jnp.moveaxis(jnp.pad(E, ((1, 1), (1, 1), (0, 0)), mode="edge"),
+                      -1, 0)  # (Mz, My+2, Mx+2)
+    Mz = Ep.shape[0]
+
+    ny = -(-My // block_y)
+    pad_rows = ny * block_y - My
+    if pad_rows:
+        Hp = jnp.pad(Hp, ((0, pad_rows), (0, 0)), mode="edge")
+        sp = jnp.pad(sp, ((0, pad_rows), (0, 0)), mode="edge")
+        Ep = jnp.pad(Ep, ((0, 0), (0, pad_rows), (0, 0)), mode="edge")
+    Mxp = Mx + 2
+    TY = block_y
+
+    EC_consts = (EC.T_melting, EC.T_ref, EC.c_i, EC.L0, EC.beta, rho, g)
+    pb = pb_law
+    pb_consts = (pb.A_cold * enhancement, pb.A_warm * enhancement,
+                 pb.Q_cold, pb.Q_warm, pb.T_critical, pb.R,
+                 getattr(pb, "water_frac_coeff", 0.0),
+                 getattr(pb, "water_frac_observed_limit", 0.0))
+
+    zspec = (grid.vertical_spacing, float(grid.Lz), float(grid.lam),
+             int(grid.Mz))
+    body = functools.partial(
+        _sia_thermo_body, float(n), float(C), float(dx), float(dy), TY,
+        zspec, EC_consts, pb_consts)
+
+    # Pre-materialize the haloed y-windows, concatenated along rows so the
+    # pallas blocks are plain non-overlapping 2D/3D tiles. Window height is
+    # TY+8 (TPU blocks need 8-divisible sublanes); only rows 0..TY+2 carry
+    # halo+data, the rest is alignment padding.
+    W = TY + 8
+    Hp = jnp.pad(Hp, ((0, 8), (0, 0)), mode="edge")
+    sp = jnp.pad(sp, ((0, 8), (0, 0)), mode="edge")
+    Ep = jnp.pad(Ep, ((0, 0), (0, 8), (0, 0)), mode="edge")
+    Hw = jnp.concatenate([Hp[i * TY:i * TY + W] for i in range(ny)], 0)
+    sw = jnp.concatenate([sp[i * TY:i * TY + W] for i in range(ny)], 0)
+    Ew = jnp.concatenate([Ep[:, i * TY:i * TY + W, :] for i in range(ny)], 1)
+
+    def kernel(Hb, sb, Eb, qe_ref, qn_ref, De_ref, Dn_ref):
+        body(Hb[:], sb[:], Eb[:], qe_ref, qn_ref, De_ref, Dn_ref)
+
+    shape = jax.ShapeDtypeStruct((ny * TY, Mx), H.dtype)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    # index maps use np.int32 literals: under jax_enable_x64 a python-int 0
+    # traces as int64 and Mosaic fails to legalize the index-map func.return
+    z0 = np.int32(0)
+    qe, qn, De, Dn = pl.pallas_call(
+        kernel,
+        grid=(ny,),
+        in_specs=[
+            pl.BlockSpec((W, Mxp), lambda i: (i, z0), memory_space=ms),
+            pl.BlockSpec((W, Mxp), lambda i: (i, z0), memory_space=ms),
+            pl.BlockSpec((Mz, W, Mxp), lambda i: (z0, i, z0),
+                         memory_space=ms),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((TY, Mx), lambda i: (i, z0), memory_space=ms)
+            for _ in range(4)),
+        out_shape=(shape, shape, shape, shape),
+        interpret=interpret,
+    )(Hw, sw, Ew)
+    qe, qn, De, Dn = (a[:My] for a in (qe, qn, De, Dn))
+    max_D = jnp.maximum(jnp.max(De), jnp.max(Dn))
+    return De, Dn, qe, qn, max_D
 
 
 def sia_flux_pallas(H, s, *, A: float, n: float = 3.0, enhancement: float = 1.0,

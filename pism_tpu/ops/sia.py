@@ -135,18 +135,66 @@ def _softness_integral(flow_law, E3, H_face, z, n: float, enhancement: float):
     return enhancement * K
 
 
+def _pallas_eligible(flow_law, enthalpy, grid, H, gradient_method,
+                     theta_e, theta_n) -> bool:
+    """Route to the fused Pallas TPU kernel when it computes the identical
+    quantity: Mahaffy gradients, clamped (non-periodic) ghosts, f32 fields,
+    Paterson-Budd-family softness, no bed-smoother multipliers.
+
+    Single-device only: unlike the jnp stencil path, a pallas_call is not
+    auto-partitioned by GSPMD with halo exchange, and its edge-clamp ghost
+    padding would clamp at shard (not domain) boundaries. Spatially-sharded
+    callers that wrap the stencil in shard_map with explicit halos may pass
+    ``pallas=True`` to override."""
+    import jax
+    return (jax.device_count() == 1
+            and jax.devices()[0].platform == "tpu"
+            and H.dtype == jnp.float32
+            and gradient_method == "mahaffy"
+            and theta_e is None and theta_n is None
+            and not grid.periodic_x and not grid.periodic_y
+            and (enthalpy is None or all(
+                hasattr(flow_law, a) for a in
+                ("A_cold", "A_warm", "Q_cold", "Q_warm", "T_critical", "R"))))
+
+
 def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
                 sh: Shifter, *, n: float = 3.0, enhancement: float = 1.0,
                 rho: float = 910.0, g: float = 9.81,
                 gradient_method: str = "mahaffy",
                 theta_e: Optional[jnp.ndarray] = None,
-                theta_n: Optional[jnp.ndarray] = None) -> SIAFlux:
+                theta_n: Optional[jnp.ndarray] = None,
+                pallas: Optional[bool] = None) -> SIAFlux:
     """Staggered diffusivity and diffusive flux.
 
     theta_e/theta_n: Schoof bed-smoother multipliers in [0, 1] on the faces
     (1 = no roughness correction).
+    pallas: force the fused Pallas kernel on/off; None = auto (TPU, f32,
+    mahaffy, non-periodic, Paterson-Budd-family law).
     """
     H = geometry.ice_thickness
+
+    use_pallas = pallas
+    if use_pallas is None:
+        use_pallas = _pallas_eligible(flow_law, enthalpy, grid, H,
+                                      gradient_method, theta_e, theta_n)
+        if use_pallas and enthalpy is None and H.size > 490_000:
+            use_pallas = False  # isothermal kernel is single-block VMEM
+    if use_pallas:
+        from . import pallas_kernels as pk
+        s = geometry.ice_surface_elevation
+        if enthalpy is not None:
+            De, Dn, qe, qn, max_D = pk.sia_flux_thermo_pallas(
+                H, s, enthalpy, grid=grid, n=n, enhancement=enhancement,
+                rho=rho, g=g, dx=grid.dx, dy=grid.dy,
+                EC=flow_law.EC, pb_law=flow_law)
+        else:
+            A = float(flow_law.softness(jnp.zeros((), H.dtype),
+                                        jnp.zeros((), H.dtype)))
+            De, Dn, qe, qn, max_D = pk.sia_flux_pallas(
+                H, s, A=A, n=n, enhancement=enhancement, rho=rho, g=g,
+                dx=grid.dx, dy=grid.dy)
+        return SIAFlux(De=De, Dn=Dn, qe=qe, qn=qn, max_D=max_D)
     grad = surface_gradient(geometry, grid, sh, gradient_method, n)
 
     H_e = st.avg_to_east(H, sh)
