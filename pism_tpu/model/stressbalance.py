@@ -65,6 +65,8 @@ class StressBalance:
         self.rho = cfg.get_number("constants.ice.density")
         self.g = cfg.get_number("constants.standard_gravity")
         self.gradient_method = cfg.get_string("stress_balance.sia.surface_gradient_method")
+        self.bed_smoother_range = cfg.get_number(
+            "stress_balance.sia.bed_smoother.range")
 
 
     def _weertman(self, state: S.ModelState):
@@ -88,6 +90,29 @@ class StressBalance:
         v = jnp.where(grounded, fac * tdy, 0.0)
         return u, v
 
+    def _apply_bed_smoother(self, geometry):
+        """Schoof (2003) roughness parameterization (PISM ``BedSmoother``,
+        applied from ``SIAFD::update``): grounded SIA columns see the
+        thickness relative to the *smoothed* bed, and the diffusivity is
+        scaled by the theta factor on the faces. Floating/ice-free cells
+        are untouched. Returns (geometry_for_sia, theta_e, theta_n)."""
+        from dataclasses import replace
+        from ..ops import bedsmoother as bsm
+
+        if self.bed_smoother_range <= 0.0:
+            return geometry, None, None
+        grid = self.grid
+        smooth = bsm.preprocess_bed(geometry.bed_elevation, grid.dx, grid.dy,
+                                    self.bed_smoother_range)
+        grounded = S.grounded_ice(geometry.cell_type)
+        H_rel = jnp.maximum(geometry.ice_surface_elevation - smooth.bed, 0.0)
+        H_sia = jnp.where(grounded, H_rel, geometry.ice_thickness)
+        th = jnp.where(grounded, bsm.theta(smooth, H_rel, self.n_sia), 1.0)
+        th = th.astype(geometry.ice_thickness.dtype)
+        geom = replace(geometry, ice_thickness=H_sia)
+        return (geom, st.avg_to_east(th, self.sh),
+                st.avg_to_north(th, self.sh))
+
     def update(self, state: S.ModelState, yield_stress=None) -> StressBalanceResult:
         grid, sh = self.grid, self.sh
         zeros = jnp.zeros(grid.shape2, state.geometry.ice_thickness.dtype)
@@ -102,10 +127,12 @@ class StressBalance:
             v_ssa = jnp.asarray(self.prescribed_v)
 
         if self.has_sia:
+            geom, th_e, th_n = self._apply_bed_smoother(state.geometry)
             flux = sia_ops.diffusivity(
-                self.sia_flow_law, state.geometry, state.enthalpy, grid, sh,
+                self.sia_flow_law, geom, state.enthalpy, grid, sh,
                 n=self.n_sia, enhancement=self.e_sia, rho=self.rho, g=self.g,
-                gradient_method=self.gradient_method)
+                gradient_method=self.gradient_method,
+                theta_e=th_e, theta_n=th_n)
             qe, qn, max_D = flux.qe, flux.qn, flux.max_D
         else:
             qe, qn, max_D = zeros, zeros, jnp.zeros(())
