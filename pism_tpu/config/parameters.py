@@ -82,6 +82,7 @@ PARAMETERS = {
     "stress_balance.vertical_velocity_approximation": ("centered", None, "centered | upstream"),
     "stress_balance.weertman_sliding.k": (1.0e-11, "m s-1 Pa-1", "Weertman sliding coefficient (u = k tau^m / N^(m-1))"),
     "stress_balance.weertman_sliding.exponent": (3.0, None, "Weertman sliding exponent m"),
+    "stress_balance.weertman_sliding.melt_only": (False, None, "slide only where the ice base is temperate (EISMINT II exp H)"),
 
     "flow_law.isothermal_Glen.ice_softness": (3.1689e-24, "Pa-3 s-1", "softness A for isothermal Glen"),
     "flow_law.Paterson_Budd.A_cold": (3.610e-13, "Pa-3 s-1", "Paterson-Budd cold prefactor"),

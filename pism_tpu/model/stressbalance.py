@@ -73,10 +73,16 @@ class StressBalance:
         """Weertman (1957)-type hard-bed sliding (PISM ``WeertmanSliding``):
         u_b = -k |tau_d|^(m-1) tau_d / N^(m-1), with N = rho g H the
         overburden effective pressure. [coefficient form re-derived; the
-        reference mount was empty at survey time]"""
+        reference mount was empty at survey time]
+
+        With m = 1 and k = B this is the EISMINT II experiment G linear
+        sliding law u_b = -B tau_b (Payne et al. 2000 eq. 4,
+        B = 1e-3 m a^-1 Pa^-1); ``melt_only`` restricts sliding to
+        temperate-based cells (experiment H)."""
         cfg = self.config
         k = cfg.get_number("stress_balance.weertman_sliding.k")
         m = cfg.get_number("stress_balance.weertman_sliding.exponent")
+        melt_only = cfg.get_flag("stress_balance.weertman_sliding.melt_only")
         g = state.geometry
         sx, sy = st.centered_grad(g.ice_surface_elevation, self.grid.dx,
                                   self.grid.dy, self.sh)
@@ -85,9 +91,15 @@ class StressBalance:
         tdy = -self.rho * self.g * g.ice_thickness * sy
         mag = jnp.sqrt(tdx ** 2 + tdy ** 2)
         fac = k * (mag / N) ** (m - 1.0)
-        grounded = S.grounded_ice(g.cell_type)
-        u = jnp.where(grounded, fac * tdx, 0.0)
-        v = jnp.where(grounded, fac * tdy, 0.0)
+        sliding = S.grounded_ice(g.cell_type)
+        if melt_only and state.enthalpy is not None:
+            EC = self.sia_flow_law.EC
+            p_base = EC.pressure(g.ice_thickness)
+            E_base = state.enthalpy[..., 0]
+            temperate = E_base >= EC.enthalpy_cts(p_base)
+            sliding = sliding & temperate
+        u = jnp.where(sliding, fac * tdx, 0.0)
+        v = jnp.where(sliding, fac * tdy, 0.0)
         return u, v
 
     def _apply_bed_smoother(self, geometry):

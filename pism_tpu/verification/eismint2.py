@@ -46,7 +46,12 @@ EXPERIMENTS = {
     "D": dict(R_el=425.0e3),
     "F": dict(T_min=223.15),
     "G": dict(sliding=True),
+    "H": dict(sliding=True, melt_only=True),
 }
+
+#: EISMINT II linear sliding coefficient (Payne et al. 2000 eq. 4):
+#: u_b = -B tau_b with B = 1e-3 m a^-1 Pa^-1.
+SLIDING_B = 1.0e-3 / SEC_PER_YEAR  # m s^-1 Pa^-1
 
 
 @dataclass
@@ -76,6 +81,15 @@ def setup(experiment: str = "A", Mx: int = 61, Mz: int = 61,
         "grid.Lx": 750.0e3, "grid.Ly": 750.0e3, "grid.Lz": Lz,
         "bootstrapping.defaults.geothermal_flux": GEOTHERMAL,
     })
+    if params.get("sliding"):
+        # experiments G/H: linear hard-bed sliding u_b = -B tau_b
+        config.update({
+            "stress_balance.model": "weertman_sliding+sia",
+            "stress_balance.weertman_sliding.k": SLIDING_B,
+            "stress_balance.weertman_sliding.exponent": 1.0,
+            "stress_balance.weertman_sliding.melt_only":
+                bool(params.get("melt_only", False)),
+        })
 
     d = jnp.asarray(grid.radius)  # distance from the center
 

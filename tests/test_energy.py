@@ -122,3 +122,27 @@ def test_eismint2_short_run_sane():
     Tb = float(EC.temperature(jnp.asarray(E[c, c, 0]),
                               EC.pressure(jnp.asarray(H[c, c]))))
     assert 238.15 < Tb < 273.15
+
+
+def test_eismint2_sliding_experiments_g_h():
+    """Experiments G/H (Payne et al. 2000): linear hard-bed sliding
+    u_b = -B tau_b. G slides everywhere grounded; H only where the base is
+    temperate — early in the (cold) spin-up H must slide strictly less,
+    and G must export more ice than the no-sliding run of the same length."""
+    from pism_tpu.verification import eismint2
+
+    vols, speeds = {}, {}
+    for exp in ("A", "G", "H"):
+        es = eismint2.setup(exp, Mx=31, Mz=15, Lz=5000.0)
+        model = IceModel(grid=es.grid, config=es.config, surface=es.surface)
+        state, t, stats = model.step_once(es.state, 0.0, 3000 * SPY)
+        sb = model.stress_balance.update(state)
+        sp = np.sqrt(np.asarray(sb.u_base) ** 2 + np.asarray(sb.v_base) ** 2)
+        H = np.asarray(state.geometry.ice_thickness)
+        assert not np.isnan(H).any()
+        vols[exp] = H.sum()
+        speeds[exp] = sp.max() * SPY  # m/a
+    assert speeds["A"] == 0.0
+    assert speeds["G"] > 1.0           # sliding is active (m/a scale)
+    assert speeds["H"] <= speeds["G"]  # melt gate can only reduce sliding
+    assert vols["G"] < vols["A"]       # sliding flattens the sheet
