@@ -103,6 +103,46 @@ def main(argv=None):
         if args.i:  # restart experiment B/C/D/... from an A steady state
             grid = ckpt.load_grid(args.i)
             state, t0 = ckpt.load_state(args.i, config=cfg)
+    elif args.test and args.test.upper() == "I":
+        # PISM ``ssa_testi``: exact Schoof (2006) plastic-till stream, one
+        # SSA solve (FD or FEM per stress_balance.ssa.method), error report
+        import numpy as np
+
+        from .model.ssa import SSAFD
+        from .model.ssafem import SSAFEM
+        from .physics.rheology import IsothermalGlen
+        from .verification.ssa_exact import ExactI
+
+        ti = ExactI()
+        Mx, My = args.Mx or 11, args.My or 61
+        grid = Grid(Mx=Mx, My=My, Lx=10e3, Ly=60e3, periodicity="x")
+        cfg = Config()
+        _apply_config_overrides(cfg, args.config)
+        tau_c = jnp.asarray(np.tile(ti.tau_c(grid.y)[:, None], (1, Mx)))
+        law = IsothermalGlen(A=float(ti.B) ** -3.0)
+        geom = new_geometry(jnp.full(grid.shape2, ti.H0),
+                            jnp.zeros(grid.shape2))
+        bc = np.zeros(grid.shape2, bool)
+        bc[0, :] = bc[-1, :] = True
+        method = cfg.get_string("stress_balance.ssa.method")
+        if method not in ("fd", "fem"):
+            raise SystemExit(f"stress_balance.ssa.method = {method!r}; "
+                             "expected 'fd' or 'fem'")
+        cls = SSAFEM if method == "fem" else SSAFD
+        ssa = cls(grid=grid, config=cfg, flow_law=law,
+                  bc_mask=jnp.asarray(bc),
+                  bc_u=jnp.zeros(grid.shape2), bc_v=jnp.zeros(grid.shape2),
+                  taud_x=jnp.full(grid.shape2, ti.f),
+                  taud_y=jnp.zeros(grid.shape2))
+        u, v = ssa.solve(ModelState(geometry=geom), tau_c)
+        spy = 3.15569259747e7
+        uex = ti.velocity(grid.y)
+        err = np.abs(np.asarray(u)[:, Mx // 2] - uex) * spy
+        print(f"test I ({cls.__name__}): max |u| = "
+              f"{float(np.abs(np.asarray(u)).max()) * spy:.2f} m/a "
+              f"(exact {float(np.abs(uex).max()) * spy:.2f}); "
+              f"max error = {err.max():.3f} m/a, avg = {err.mean():.3f} m/a")
+        return 0
     elif args.test:
         from .verification import halfar
         sol = halfar.test_B() if args.test.upper() == "B" else halfar.test_C()

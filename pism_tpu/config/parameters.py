@@ -64,6 +64,7 @@ PARAMETERS = {
     "stress_balance.ssa.epsilon": (1.0e13, "Pa s m", "nuH regularization added everywhere"),
     "stress_balance.ssa.strength_extension.constant_nu": (9.8687e14, "Pa s", "viscosity of strength extension"),
     "stress_balance.ssa.strength_extension.min_thickness": (50.0, "m", "thickness below which extension applies"),
+    "stress_balance.ssa.method": ("fd", None, "fd (staggered FD + CFBC) | fem (Q1 Galerkin)"),
     "stress_balance.ssa.fd.relative_convergence": (1.0e-4, None, "Picard rtol on nuH change"),
     "stress_balance.ssa.fd.max_iterations": (300, None, "max Picard iterations"),
     "stress_balance.ssa.fd.ksp_rtol": (1.0e-5, None, "inner Krylov relative tolerance"),

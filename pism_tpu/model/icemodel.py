@@ -93,9 +93,20 @@ class IceModel:
             self.energy_model = EnergyModel(grid=self.grid, config=cfg, EC=self.EC)
         if "ssa" in sb_model:
             if self.ssa is None:
-                from .ssa import SSAFD
                 ssa_law = flow_law_from_config(cfg, "ssa", self.EC)
-                self.ssa = SSAFD(grid=self.grid, config=cfg, flow_law=ssa_law)
+                method = cfg.get_string("stress_balance.ssa.method")
+                if method == "fem":
+                    from .ssafem import SSAFEM
+                    self.ssa = SSAFEM(grid=self.grid, config=cfg,
+                                      flow_law=ssa_law)
+                elif method == "fd":
+                    from .ssa import SSAFD
+                    self.ssa = SSAFD(grid=self.grid, config=cfg,
+                                     flow_law=ssa_law)
+                else:
+                    raise ValueError(
+                        f"stress_balance.ssa.method = {method!r}; "
+                        "expected 'fd' or 'fem'")
             if self.yield_stress is None:
                 from ..physics.basal import yield_stress_from_config
                 self.yield_stress = yield_stress_from_config(cfg)
