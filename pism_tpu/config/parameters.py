@@ -201,6 +201,8 @@ PARAMETERS = {
     "ocean.pik_melt_factor": (5.0e-3, None, "PIK depth-dependent melt factor"),
     "ocean.th.gamma_T": (1.00e-4, "m s-1", "GivenTH turbulent heat exchange coefficient"),
     "ocean.th.gamma_S": (5.05e-7, "m s-1", "GivenTH turbulent salt exchange coefficient"),
+    "ocean.th.ice_temperature": (265.15, "K", "GivenTH shelf-ice interior temperature for the heat-conduction term"),
+    "ocean.th.two_equation": (False, None, "GivenTH: drop the salt equation (fixed S_b = S_o) instead of the full 3-equation solve"),
     "ocean.pico.number_of_boxes": (5, None, "PICO box count"),
     "ocean.pico.heat_exchange_coefficent": (1.0e-5, "m s-1", "PICO gamma_T*"),
     "ocean.pico.overturning_coefficent": (1.0e6, "m6 s-1 kg-1", "PICO overturning C"),

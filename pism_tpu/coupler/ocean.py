@@ -96,31 +96,69 @@ class PIK(OceanModel):
 @dataclass
 class GivenTH(OceanModel):
     """PISM ``-ocean th``: Holland & Jenkins (1999) 3-equation sub-shelf
-    melt from ambient potential temperature and salinity fields (here the
-    simplified 2-equation form with turbulent exchange coefficients)."""
+    melt from ambient potential temperature and salinity fields.
+
+    The three interface equations (liquidus T_b = a S_b + b + c z_b; heat
+    balance rho_w c_w gamma_T (theta_o - T_b) = m rho_i [L + c_i (T_b -
+    T_ice)]; salt balance rho_w gamma_S (S_o - S_b) = m rho_i S_b) reduce
+    to one quadratic in the interface salinity S_b — solved in closed form
+    per cell, so the whole coupler is a handful of fused elementwise ops.
+    Positive melt dilutes (S_b < S_o); freeze-on concentrates. With
+    ``ocean.th.two_equation`` the salt equation is dropped (S_b = S_o),
+    recovering the simplified form.
+    """
 
     theta_ocean: jnp.ndarray       # K, ambient potential temperature
     salinity_ocean: jnp.ndarray    # g/kg
     config: object = None
+
+    #: Holland & Jenkins liquidus: T_f = a S + b + c z  (z < 0 below sl)
+    LIQ_A = -0.0575
+    LIQ_B = 273.15 + 0.0832e-2
+    LIQ_C = 7.53e-4  # K/m, applied to z (negative below sea level)
 
     def __post_init__(self):
         cfg = self.config
         self.rho_i = cfg.get_number("constants.ice.density")
         self.rho_w = cfg.get_number("constants.sea_water.density")
         self.c_w = cfg.get_number("constants.sea_water.specific_heat_capacity")
+        self.c_i = cfg.get_number("constants.ice.specific_heat_capacity")
         self.L = cfg.get_number("constants.fresh_water.latent_heat_of_fusion")
         self.gamma_T = cfg.get_number("ocean.th.gamma_T")
+        self.gamma_S = cfg.get_number("ocean.th.gamma_S")
+        self.T_ice = cfg.get_number("ocean.th.ice_temperature")
+        self.two_eq = cfg.get_flag("ocean.th.two_equation")
 
     def inputs(self, geometry, t) -> OceanInputs:
         draft = self._draft(geometry, self.rho_i, self.rho_w)
-        S_o = jnp.asarray(self.salinity_ocean)
-        theta = jnp.asarray(self.theta_ocean)
-        # liquidus: T_f = a S + b + c z  (z = -draft)
-        a, b, c = -0.0575, 273.15 + 0.0832e-2, -7.53e-4
-        T_f = a * S_o + b + c * draft
-        dT = jnp.maximum(theta - T_f, 0.0)
-        melt = (self.rho_w * self.c_w * self.gamma_T / (self.rho_i * self.L)) * dT
-        return OceanInputs(melt, T_f)
+        dtype = geometry.ice_thickness.dtype
+        S_o = jnp.asarray(self.salinity_ocean, dtype)
+        theta = jnp.asarray(self.theta_ocean, dtype)
+        a, b = self.LIQ_A, self.LIQ_B
+        Tz = b - self.LIQ_C * draft          # liquidus at S = 0, z = -draft
+        cw_gT = self.c_w * self.gamma_T
+        gS = self.gamma_S
+
+        if self.two_eq:
+            T_b = a * S_o + Tz
+            dT = jnp.maximum(theta - T_b, 0.0)
+            melt = (self.rho_w * cw_gT / (self.rho_i * self.L)) * dT
+            return OceanInputs(melt, T_b)
+
+        # quadratic A S_b^2 + B S_b + C = 0 from eliminating m and T_b
+        Li = self.L + self.c_i * (Tz - self.T_ice)
+        A = a * (gS * self.c_i - cw_gT)
+        Bq = cw_gT * (theta - Tz) + gS * Li - gS * S_o * self.c_i * a
+        C = -gS * S_o * Li
+        disc = jnp.sqrt(jnp.maximum(Bq * Bq - 4.0 * A * C, 0.0))
+        # A < 0 for physical coefficients; the root with S_b > 0 is
+        # (-B + disc)/(2A) written stably via the product form
+        S_b = (2.0 * C) / (-Bq - disc)
+        S_b = jnp.clip(S_b, 1.0, 2.0 * jnp.maximum(S_o, 1.0))
+        T_b = a * S_b + Tz
+        melt = (self.rho_w * gS / self.rho_i) * (S_o - S_b) / \
+            jnp.maximum(S_b, 1.0)
+        return OceanInputs(melt, T_b)
 
 
 @dataclass

@@ -91,3 +91,70 @@ class ElevationDependent(SurfaceModel):
         smb = jnp.clip(smb, self.m_min, self.m_max)
         T = jnp.full(z.shape, self.temperature, z.dtype)
         return SurfaceInputs(smb, T)
+
+
+@dataclass
+class ISMIP6(SurfaceModel):
+    """PISM ``-surface ismip6`` (``src/coupler/surface/ISMIP6Climate.cc``):
+    the ISMIP6 protocol's anomaly-plus-elevation-correction forcing
+
+        SMB(t) = SMB_ref + aSMB(t) + dSMBdz(t) * (h - h_ref)
+        T(t)   = T_ref   + aST(t)  + dSTdz(t)  * (h - h_ref)
+
+    where the reference climate (SMB_ref, T_ref) and reference surface
+    h_ref are time-constant and the anomalies are supplied per time slice.
+    Forcing slices are pre-loaded device arrays: ``anomaly_times`` [s] with
+    (Nt, My, Mx) anomaly stacks, indexed by piecewise-constant lookup in
+    model time (trace-safe; clamped at the ends).
+    """
+
+    smb_ref: jnp.ndarray            # m/s ice equivalent
+    temperature_ref: jnp.ndarray    # K
+    surface_ref: jnp.ndarray        # h_ref [m]
+    anomaly_times: jnp.ndarray = None       # (Nt,) [s], sorted
+    a_smb: jnp.ndarray = None                # (Nt, My, Mx) [m/s]
+    a_temp: jnp.ndarray = None               # (Nt, My, Mx) [K]
+    dsmb_dz: jnp.ndarray = None              # (Nt, My, Mx) [m/s / m]
+    dtemp_dz: jnp.ndarray = None             # (Nt, My, Mx) [K / m]
+
+    def _slice(self, stack, t, dtype):
+        if stack is None:
+            return jnp.zeros((), dtype)
+        times = jnp.asarray(self.anomaly_times)
+        k = jnp.clip(jnp.searchsorted(times, t, side="right") - 1,
+                     0, times.shape[0] - 1)
+        return jnp.asarray(stack, dtype)[k]
+
+    def __call__(self, geometry, t) -> SurfaceInputs:
+        h = geometry.ice_surface_elevation
+        dt_ = h.dtype
+        dh = h - jnp.asarray(self.surface_ref, dt_)
+        smb = (jnp.asarray(self.smb_ref, dt_)
+               + self._slice(self.a_smb, t, dt_)
+               + self._slice(self.dsmb_dz, t, dt_) * dh)
+        T = (jnp.asarray(self.temperature_ref, dt_)
+             + self._slice(self.a_temp, t, dt_)
+             + self._slice(self.dtemp_dz, t, dt_) * dh)
+        return SurfaceInputs(smb, T)
+
+
+@dataclass
+class ForceThickness(SurfaceModel):
+    """PISM ``-surface ...,forcing`` (``surface::ForceThickness``): nudge
+    the SMB of an inner model toward a target thickness,
+    SMB += -alpha (H - H_target), applied only where the target has ice
+    (PISM applies a stronger alpha on ice-free target cells to clear
+    spurious ice)."""
+
+    inner: SurfaceModel
+    target_thickness: jnp.ndarray    # m
+    alpha: float = 3.17e-9           # 1/s  (PISM default ~0.1/year)
+    ice_free_alpha_factor: float = 1.0
+
+    def __call__(self, geometry, t) -> SurfaceInputs:
+        s = self.inner(geometry, t)
+        H = geometry.ice_thickness
+        Ht = jnp.asarray(self.target_thickness, H.dtype)
+        alpha = jnp.where(Ht > 1.0, self.alpha,
+                          self.alpha * self.ice_free_alpha_factor)
+        return SurfaceInputs(s.smb - alpha * (H - Ht), s.temperature)

@@ -122,3 +122,90 @@ def test_lingle_clark_subsidence():
     # far field slightly raised or ~0, much less than center
     corner = float(state.geometry.bed_elevation[0, 0])
     assert abs(corner) < 100.0
+
+
+def test_giventh_three_equation():
+    """Holland & Jenkins (1999) 3-equation melt: T_b on the liquidus, melt
+    monotone in thermal forcing, salt dilution throttles melt below the
+    2-equation form, and sub-freezing ambient water freezes on."""
+    from pism_tpu.coupler.ocean import GivenTH
+
+    grid = Grid(Mx=8, My=8, Lx=100e3, Ly=100e3)
+    geom = new_geometry(jnp.full(grid.shape2, 500.0),
+                        jnp.full(grid.shape2, -2000.0))
+    S = jnp.full(grid.shape2, 34.7)
+
+    def melt(dtheta, two_eq=False):
+        cfg = Config({"ocean.th.two_equation": two_eq})
+        oc = GivenTH(theta_ocean=jnp.full(grid.shape2, 271.25 + dtheta),
+                     salinity_ocean=S, config=cfg)
+        o = oc.inputs(geom, 0.0)
+        return (float(o.shelf_base_melt[4, 4]) * 3.15569259747e7,
+                float(o.shelf_base_temperature[4, 4]))
+
+    m0, Tb0 = melt(0.0)
+    m1, _ = melt(0.5)
+    m2, _ = melt(2.0)
+    assert 0.5 < m0 < 10.0          # m/a at weak depth-driven forcing
+    assert m0 < m1 < m2             # monotone in theta
+    m2eq, _ = melt(0.5, two_eq=True)
+    assert m1 < m2eq                # dilution throttles the 3-eq melt
+    mfreeze, _ = melt(-2.5)
+    assert mfreeze < 0.0            # freeze-on under sub-freezing ambient
+    # T_b sits on the liquidus at some salinity below ambient
+    oc = GivenTH(theta_ocean=jnp.full(grid.shape2, 271.25),
+                 salinity_ocean=S, config=Config())
+    o = oc.inputs(geom, 0.0)
+    draft = float(oc._draft(geom)[4, 4])
+    S_b = (Tb0 - (GivenTH.LIQ_B - GivenTH.LIQ_C * draft)) / GivenTH.LIQ_A
+    assert 0.0 < S_b < 34.7
+
+
+def test_ismip6_surface_anomaly_forcing():
+    """ISMIP6 protocol: SMB/T = ref + anomaly(t) + gradient * (h - h_ref),
+    piecewise-constant in time, clamped outside the forcing interval."""
+    from pism_tpu.coupler.surface import ISMIP6
+
+    SPY = 3.15569259747e7
+    grid = Grid(Mx=8, My=8, Lx=100e3, Ly=100e3)
+    geom = new_geometry(jnp.full(grid.shape2, 1000.0),
+                        jnp.zeros(grid.shape2))  # h = 1000, h_ref = 900
+    Nt = 3
+    sm = ISMIP6(
+        smb_ref=jnp.full(grid.shape2, 0.3 / SPY),
+        temperature_ref=jnp.full(grid.shape2, 250.0),
+        surface_ref=jnp.full(grid.shape2, 900.0),
+        anomaly_times=jnp.asarray([0.0, 10 * SPY, 20 * SPY]),
+        a_smb=jnp.stack([jnp.full(grid.shape2, k * (-0.1) / SPY)
+                         for k in range(Nt)]),
+        a_temp=jnp.stack([jnp.full(grid.shape2, float(k)) for k in range(Nt)]),
+        dsmb_dz=jnp.stack([jnp.full(grid.shape2, -1e-4 / SPY)] * Nt),
+        dtemp_dz=jnp.stack([jnp.full(grid.shape2, -0.007)] * Nt))
+    import jax
+    f = jax.jit(sm.__call__)
+    s5 = f(geom, 5 * SPY)       # slice 0 + lapse over dh=100
+    assert float(s5.smb[4, 4]) * SPY == pytest.approx(0.29, abs=1e-6)
+    assert float(s5.temperature[4, 4]) == pytest.approx(249.3, abs=1e-6)
+    s15 = f(geom, 15 * SPY)     # slice 1
+    assert float(s15.smb[4, 4]) * SPY == pytest.approx(0.19, abs=1e-6)
+    s99 = f(geom, 99 * SPY)     # clamped at the last slice
+    assert float(s99.smb[4, 4]) * SPY == pytest.approx(0.09, abs=1e-6)
+    sm0 = f(geom, -5 * SPY)     # clamped at the first slice
+    assert float(sm0.smb[4, 4]) * SPY == pytest.approx(0.29, abs=1e-6)
+
+
+def test_force_thickness_nudging():
+    from pism_tpu.coupler.surface import ForceThickness, Uniform
+
+    SPY = 3.15569259747e7
+    grid = Grid(Mx=8, My=8, Lx=100e3, Ly=100e3)
+    geom = new_geometry(jnp.full(grid.shape2, 1000.0), jnp.zeros(grid.shape2))
+    ft = ForceThickness(inner=Uniform(smb=0.0),
+                        target_thickness=jnp.full(grid.shape2, 1200.0))
+    s = ft(geom, 0.0)
+    # alpha = 3.17e-9/s ~ 0.1/a over a 200 m deficit -> +20 m/a
+    assert float(s.smb[4, 4]) * SPY == pytest.approx(20.0, rel=0.01)
+    # over-thick ice is drawn down
+    ft2 = ForceThickness(inner=Uniform(smb=0.0),
+                         target_thickness=jnp.full(grid.shape2, 500.0))
+    assert float(ft2(geom, 0.0).smb[4, 4]) < 0.0

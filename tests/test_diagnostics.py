@@ -46,3 +46,29 @@ def test_registry_size():
     # a representative slice of PISM's diagnostic dictionary
     assert len(diag.SPATIAL) >= 25
     assert len(diag.SCALAR) >= 10
+
+
+def test_vars_dictionary():
+    """PISM Vars analog: lookup state fields and diagnostics by name."""
+    from pism_tpu.util.vars import Vars
+    from pism_tpu.verification import eismint2
+    from pism_tpu.model.icemodel import IceModel
+
+    es = eismint2.setup("A", Mx=21, Mz=9, Lz=5000.0)
+    model = IceModel(grid=es.grid, config=es.config, surface=es.surface)
+    state = model.prepare_state(es.state)
+    v = Vars(state, model=model)
+    assert v.get("thk").shape == es.grid.shape2
+    assert v.get("enthalpy").ndim == 3
+    assert v.metadata("thk").standard_name == "land_ice_thickness"
+    assert v.metadata("thk").units == "m"
+    # diagnostics resolve through the same dictionary
+    assert v.get("velsurf_mag") is not None or "velsurf_mag" not in v.available()
+    assert "usurf" in v.available() and "mask" in v.available()
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        v.get("no_such_variable")
+    # a diagnostic without a model raises KeyError, not AttributeError
+    names = [n for n in v.available() if n not in ("thk", "topg")]
+    v2 = Vars(state)
+    assert v2.get("topg") is not None
