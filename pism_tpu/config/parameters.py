@@ -157,9 +157,15 @@ PARAMETERS = {
     "calving.eigen_calving.K": (0.0, "m s", "eigencalving proportionality constant"),
     "calving.vonmises_calving.sigma_max": (1.0e6, "Pa", "von Mises yield stress"),
     "calving.vonmises_calving.K": (1.0, None, "von Mises rate factor"),
+    "calving.hayhurst_calving.B_tilde": (65.0, None, "Hayhurst rate factor [MPa^-r year-1] (Mercenier et al. 2018)"),
+    "calving.hayhurst_calving.exponent_r": (0.43, None, "Hayhurst stress exponent"),
+    "calving.hayhurst_calving.sigma_threshold": (1.7e5, "Pa", "Hayhurst tensile stress threshold"),
     "calving.thickness_calving.threshold": (50.0, "m", "calve ice thinner than this"),
     "calving.float_kill.enabled": (False, None, "remove all floating ice"),
     "calving.front_retreat.use_cfl": (False, None, "restrict dt by retreat-rate CFL"),
+    "frontal_melt.models": ("", None, "frontal melt model: constant | given | routing"),
+    "frontal_melt.constant.melt_rate": (0.0, "m year-1", "constant frontal melt rate"),
+    "frontal_melt.include_floating_ice": (False, None, "apply frontal melt to floating fronts too"),
     "geometry.remove_icebergs": (False, None, "drop shelves not connected to grounded ice"),
 
     # --- fracture density ------------------------------------------------------

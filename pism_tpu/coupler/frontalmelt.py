@@ -63,3 +63,41 @@ class DischargeRouting(FrontalMeltModel):
         melt_m_per_day = (self.A * h * q_sg ** self.alpha + self.B) \
             * jnp.maximum(theta, 0.0) ** self.beta
         return melt_m_per_day / 86400.0
+
+
+@dataclass
+class DischargeGiven(FrontalMeltModel):
+    """PISM ``-frontal_melt discharge_given``: the same Rignot/Xu plume
+    parameterization as :class:`DischargeRouting`, but with the subglacial
+    discharge prescribed as an input field instead of taken from the
+    routing hydrology."""
+
+    theta: jnp.ndarray           # thermal forcing field [K]
+    discharge: jnp.ndarray       # subglacial discharge q_sg [m/day]
+    A: float = 3e-4
+    B: float = 0.15
+    alpha: float = 0.39
+    beta: float = 1.18
+
+    def __call__(self, geometry, t, state=None):
+        h = jnp.maximum(geometry.sea_level - geometry.bed_elevation, 0.0)
+        q_sg = jnp.asarray(self.discharge, h.dtype)
+        theta = jnp.asarray(self.theta, h.dtype)
+        melt_m_per_day = (self.A * h * q_sg ** self.alpha + self.B) \
+            * jnp.maximum(theta, 0.0) ** self.beta
+        return melt_m_per_day / 86400.0
+
+
+def frontal_melt_from_config(config):
+    """Factory (PISM ``PCFactory`` seam): config-string construction for the
+    models that need no input fields; field-driven models (given,
+    discharge_given, routing) are passed to IceModel directly."""
+    name = config.get_string("frontal_melt.models")
+    if not name or name == "none":
+        return None
+    if name == "constant":
+        return Constant(rate=config.get_number(
+            "frontal_melt.constant.melt_rate", "m s-1"))
+    raise ValueError(
+        f"frontal_melt.models = {name!r} requires input fields; construct "
+        "the model object and pass it to IceModel(frontal_melt=...)")

@@ -1,14 +1,16 @@
 """Calving, front retreat, and iceberg removal.
 
 Rebuild of PISM ``src/frontretreat/`` (``calving::CalvingAtThickness``,
-``EigenCalving``, ``vonMisesCalving``, ``FloatKill``, ``FrontRetreat``) and
-``IcebergRemover`` (``src/util/label_components.cc``). Calving laws compute
-either an instantaneous mask change or a retreat rate; retreat rates are
-converted to thickness loss in calving-front cells. Where the reference
-gathers the mask to rank 0 to label connected components, icebergs are
-removed here by an all-device flood fill: iterative mask dilation from
-grounded ice inside a ``lax.while_loop`` (SURVEY.md §2.5 "gather-to-one" ->
-label-propagation fixed point).
+``EigenCalving``, ``vonMisesCalving``, ``HayhurstCalving``, ``FloatKill``,
+``PrescribedRetreat``, ``FrontRetreat``) and ``IcebergRemover``
+(``src/util/label_components.cc``). Calving laws compute either an
+instantaneous mask change or a retreat rate; retreat rates (plus the
+frontal-melt rate from ``coupler/frontalmelt.py``) are converted to
+thickness loss in calving-front cells. Where the reference gathers the mask
+to rank 0 to label connected components, icebergs are removed here by an
+all-device flood fill: iterative mask dilation from grounded ice inside a
+``lax.while_loop`` (SURVEY.md §2.5 "gather-to-one" -> label-propagation
+fixed point).
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import jax.numpy as jnp
 from .. import state as S
 from ..ops import stencils as st
 from ..ops.stencils import Shifter
+from ..util.units import SEC_PER_YEAR
 
 
 def front_mask(icy, ice_free_ocean, sh: Shifter):
@@ -63,12 +66,33 @@ def remove_icebergs(geometry, sh: Shifter, max_iters: Optional[int] = None):
 
 
 @dataclass
+class PrescribedRetreat:
+    """PISM ``-front_retreat prescribed`` (``frontretreat/PrescribedRetreat.cc``,
+    the ISMIP6 ``retreat_file`` protocol): a time series of "ice extent
+    fraction" masks in [0, 1]; thickness is scaled by the fraction, so
+    fraction 0 removes the ice and fractions in (0, 1) thin front cells
+    (sub-grid retreat). Slices are pre-loaded device arrays indexed by
+    piecewise-constant time lookup (trace-safe, clamped at the ends)."""
+
+    times: jnp.ndarray        # (Nt,) [s], sorted
+    fraction: jnp.ndarray     # (Nt, My, Mx) in [0, 1]
+
+    def __call__(self, H, t):
+        times = jnp.asarray(self.times)
+        k = jnp.clip(jnp.searchsorted(times, t, side="right") - 1,
+                     0, times.shape[0] - 1)
+        frac = jnp.clip(jnp.asarray(self.fraction, H.dtype)[k], 0.0, 1.0)
+        return H * frac
+
+
+@dataclass
 class CalvingModel:
     """Composite calving component (PISM ``calving.methods`` comma list)."""
 
     grid: object
     config: object
     methods: tuple = ()
+    prescribed_retreat: Optional[PrescribedRetreat] = None
 
     def __post_init__(self):
         cfg = self.config
@@ -79,6 +103,13 @@ class CalvingModel:
         self.H_threshold = cfg.get_number("calving.thickness_calving.threshold")
         self.eigen_K = cfg.get_number("calving.eigen_calving.K")
         self.vm_sigma_max = cfg.get_number("calving.vonmises_calving.sigma_max")
+        self.hh_B_tilde = cfg.get_number("calving.hayhurst_calving.B_tilde")
+        self.hh_r = cfg.get_number("calving.hayhurst_calving.exponent_r")
+        self.hh_sigma_th = cfg.get_number("calving.hayhurst_calving.sigma_threshold")
+        self.rho_i = cfg.get_number("constants.ice.density")
+        self.rho_w = cfg.get_number("constants.sea_water.density")
+        self.g = cfg.get_number("constants.standard_gravity")
+        self.fm_floating = cfg.get_flag("frontal_melt.include_floating_ice")
         self.remove_bergs = cfg.get_flag("geometry.remove_icebergs")
         self.float_kill = cfg.get_flag("calving.float_kill.enabled") or \
             "float_kill" in self.methods
@@ -96,6 +127,28 @@ class CalvingModel:
         det = jnp.sqrt(jnp.maximum((0.5 * (ux - vy)) ** 2 + exy ** 2, 0.0))
         return tr + det, tr - det  # eigen1 >= eigen2
 
+    def hayhurst_rate(self, geometry):
+        """Hayhurst-stress calving rate (PISM ``HayhurstCalving.cc``;
+        Mercenier et al. 2018): rate = B_tilde (1-w)^(-r) <sigma_0 -
+        sigma_th>^r with w the water-depth-to-thickness ratio at the front
+        and sigma_0 the maximum near-front tensile deviatoric stress from
+        Mercenier's stress-field fit. B_tilde in [MPa^-r / year],
+        sigma in MPa."""
+        H = geometry.ice_thickness
+        sl = geometry.sea_level
+        b = geometry.bed_elevation
+        Hsafe = jnp.maximum(H, 1.0)
+        water_depth = jnp.clip(sl - b, 0.0, None)
+        w = jnp.clip(water_depth / Hsafe, 0.0, self.rho_i / self.rho_w)
+        sigma_0 = (0.4 - 0.45 * (w - 0.065) ** 2) * self.rho_i * self.g * H \
+            * (1.0 - self.rho_w / self.rho_i * w ** 2)   # Pa
+        sigma_0_mpa = jnp.maximum(sigma_0, 0.0) * 1e-6
+        sigma_th_mpa = self.hh_sigma_th * 1e-6
+        excess = jnp.maximum(sigma_0_mpa - sigma_th_mpa, 0.0)
+        rate_per_year = self.hh_B_tilde * (1.0 - w) ** (-self.hh_r) \
+            * excess ** self.hh_r
+        return rate_per_year / SEC_PER_YEAR
+
     def retreat_rate(self, geometry, u_ssa, v_ssa, hardness_B=None):
         """Total horizontal retreat rate [m/s] from rate-based laws."""
         rate = jnp.zeros_like(geometry.ice_thickness)
@@ -110,10 +163,20 @@ class CalvingModel:
             sigma = jnp.sqrt(3.0) * hardness_B * eff ** (1.0 / 3.0)
             speed = jnp.sqrt(u_ssa ** 2 + v_ssa ** 2)
             rate = rate + speed * sigma / self.vm_sigma_max
+        if "hayhurst_calving" in self.methods:
+            rate = rate + self.hayhurst_rate(geometry)
         return rate
 
-    def step(self, geometry, sb, dt):
-        """Apply all active calving mechanisms to the geometry."""
+    def step(self, geometry, sb, dt, t=0.0, hardness_B=None,
+             frontal_melt_rate=None):
+        """Apply all active calving/front-retreat mechanisms to the geometry.
+
+        ``hardness_B``: vertically averaged ice hardness for the von Mises
+        law (supplied by the driver from the SSA flow law).
+        ``frontal_melt_rate``: horizontal melt rate [m/s] from a frontal-melt
+        coupler, applied at marine front faces like a calving retreat rate
+        (PISM ``FrontalMelt`` + ``FrontRetreat``).
+        """
         sh = self.sh
         mask = geometry.cell_type
         icy = S.icy(mask)
@@ -129,13 +192,37 @@ class CalvingModel:
             calve = front & floating & (H < self.H_threshold)
             H = jnp.where(calve, 0.0, H)
 
-        rate_methods = {"eigen_calving", "vonmises_calving"} & set(self.methods)
-        if rate_methods and sb is not None:
-            rate = self.retreat_rate(geometry, sb.u_ssa, sb.v_ssa)
+        rate_methods = {"eigen_calving", "vonmises_calving",
+                        "hayhurst_calving"} & set(self.methods)
+        if rate_methods and (sb is not None
+                             or rate_methods == {"hayhurst_calving"}):
+            u = sb.u_ssa if sb is not None else jnp.zeros_like(H)
+            v = sb.v_ssa if sb is not None else jnp.zeros_like(H)
+            rate = self.retreat_rate(geometry, u, v, hardness_B=hardness_B)
             # convert horizontal retreat [m/s] at front cells into thickness
             # loss: the front face sweeps rate*dt into the cell of size dx
             loss_frac = jnp.clip(rate * dt / self.grid.dx, 0.0, 1.0)
-            H = jnp.where(front & floating, H * (1.0 - loss_frac), H)
+            where = front & floating
+            if "hayhurst_calving" in self.methods:
+                # Hayhurst targets marine-terminating (incl. grounded) fronts
+                where = front & (floating | (geometry.sea_level
+                                             - geometry.bed_elevation > 0.0))
+            H = jnp.where(where, H * (1.0 - loss_frac), H)
+
+        if frontal_melt_rate is not None:
+            # frontal melt retreats marine fronts; grounded termini always,
+            # floating only if configured (PISM front_retreat + frontal_melt)
+            marine = geometry.sea_level - geometry.bed_elevation > 0.0
+            where = front & marine
+            if not self.fm_floating:
+                where = where & ~floating
+            loss_frac = jnp.clip(
+                jnp.maximum(frontal_melt_rate, 0.0) * dt / self.grid.dx,
+                0.0, 1.0)
+            H = jnp.where(where, H * (1.0 - loss_frac), H)
+
+        if self.prescribed_retreat is not None:
+            H = self.prescribed_retreat(H, t)
 
         geometry = geometry.replace(ice_thickness=H)
         if self.remove_bergs:

@@ -69,6 +69,7 @@ class IceModel:
     hydrology: object = None
     yield_stress: object = None
     calving: object = None
+    frontal_melt: object = None        # FrontalMeltModel, optional
     bed_deformation: object = None
     # regional mode (PISM src/regional/): thickness/enthalpy are frozen
     # where no_model_mask is set (outlet-glacier subdomain runs)
@@ -116,6 +117,15 @@ class IceModel:
         if self.calving is None:
             from .calving import calving_from_config
             self.calving = calving_from_config(self.grid, cfg)
+        if self.frontal_melt is None:
+            from ..coupler.frontalmelt import frontal_melt_from_config
+            self.frontal_melt = frontal_melt_from_config(cfg)
+        if self.calving is None and self.frontal_melt is not None:
+            # frontal melt needs the front-retreat machinery even with no
+            # calving law active
+            from .calving import CalvingModel
+            self.calving = CalvingModel(grid=self.grid, config=cfg,
+                                        methods=("none",))
         if self.bed_deformation is None:
             from .beddef import bed_deformation_from_config
             self.bed_deformation = bed_deformation_from_config(self.grid, cfg)
@@ -342,7 +352,16 @@ class IceModel:
 
         # 8. calving / front retreat --------------------------------------
         if self.calving is not None:
-            geometry = self.calving.step(geometry, sb, dt_f)
+            hardness_B = None
+            if "vonmises_calving" in self.calving.methods \
+                    and self.ssa is not None:
+                hardness_B = self.ssa._hardness(state.replace(geometry=geometry))
+            fm_rate = None
+            if self.frontal_melt is not None:
+                fm_rate = self.frontal_melt(geometry, t, state=state)
+            geometry = self.calving.step(geometry, sb, dt_f, t=t,
+                                         hardness_B=hardness_B,
+                                         frontal_melt_rate=fm_rate)
             geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
 
         state = state.replace(geometry=geometry, u_ssa=sb.u_ssa, v_ssa=sb.v_ssa)

@@ -1,0 +1,149 @@
+"""Calving-law and front-retreat tests (PISM ``src/frontretreat/``):
+Hayhurst cliff calving, von Mises wiring, prescribed (ISMIP6) retreat,
+frontal-melt-driven retreat, iceberg removal."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pism_tpu import Config, Grid
+from pism_tpu.state import new_geometry, icy as icy_mask
+from pism_tpu.model.calving import (CalvingModel, PrescribedRetreat,
+                                    remove_icebergs, front_mask)
+from pism_tpu.ops.stencils import Shifter
+
+SPY = 3.15569259747e7
+
+
+def marine_terminus_geometry(grid, H0=400.0, floating=False):
+    """Ice occupying the left half, ocean on the right."""
+    ny, nx = grid.shape2
+    H = np.zeros(grid.shape2)
+    H[:, : nx // 2] = H0
+    bed = np.full(grid.shape2, -300.0 if not floating else -1000.0)
+    return new_geometry(jnp.asarray(H), jnp.asarray(bed))
+
+
+def test_hayhurst_rate_grows_with_cliff_height():
+    grid = Grid(Mx=16, My=8, Lx=80e3, Ly=40e3)
+    cfg = Config({"calving.methods": "hayhurst_calving"})
+    cm = CalvingModel(grid=grid, config=cfg)
+    # grounded marine cliff: bed -100 m, thick ice -> tall subaerial cliff
+    geomA = new_geometry(jnp.full(grid.shape2, 400.0),
+                         jnp.full(grid.shape2, -100.0))
+    geomB = new_geometry(jnp.full(grid.shape2, 800.0),
+                         jnp.full(grid.shape2, -100.0))
+    rA = float(cm.hayhurst_rate(geomA)[4, 4]) * SPY
+    rB = float(cm.hayhurst_rate(geomB)[4, 4]) * SPY
+    assert rB > rA > 0.0
+    # thin ice below the stress threshold does not calve
+    geomC = new_geometry(jnp.full(grid.shape2, 30.0),
+                         jnp.full(grid.shape2, -10.0))
+    assert float(cm.hayhurst_rate(geomC)[4, 4]) == 0.0
+
+
+def test_hayhurst_retreats_marine_front():
+    grid = Grid(Mx=16, My=8, Lx=80e3, Ly=40e3)
+    cfg = Config({"calving.methods": "hayhurst_calving"})
+    cm = CalvingModel(grid=grid, config=cfg)
+    geom = marine_terminus_geometry(grid, H0=600.0)
+    H0 = np.asarray(geom.ice_thickness).copy()
+    geom2 = cm.step(geom, None, dt=1.0 * SPY)
+    H1 = np.asarray(geom2.ice_thickness)
+    front_col = grid.shape2[1] // 2 - 1
+    assert H1[4, front_col] < H0[4, front_col]      # front cell thinned
+    assert np.allclose(H1[4, :front_col], H0[4, :front_col])  # interior intact
+
+
+def test_vonmises_needs_and_uses_hardness():
+    grid = Grid(Mx=16, My=8, Lx=80e3, Ly=40e3)
+    cfg = Config({"calving.methods": "vonmises_calving",
+                  "calving.vonmises_calving.sigma_max": 1.0e5})
+    cm = CalvingModel(grid=grid, config=cfg)
+    geom = marine_terminus_geometry(grid, H0=400.0, floating=True)
+    # spreading velocity field: u grows toward the front -> extension
+    x = np.arange(grid.shape2[1]) * 1e3
+    u = jnp.asarray(np.broadcast_to(x, grid.shape2) / SPY)  # up to km/a
+    v = jnp.zeros(grid.shape2)
+
+    class SB:
+        u_ssa, v_ssa = u, v
+
+    B = jnp.full(grid.shape2, 1.0e8)  # Pa s^(1/3)
+    rate = cm.retreat_rate(geom, u, v, hardness_B=B)
+    assert float(jnp.max(rate)) > 0.0
+    # without hardness the law contributes nothing (guarded)
+    rate0 = cm.retreat_rate(geom, u, v, hardness_B=None)
+    assert float(jnp.max(rate0)) == 0.0
+    geom2 = cm.step(geom, SB, dt=0.5 * SPY, hardness_B=B)
+    front_col = grid.shape2[1] // 2 - 1
+    assert float(geom2.ice_thickness[4, front_col]) \
+        < float(geom.ice_thickness[4, front_col])
+
+
+def test_prescribed_retreat_time_lookup():
+    grid = Grid(Mx=8, My=8, Lx=40e3, Ly=40e3)
+    frac = jnp.stack([jnp.ones(grid.shape2),
+                      jnp.full(grid.shape2, 0.5),
+                      jnp.zeros(grid.shape2)])
+    pr = PrescribedRetreat(times=jnp.asarray([0.0, 10 * SPY, 20 * SPY]),
+                           fraction=frac)
+    H = jnp.full(grid.shape2, 100.0)
+    assert float(pr(H, 5 * SPY)[3, 3]) == 100.0
+    assert float(pr(H, 15 * SPY)[3, 3]) == 50.0
+    assert float(pr(H, 99 * SPY)[3, 3]) == 0.0
+    assert float(pr(H, -5 * SPY)[3, 3]) == 100.0   # clamped
+
+    cfg = Config({})
+    cm = CalvingModel(grid=grid, config=cfg, methods=("none",),
+                      prescribed_retreat=pr)
+    geom = new_geometry(H, jnp.zeros(grid.shape2))
+    geom2 = cm.step(geom, None, dt=SPY, t=15 * SPY)
+    assert float(geom2.ice_thickness[3, 3]) == 50.0
+
+
+def test_frontal_melt_retreats_grounded_terminus_only():
+    grid = Grid(Mx=16, My=8, Lx=80e3, Ly=40e3)
+    cfg = Config({})
+    cm = CalvingModel(grid=grid, config=cfg, methods=("none",))
+    geom = marine_terminus_geometry(grid, H0=400.0)  # grounded (bed -300)
+    fm = jnp.full(grid.shape2, 200.0 / SPY)          # 200 m/a frontal melt
+    geom2 = cm.step(geom, None, dt=1.0 * SPY, frontal_melt_rate=fm)
+    front_col = grid.shape2[1] // 2 - 1
+    frac = 200.0 / grid.dx
+    expect = 400.0 * (1.0 - frac)
+    assert float(geom2.ice_thickness[4, front_col]) == pytest.approx(expect, rel=1e-6)
+    # floating front: untouched unless include_floating_ice
+    geomf = marine_terminus_geometry(grid, H0=400.0, floating=True)
+    geomf2 = cm.step(geomf, None, dt=1.0 * SPY, frontal_melt_rate=fm)
+    assert float(geomf2.ice_thickness[4, front_col]) == 400.0
+    cfg2 = Config({"frontal_melt.include_floating_ice": True})
+    cm2 = CalvingModel(grid=grid, config=cfg2, methods=("none",))
+    geomf3 = cm2.step(geomf, None, dt=1.0 * SPY, frontal_melt_rate=fm)
+    assert float(geomf3.ice_thickness[4, front_col]) < 400.0
+
+
+def test_frontal_melt_constant_factory_and_driver_wiring():
+    from pism_tpu.coupler.frontalmelt import frontal_melt_from_config
+    cfg = Config({"frontal_melt.models": "constant",
+                  "frontal_melt.constant.melt_rate": 100.0})
+    fm = frontal_melt_from_config(cfg)
+    grid = Grid(Mx=8, My=8, Lx=40e3, Ly=40e3)
+    geom = new_geometry(jnp.full(grid.shape2, 100.0), jnp.zeros(grid.shape2))
+    rate = fm(geom, 0.0)
+    assert float(rate[3, 3]) * SPY == pytest.approx(100.0, rel=1e-6)
+    assert frontal_melt_from_config(Config({})) is None
+
+
+def test_iceberg_remover_drops_detached_shelf():
+    grid = Grid(Mx=16, My=8, Lx=80e3, Ly=40e3)
+    sh = Shifter(grid)
+    H = np.zeros(grid.shape2)
+    H[:, :4] = 2000.0       # grounded block (bed 0 -> grounded)
+    H[:, 8:12] = 100.0      # detached floating slab
+    bed = np.full(grid.shape2, -500.0)
+    bed[:, :4] = 0.0
+    geom = new_geometry(jnp.asarray(H), jnp.asarray(bed))
+    geom2 = remove_icebergs(geom, sh)
+    assert float(jnp.max(geom2.ice_thickness[:, 8:12])) == 0.0
+    assert float(jnp.min(geom2.ice_thickness[:, :4])) == 2000.0
