@@ -122,7 +122,7 @@ class ElevationChange(AtmosphereModel):
 class DeltaT(AtmosphereModel):
     """Scalar temperature offset forcing (PISM ``-atmosphere ...,delta_T``).
     ``offset(t)`` is a host-provided callable of model time -> K; for traced
-    use provide a jnp-compatible function."""
+    use provide a jnp-compatible function (e.g. ``util.forcing.ScalarForcing``)."""
 
     inner: AtmosphereModel
     offset: Callable
@@ -132,3 +132,105 @@ class DeltaT(AtmosphereModel):
         dT = self.offset(t)
         return AtmosphereInputs(a.temperature + dT, a.temperature_july + dT,
                                 a.precipitation)
+
+
+@dataclass
+class FracP(AtmosphereModel):
+    """Scalar precipitation scaling (PISM ``-atmosphere ...,frac_P``):
+    precipitation is multiplied by a time-dependent factor."""
+
+    inner: AtmosphereModel
+    fraction: Callable          # t -> dimensionless factor
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        a = self.inner(geometry, t)
+        return AtmosphereInputs(a.temperature, a.temperature_july,
+                                a.precipitation * self.fraction(t))
+
+
+@dataclass
+class PrecipitationScaling(AtmosphereModel):
+    """PISM ``-atmosphere ...,precip_scaling``: exponential precipitation
+    scaling with a temperature-offset time series,
+    P -> P exp(C dT(t)), C = ``atmosphere.precip_exponential_factor_for_temperature``
+    (Huybrechts & de Wolde 1999: ~7.8%/K for Greenland)."""
+
+    inner: AtmosphereModel
+    delta_T: Callable           # t -> K offset
+    exp_factor: float = 0.07042
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        a = self.inner(geometry, t)
+        scale = jnp.exp(self.exp_factor * self.delta_T(t))
+        return AtmosphereInputs(a.temperature, a.temperature_july,
+                                a.precipitation * scale)
+
+
+@dataclass
+class Anomaly(AtmosphereModel):
+    """2D anomaly modifier (PISM ``-atmosphere ...,anomaly``): adds
+    prescribed temperature/precipitation anomaly fields (optionally
+    time-sliced: pass (Nt, My, Mx) stacks with ``times``)."""
+
+    inner: AtmosphereModel
+    temp_anomaly: Optional[jnp.ndarray] = None      # K
+    precip_anomaly: Optional[jnp.ndarray] = None    # m/s
+    times: Optional[jnp.ndarray] = None             # (Nt,) [s] if stacked
+
+    def _slice(self, field, t, dtype):
+        if field is None:
+            return jnp.zeros((), dtype)
+        f = jnp.asarray(field, dtype)
+        if self.times is None or f.ndim == 2:
+            return f
+        times = jnp.asarray(self.times)
+        k = jnp.clip(jnp.searchsorted(times, t, side="right") - 1,
+                     0, times.shape[0] - 1)
+        return f[k]
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        a = self.inner(geometry, t)
+        dt_ = a.temperature.dtype
+        dT = self._slice(self.temp_anomaly, t, dt_)
+        dP = self._slice(self.precip_anomaly, t, dt_)
+        return AtmosphereInputs(a.temperature + dT, a.temperature_july + dT,
+                                a.precipitation + dP)
+
+
+@dataclass
+class CosineYearlyCycle(AtmosphereModel):
+    """PISM ``-atmosphere yearly_cycle``: prescribed mean-annual and
+    mean-summer temperature fields plus precipitation; the base class's
+    cosine cycle interpolates within the year. An optional ``scaling(t)``
+    time series modulates the amplitude (PISM ``-atmosphere_yearly_cycle_
+    scaling_file``)."""
+
+    temperature_mean_annual: jnp.ndarray   # K
+    temperature_mean_summer: jnp.ndarray   # K
+    precipitation: jnp.ndarray             # m/s ice equivalent
+    scaling: Optional[Callable] = None     # t -> amplitude factor
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        dt_ = geometry.ice_thickness.dtype
+        Ta = jnp.asarray(self.temperature_mean_annual, dt_)
+        Tj = jnp.asarray(self.temperature_mean_summer, dt_)
+        if self.scaling is not None:
+            Tj = Ta + (Tj - Ta) * self.scaling(t)
+        return AtmosphereInputs(Ta, Tj, jnp.asarray(self.precipitation, dt_))
+
+
+@dataclass
+class WeatherStation(AtmosphereModel):
+    """PISM ``-atmosphere one_station`` (``WeatherStation.cc``): scalar
+    time series of air temperature and precipitation applied uniformly
+    over the whole domain."""
+
+    temperature: Callable        # t -> K
+    precipitation: Callable      # t -> m/s ice equivalent
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        shp = geometry.ice_thickness.shape
+        dt_ = geometry.ice_thickness.dtype
+        T = jnp.broadcast_to(jnp.asarray(self.temperature(t), dt_), shp)
+        P = jnp.broadcast_to(jnp.asarray(self.precipitation(t), dt_), shp)
+        return AtmosphereInputs(T, T, P)

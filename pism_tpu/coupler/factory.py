@@ -1,0 +1,270 @@
+"""Coupler factories: build atmosphere/surface/ocean/sea-level model chains
+from config strings.
+
+Rebuild of PISM ``src/coupler/util/PCFactory.hh``: the reference selects
+boundary models with ``-atmosphere given,delta_T -surface pdd -ocean
+pico,cache`` style comma chains — the first entry is the base model, the
+rest are modifiers applied left to right. The reference reads the models'
+input fields from NetCDF files named in other options; here file I/O is a
+separate concern (``io/bootstrap.py``), so factories take an ``inputs``
+dict of already-loaded device arrays / forcing callables keyed by the
+PISM-ish names documented per model below. Models whose required inputs
+are missing raise with the key name, mirroring PISM's "option requires
+..." errors.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Optional
+
+from . import atmosphere as _atm
+from . import frontalmelt as _fm
+from . import ocean as _ocn
+from . import sealevel as _sl
+from . import surface as _srf
+
+
+def _split(chain: str):
+    parts = [p.strip() for p in chain.split(",") if p.strip()]
+    if not parts:
+        raise ValueError("empty coupler model chain")
+    return parts[0], parts[1:]
+
+
+def _need(inputs: Mapping, key: str, model: str):
+    if key not in inputs:
+        raise ValueError(f"coupler model {model!r} requires input {key!r}")
+    return inputs[key]
+
+
+# ---------------------------------------------------------------- atmosphere
+def atmosphere_from_config(config, inputs: Optional[Mapping] = None):
+    """Build the atmosphere chain from ``atmosphere.models``.
+
+    Bases: ``uniform`` | ``given`` (air_temp, precipitation) |
+    ``searise_greenland`` (latitude, longitude, precipitation) |
+    ``yearly_cycle`` (air_temp_mean_annual, air_temp_mean_summer,
+    precipitation [, scaling]) | ``one_station`` (air_temp(t), precipitation(t)).
+    Modifiers: ``elevation_change`` (reference_surface), ``delta_T``
+    (delta_T forcing), ``frac_P`` (frac_P forcing), ``precip_scaling``
+    (delta_T forcing), ``anomaly`` (air_temp_anomaly / precipitation_anomaly).
+    """
+    inputs = inputs or {}
+    chain = config.get_string("atmosphere.models")
+    base, mods = _split(chain)
+
+    if base == "uniform":
+        # precipitation is configured as a mass flux [kg m-2 year-1];
+        # internal precipitation is ice-equivalent [m s-1] (divide by the
+        # ice density, as PISM's I/O layer does)
+        rho_i = config.get_number("constants.ice.density")
+        model = _atm.Uniform(
+            temperature=config.get_number("atmosphere.uniform.temperature"),
+            precipitation=config.get_number(
+                "atmosphere.uniform.precipitation", "kg m-2 s-1") / rho_i)
+    elif base == "given":
+        model = _atm.Given(
+            temperature=_need(inputs, "air_temp", base),
+            precipitation=_need(inputs, "precipitation", base),
+            temperature_july=inputs.get("air_temp_summer"))
+    elif base == "searise_greenland":
+        model = _atm.SeariseGreenland(
+            latitude=_need(inputs, "latitude", base),
+            longitude=_need(inputs, "longitude", base),
+            precipitation=_need(inputs, "precipitation", base))
+    elif base == "yearly_cycle":
+        model = _atm.CosineYearlyCycle(
+            temperature_mean_annual=_need(inputs, "air_temp_mean_annual", base),
+            temperature_mean_summer=_need(inputs, "air_temp_mean_summer", base),
+            precipitation=_need(inputs, "precipitation", base),
+            scaling=inputs.get("scaling"))
+    elif base == "one_station":
+        model = _atm.WeatherStation(
+            temperature=_need(inputs, "air_temp", base),
+            precipitation=_need(inputs, "precipitation", base))
+    else:
+        raise ValueError(f"unknown atmosphere model {base!r}")
+
+    for mod in mods:
+        if mod == "elevation_change":
+            model = _atm.ElevationChange(
+                inner=model,
+                reference_surface=_need(inputs, "reference_surface", mod),
+                lapse_rate=config.get_number(
+                    "atmosphere.elevation_change.temperature_lapse_rate"))
+        elif mod == "delta_T":
+            model = _atm.DeltaT(inner=model,
+                                offset=_need(inputs, "delta_T", mod))
+        elif mod == "frac_P":
+            model = _atm.FracP(inner=model,
+                               fraction=_need(inputs, "frac_P", mod))
+        elif mod == "precip_scaling":
+            model = _atm.PrecipitationScaling(
+                inner=model, delta_T=_need(inputs, "delta_T", mod),
+                exp_factor=config.get_number(
+                    "atmosphere.precip_exponential_factor_for_temperature"))
+        elif mod == "anomaly":
+            model = _atm.Anomaly(
+                inner=model,
+                temp_anomaly=inputs.get("air_temp_anomaly"),
+                precip_anomaly=inputs.get("precipitation_anomaly"),
+                times=inputs.get("anomaly_times"))
+        else:
+            raise ValueError(f"unknown atmosphere modifier {mod!r}")
+    return model
+
+
+# ---------------------------------------------------------------- surface
+def surface_from_config(config, inputs: Optional[Mapping] = None,
+                        atmosphere=None):
+    """Build the surface chain from ``surface.models``.
+
+    Bases: ``simple`` | ``uniform`` | ``given`` (climatic_mass_balance,
+    ice_surface_temp) | ``elevation`` | ``pdd`` | ``pik`` (latitude) |
+    ``ismip6`` (passed pre-built via inputs["ismip6_model"]).
+    Modifiers: ``anomaly``, ``delta_T``, ``cache``, ``force_to_thickness``
+    (target_thickness).
+    """
+    inputs = inputs or {}
+    chain = config.get_string("surface.models")
+    base, mods = _split(chain)
+
+    def need_atm(name):
+        if atmosphere is None:
+            raise ValueError(f"surface model {name!r} needs an atmosphere model")
+        return atmosphere
+
+    if base == "simple":
+        model = _srf.Simple(atmosphere=need_atm(base))
+    elif base == "uniform":
+        model = _srf.Uniform()
+    elif base == "given":
+        model = _srf.Given(
+            smb_field=_need(inputs, "climatic_mass_balance", base),
+            temperature_field=_need(inputs, "ice_surface_temp", base))
+    elif base == "elevation":
+        model = _srf.ElevationDependent(
+            z_min=config.get_number("surface.elevation_dependent.z_min"),
+            z_ela=config.get_number("surface.elevation_dependent.z_ela"),
+            z_max=config.get_number("surface.elevation_dependent.z_max"),
+            m_min=config.get_number("surface.elevation_dependent.m_min", "m s-1"),
+            m_max=config.get_number("surface.elevation_dependent.m_max", "m s-1"))
+    elif base == "pdd":
+        from .pdd import TemperatureIndex
+        model = TemperatureIndex(atmosphere=need_atm(base), config=config)
+    elif base == "pik":
+        model = _srf.PIK(atmosphere=need_atm(base),
+                         latitude=_need(inputs, "latitude", base))
+    elif base == "ismip6":
+        model = _need(inputs, "ismip6_model", base)
+    else:
+        raise ValueError(f"unknown surface model {base!r}")
+
+    for mod in mods:
+        if mod == "anomaly":
+            model = _srf.Anomaly(
+                inner=model,
+                smb_anomaly=inputs.get("climatic_mass_balance_anomaly"),
+                temp_anomaly=inputs.get("ice_surface_temp_anomaly"),
+                times=inputs.get("anomaly_times"))
+        elif mod == "delta_T":
+            model = _srf.DeltaT(inner=model,
+                                offset=_need(inputs, "delta_T", mod))
+        elif mod == "cache":
+            model = _srf.Cache(inner=model, update_interval=config.get_number(
+                "surface.cache.update_interval", "seconds"))
+        elif mod == "force_to_thickness":
+            model = _srf.ForceThickness(
+                inner=model,
+                target_thickness=_need(inputs, "target_thickness", mod),
+                alpha=config.get_number("surface.force_to_thickness.alpha", "s-1"))
+        else:
+            raise ValueError(f"unknown surface modifier {mod!r}")
+    return model
+
+
+# ---------------------------------------------------------------- ocean
+def ocean_from_config(config, inputs: Optional[Mapping] = None, grid=None):
+    """Build the ocean chain from ``ocean.models``.
+
+    Bases: ``constant`` | ``pik`` | ``th`` (theta_ocean, salinity_ocean) |
+    ``given`` (shelf_base_mass_flux [, shelf_base_temperature, times]) |
+    ``pico`` (theta_ocean, salinity_ocean [, basins]; needs grid).
+    Modifiers: ``anomaly``, ``delta_T``, ``delta_SMB``, ``frac_SMB``,
+    ``runoff_SMB``, ``cache``.
+    """
+    inputs = inputs or {}
+    chain = config.get_string("ocean.models")
+    base, mods = _split(chain)
+
+    if base == "constant":
+        model = _ocn.Constant(config=config)
+    elif base == "pik":
+        model = _ocn.PIK(config=config)
+    elif base == "th":
+        model = _ocn.GivenTH(
+            theta_ocean=_need(inputs, "theta_ocean", base),
+            salinity_ocean=_need(inputs, "salinity_ocean", base),
+            config=config)
+    elif base == "given":
+        model = _ocn.Given(
+            melt_rate=_need(inputs, "shelf_base_mass_flux", base),
+            temperature=inputs.get("shelf_base_temperature"),
+            times=inputs.get("times"))
+    elif base == "pico":
+        from .pico import Pico
+        if grid is None:
+            raise ValueError("ocean model 'pico' needs the grid")
+        model = Pico(
+            temperature_ocean=_need(inputs, "theta_ocean", base),
+            salinity_ocean=_need(inputs, "salinity_ocean", base),
+            config=config, basin_mask=inputs.get("basins"), grid=grid)
+    else:
+        raise ValueError(f"unknown ocean model {base!r}")
+
+    for mod in mods:
+        if mod == "anomaly":
+            model = _ocn.Anomaly(inner=model,
+                                 anomaly=_need(inputs, "melt_anomaly", mod))
+        elif mod == "delta_T":
+            model = _ocn.DeltaT(inner=model,
+                                offset=_need(inputs, "delta_T", mod))
+        elif mod == "delta_SMB":
+            model = _ocn.DeltaSMB(inner=model,
+                                  offset=_need(inputs, "delta_SMB", mod))
+        elif mod == "frac_SMB":
+            model = _ocn.FracSMB(inner=model,
+                                 fraction=_need(inputs, "frac_SMB", mod))
+        elif mod == "runoff_SMB":
+            model = _ocn.RunoffSMB(inner=model,
+                                   delta_T=_need(inputs, "delta_T", mod))
+        elif mod == "cache":
+            model = _ocn.Cache(inner=model, update_interval=config.get_number(
+                "ocean.cache.update_interval", "seconds"))
+        else:
+            raise ValueError(f"unknown ocean modifier {mod!r}")
+    return model
+
+
+# ---------------------------------------------------------------- sea level
+def sea_level_from_config(config, inputs: Optional[Mapping] = None):
+    """Build the sea-level chain from ``sea_level.models``.
+    Bases: ``constant``. Modifiers: ``delta_sl`` (delta_SL forcing),
+    ``delta_sl_2d`` (delta_SL_2D field)."""
+    inputs = inputs or {}
+    chain = config.get_string("sea_level.models")
+    base, mods = _split(chain)
+    if base == "constant":
+        model = _sl.Constant(value=config.get_number("sea_level.constant.value"))
+    else:
+        raise ValueError(f"unknown sea level model {base!r}")
+    for mod in mods:
+        if mod == "delta_sl":
+            model = _sl.DeltaSL(inner=model,
+                                offset=_need(inputs, "delta_SL", mod))
+        elif mod == "delta_sl_2d":
+            model = _sl.DeltaSL2D(inner=model,
+                                  offset_field=_need(inputs, "delta_SL_2D", mod))
+        else:
+            raise ValueError(f"unknown sea level modifier {mod!r}")
+    return model

@@ -162,6 +162,34 @@ class GivenTH(OceanModel):
 
 
 @dataclass
+class Given(OceanModel):
+    """PISM ``-ocean given``: prescribed sub-shelf melt rate and temperature
+    fields (optionally time-sliced stacks with ``times``)."""
+
+    melt_rate: jnp.ndarray                 # m/s ice equivalent (2D or (Nt,My,Mx))
+    temperature: Optional[jnp.ndarray] = None   # K
+    times: Optional[jnp.ndarray] = None    # (Nt,) [s], sorted
+
+    def _slice(self, field, t, dtype):
+        f = jnp.asarray(field, dtype)
+        if self.times is None or f.ndim == 2:
+            return f
+        times = jnp.asarray(self.times)
+        k = jnp.clip(jnp.searchsorted(times, t, side="right") - 1,
+                     0, times.shape[0] - 1)
+        return f[k]
+
+    def inputs(self, geometry, t) -> OceanInputs:
+        dtype = geometry.ice_thickness.dtype
+        melt = self._slice(self.melt_rate, t, dtype)
+        if self.temperature is not None:
+            T = self._slice(self.temperature, t, dtype)
+        else:
+            T = jnp.full(geometry.ice_thickness.shape, 271.15, dtype)
+        return OceanInputs(melt, T)
+
+
+@dataclass
 class Anomaly(OceanModel):
     """Additive melt anomaly on top of an inner model."""
 
@@ -172,3 +200,92 @@ class Anomaly(OceanModel):
         o = self.inner.inputs(geometry, t)
         return OceanInputs(o.shelf_base_melt + jnp.asarray(self.anomaly),
                            o.shelf_base_temperature)
+
+
+@dataclass
+class DeltaT(OceanModel):
+    """PISM ``-ocean ...,delta_T``: scalar offset time series on the
+    sub-shelf water temperature. For melt models that respond to thermal
+    forcing the melt is adjusted with a linear sensitivity
+    d(melt)/dT (PISM applies the offset to the temperature field that the
+    inner model then consumes; here inner models are closed-form, so the
+    shift is applied to their output temperature and, optionally, melt)."""
+
+    inner: OceanModel
+    offset: Callable                  # t -> K
+    melt_sensitivity: float = 0.0     # m/s per K of warming (0 = T-only)
+
+    def inputs(self, geometry, t) -> OceanInputs:
+        o = self.inner.inputs(geometry, t)
+        dT = self.offset(t)
+        return OceanInputs(o.shelf_base_melt + self.melt_sensitivity * dT,
+                           o.shelf_base_temperature + dT)
+
+
+@dataclass
+class DeltaSMB(OceanModel):
+    """PISM ``-ocean ...,delta_SMB``: scalar additive offset time series on
+    the sub-shelf mass flux."""
+
+    inner: OceanModel
+    offset: Callable                  # t -> m/s ice equivalent
+
+    def inputs(self, geometry, t) -> OceanInputs:
+        o = self.inner.inputs(geometry, t)
+        return OceanInputs(o.shelf_base_melt + self.offset(t),
+                           o.shelf_base_temperature)
+
+
+@dataclass
+class FracSMB(OceanModel):
+    """PISM ``-ocean ...,frac_SMB``: scalar multiplicative scaling time
+    series on the sub-shelf mass flux."""
+
+    inner: OceanModel
+    fraction: Callable                # t -> dimensionless
+
+    def inputs(self, geometry, t) -> OceanInputs:
+        o = self.inner.inputs(geometry, t)
+        return OceanInputs(o.shelf_base_melt * self.fraction(t),
+                           o.shelf_base_temperature)
+
+
+@dataclass
+class RunoffSMB(OceanModel):
+    """PISM ``-ocean ...,runoff_SMB`` (``ocean::Runoff_SMB``): scale the
+    sub-shelf melt with surface-runoff changes driven by an air-temperature
+    anomaly time series dT(t). Runoff enhances plume-driven melt following
+    the Xu et al. (2013) power-law fit:
+
+        melt -> melt * (1 + B * Q^alpha * dT^beta),  Q = a dT
+
+    with a = ``ocean.runoff_to_ocean_melt.temp_to_runoff_a`` (runoff change
+    per K) and the Xu et al. exponents alpha ~ 0.54, beta ~ 1.17."""
+
+    inner: OceanModel
+    delta_T: Callable                 # t -> K air-temperature anomaly
+    temp_to_runoff_a: float = 0.1     # (fractional) runoff change per K
+    melt_factor_B: float = 1.0
+    alpha: float = 0.54
+    beta: float = 1.17
+
+    def inputs(self, geometry, t) -> OceanInputs:
+        o = self.inner.inputs(geometry, t)
+        dT = jnp.maximum(self.delta_T(t), 0.0)
+        Q = self.temp_to_runoff_a * dT
+        factor = 1.0 + self.melt_factor_B * Q ** self.alpha * dT ** self.beta
+        return OceanInputs(o.shelf_base_melt * factor,
+                           o.shelf_base_temperature)
+
+
+@dataclass
+class Cache(OceanModel):
+    """PISM ``-ocean ...,cache``: piecewise-constant clock for an expensive
+    inner model (see ``surface.Cache`` for the traced-equivalence note)."""
+
+    inner: OceanModel
+    update_interval: float            # seconds
+
+    def inputs(self, geometry, t) -> OceanInputs:
+        tq = jnp.floor(t / self.update_interval) * self.update_interval
+        return self.inner.inputs(geometry, tq)

@@ -10,7 +10,7 @@ onto the device as arrays.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -136,6 +136,99 @@ class ISMIP6(SurfaceModel):
              + self._slice(self.a_temp, t, dt_)
              + self._slice(self.dtemp_dz, t, dt_) * dh)
         return SurfaceInputs(smb, T)
+
+
+@dataclass
+class Simple(SurfaceModel):
+    """PISM ``-surface simple`` (``surface::Simple``): the identity
+    coupling — SMB = atmosphere precipitation (all precip treated as ice
+    accumulation), ice surface temperature = mean-annual air temperature."""
+
+    atmosphere: object          # AtmosphereModel
+
+    def __call__(self, geometry, t) -> SurfaceInputs:
+        a = self.atmosphere(geometry, t)
+        return SurfaceInputs(a.precipitation, a.temperature)
+
+
+@dataclass
+class PIK(SurfaceModel):
+    """PISM ``-surface pik`` (``src/coupler/surface/PIK.cc``): SMB = precip
+    from the atmosphere; ice surface temperature from the Martin et al.
+    (2011, TC) Antarctic parameterization
+
+        T_s [K] = 273.15 + 30 - 0.0075 h - 0.68775 |lat|
+
+    with h the surface elevation [m] and lat in degrees (|lat| = degrees
+    south for Antarctica), capped at the melting point."""
+
+    atmosphere: object
+    latitude: jnp.ndarray       # degrees (negative in the south)
+
+    def __call__(self, geometry, t) -> SurfaceInputs:
+        a = self.atmosphere(geometry, t)
+        h = geometry.ice_surface_elevation
+        lat = jnp.abs(jnp.asarray(self.latitude, h.dtype))
+        T = 273.15 + 30.0 - 0.0075 * h - 0.68775 * lat
+        return SurfaceInputs(a.precipitation, jnp.minimum(T, 273.15))
+
+
+@dataclass
+class Anomaly(SurfaceModel):
+    """PISM ``-surface ...,anomaly``: adds prescribed SMB / temperature
+    anomaly fields to an inner model (time-sliced stacks supported)."""
+
+    inner: SurfaceModel
+    smb_anomaly: Optional[jnp.ndarray] = None       # m/s
+    temp_anomaly: Optional[jnp.ndarray] = None      # K
+    times: Optional[jnp.ndarray] = None             # (Nt,) [s] if stacked
+
+    def _slice(self, field, t, dtype):
+        if field is None:
+            return jnp.zeros((), dtype)
+        f = jnp.asarray(field, dtype)
+        if self.times is None or f.ndim == 2:
+            return f
+        times = jnp.asarray(self.times)
+        k = jnp.clip(jnp.searchsorted(times, t, side="right") - 1,
+                     0, times.shape[0] - 1)
+        return f[k]
+
+    def __call__(self, geometry, t) -> SurfaceInputs:
+        s = self.inner(geometry, t)
+        dt_ = s.smb.dtype
+        return SurfaceInputs(s.smb + self._slice(self.smb_anomaly, t, dt_),
+                             s.temperature + self._slice(self.temp_anomaly, t, dt_))
+
+
+@dataclass
+class DeltaT(SurfaceModel):
+    """PISM ``-surface ...,delta_T``: scalar ice-surface-temperature offset
+    time series on top of an inner model."""
+
+    inner: SurfaceModel
+    offset: Callable            # t -> K
+
+    def __call__(self, geometry, t) -> SurfaceInputs:
+        s = self.inner(geometry, t)
+        return SurfaceInputs(s.smb, s.temperature + self.offset(t))
+
+
+@dataclass
+class Cache(SurfaceModel):
+    """PISM ``-surface ...,cache`` (``surface::Cache``): update the inner
+    (expensive) model only every ``update_interval`` and reuse the result
+    in between. In the traced step the equivalent is quantizing the time
+    argument — the inner model sees a piecewise-constant clock, so XLA CSE
+    reuses the computation within a segment and results are identical to
+    the reference semantics (stale-by-up-to-interval forcing)."""
+
+    inner: SurfaceModel
+    update_interval: float      # seconds
+
+    def __call__(self, geometry, t) -> SurfaceInputs:
+        tq = jnp.floor(t / self.update_interval) * self.update_interval
+        return self.inner(geometry, tq)
 
 
 @dataclass
