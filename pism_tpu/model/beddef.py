@@ -95,8 +95,13 @@ class LingleClark:
         q_hat = jnp.fft.rfft2(q)
 
         U_hat = jnp.fft.rfft2(self._pad(U).astype(q.dtype))
-        alpha = self.rho_r * self.g + self.D * self.k4
-        two_eta_k = 2.0 * self.eta * jnp.maximum(self.k, 1e-12)
+        # keep the spectral coefficients in the field precision: mixing the
+        # f64 wavenumber tables into c64 spectra promotes to complex128,
+        # which the TPU FFT does not support
+        rdt = q.dtype
+        alpha = (self.rho_r * self.g + self.D * self.k4).astype(rdt)
+        two_eta_k = (2.0 * self.eta
+                     * jnp.maximum(self.k, 1e-12)).astype(rdt)
         a_coef = two_eta_k / dt
         U_hat_new = ((a_coef - 0.5 * alpha) * U_hat - q_hat) / (a_coef + 0.5 * alpha)
         # k = 0 mode: immediate local isostatic equilibrium has no meaning on

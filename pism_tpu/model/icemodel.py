@@ -64,6 +64,7 @@ class IceModel:
     config: Config
     surface: Callable = None           # SurfaceModel
     ocean: Callable = None             # OceanModel (sub-shelf melt), optional
+    sea_level: Callable = None         # SeaLevelModel, optional
     energy_model: object = None        # model/energy_step.EnergyModel, optional
     ssa: object = None                 # SSA solver, optional
     hydrology: object = None
@@ -224,6 +225,17 @@ class IceModel:
 
     def _step(self, state: S.ModelState, t, t_end, stats: StepStats):
         grid, sh, cfg = self.grid, self.sh, self.config
+
+        # 0. sea-level forcing (PISM updates the sea level before dynamics
+        # so the flotation mask sees the current value) --------------------
+        if self.sea_level is not None:
+            geom0 = state.geometry
+            sl = jnp.asarray(self.sea_level(geom0, t),
+                             geom0.ice_thickness.dtype)
+            geom0 = S.ensure_consistency(
+                geom0.replace(sea_level=jnp.broadcast_to(sl, geom0.sea_level.shape)),
+                self.rho_i, self.rho_w, self.Hmin, self.subgl)
+            state = state.replace(geometry=geom0)
 
         # 1-2. stress balance and adaptive dt ------------------------------
         tau_c = None

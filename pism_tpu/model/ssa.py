@@ -440,19 +440,30 @@ class SSAFD:
             newton_uv = (uv[0] + ak * d[0], uv[1] + ak * d[1])
             newton_F2 = norms[k]
 
-            picard_uv = free_hi(hi(picard_iter(0, uv32, reg=reg_final)))
-            picard_F = residual_hi(picard_uv)
-            picard_F2 = dot(picard_F, picard_F)
-
             # Newton only when it both improves on the current iterate and
             # beats the Picard candidate; otherwise take the Picard step
             # unconditionally (a fixed-point sweep need not decrease |F|
             # monotonically, but it is what converges globally — as in the
-            # reference, whose solver is pure Picard).
-            take_newton = (newton_F2 < picard_F2) & (newton_F2 < F2)
-            uv_new = (jnp.where(take_newton, newton_uv[0], picard_uv[0]),
-                      jnp.where(take_newton, newton_uv[1], picard_uv[1]))
-            F2_new = jnp.where(take_newton, newton_F2, picard_F2)
+            # reference, whose solver is pure Picard). The Picard candidate
+            # costs a second Krylov solve, so it is only evaluated (lax.cond
+            # runs one branch) when the Newton step failed sufficient
+            # decrease — in the usual regime where Newton converges this
+            # halves the per-sweep cost.
+            def newton_only(_):
+                return newton_uv, newton_F2
+
+            def with_picard(_):
+                picard_uv = free_hi(hi(picard_iter(0, uv32, reg=reg_final)))
+                picard_F = residual_hi(picard_uv)
+                picard_F2 = dot(picard_F, picard_F)
+                take_newton = (newton_F2 < picard_F2) & (newton_F2 < F2)
+                cand = (jnp.where(take_newton, newton_uv[0], picard_uv[0]),
+                        jnp.where(take_newton, newton_uv[1], picard_uv[1]))
+                return cand, jnp.where(take_newton, newton_F2, picard_F2)
+
+            sufficient = newton_F2 < 0.5 * F2
+            uv_new, F2_new = jax.lax.cond(sufficient, newton_only,
+                                          with_picard, None)
             F_new = residual_hi(uv_new)
             # stagnation measure: relative velocity change of this sweep
             dchg = (uv_new[0] - uv[0], uv_new[1] - uv[1])

@@ -170,3 +170,30 @@ def test_unknown_names_raise():
     cfg3 = Config({"atmosphere.models": "given"})
     with pytest.raises(ValueError):   # missing required inputs
         atmosphere_from_config(cfg3)
+
+
+def test_icemodel_applies_sea_level_forcing():
+    """The sea-level coupler updates geometry.sea_level (and the flotation
+    mask) inside the step loop (PISM step ordering item 10)."""
+    import jax.numpy as jnp
+    from pism_tpu import Time
+    from pism_tpu.model.icemodel import IceModel
+    from pism_tpu.coupler.sealevel import Constant as SLConstant, DeltaSL
+    from pism_tpu.coupler.surface import Uniform as SurfUniform
+    from pism_tpu.state import ModelState, floating_ice
+
+    grid = Grid(Mx=9, My=9, Lx=45e3, Ly=45e3)
+    cfg = Config({"stress_balance.model": "sia", "energy.model": "none",
+                  "geometry.update.enabled": False})
+    # ice of 300 m on bed at -290: floating at sl=0, grounded at sl=-100
+    geom = new_geometry(jnp.full(grid.shape2, 300.0),
+                        jnp.full(grid.shape2, -290.0))
+    assert bool(floating_ice(geom.cell_type)[4, 4])
+    slm = DeltaSL(inner=SLConstant(value=0.0),
+                  offset=lambda t: jnp.asarray(-100.0))
+    model = IceModel(grid=grid, config=cfg, surface=SurfUniform(smb=0.0),
+                     sea_level=slm)
+    state = ModelState(geometry=geom)
+    state, _ = model.run(state, Time(0.0, SPY))
+    assert float(state.geometry.sea_level[4, 4]) == -100.0
+    assert not bool(floating_ice(state.geometry.cell_type)[4, 4])
