@@ -1,15 +1,24 @@
 """Benchmark harness (run by the driver on real TPU hardware).
 
-Measures throughput of the flagship configuration — EISMINT II experiment A,
-thermomechanically coupled SIA on a 61x61x61 grid (the CPU-runnable reference
-config from BASELINE.md) — as model-years per wall-hour, fully on-device
-(adaptive-dt lax.while_loop segments; zero host sync inside a segment).
+Measures two throughputs and reports the flagship one:
 
-Baseline provenance: the reference mount is empty and BASELINE.json.published
-is {}; BASELINE.md records (from-memory, unverified) that reference PISM runs
-EISMINT II exp A (200 kyr) in ~minutes on one CPU core. We take 10 minutes
-for 200 kyr => 1.2e6 model-years/wall-hour as the indicative baseline;
-vs_baseline is measured/baseline with that caveat.
+1. PRIMARY — the BASELINE north-star configuration: Greenland-scale hybrid
+   SSA+SIA with enthalpy thermodynamics, PDD surface model, Mohr-Coulomb
+   basal strength (the ``examples/std-greenland`` model chain on a synthetic
+   20 km geometry; the real SeaRISE dataset is not available offline), as
+   model-years per wall-hour. Runs fully on device (adaptive-dt
+   lax.while_loop segments; zero host sync inside a segment) in float32
+   with the mixed-precision SSA solve (f64 iterate + outer residual, f32
+   Krylov).
+2. SECONDARY (in detail) — EISMINT II experiment A, thermomechanically
+   coupled SIA on a 61x61x61 grid (the CPU-runnable reference config).
+
+Baseline provenance: the reference mount is empty and
+BASELINE.json.published is {}. BASELINE.md records (from-memory,
+unverified) that 64-rank MPI PISM sustains order 1e3-1e4 model-years/hour
+on 5-20 km Greenland grids; we take 3,000 model-years/wall-hour as the
+indicative 64-rank 20 km baseline (PISM manual-scale numbers), so
+vs_baseline is measured/3000 with that caveat.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -18,58 +27,137 @@ import json
 import sys
 import time
 
-BASELINE_MODEL_YEARS_PER_HOUR = 1.2e6  # from-memory PISM estimate (see above)
+BASELINE_HYBRID_MODEL_YEARS_PER_HOUR = 3.0e3   # indicative 64-rank PISM, 20 km
+BASELINE_SIA_MODEL_YEARS_PER_HOUR = 1.2e6      # 1-core PISM EISMINT II estimate
 SPY = 3.15569259747e7
 
 
-def main():
+def _to_f32(state):
     import jax
     import jax.numpy as jnp
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, state)
 
+
+def bench_eismint_sia(dtype):
+    import jax
     from pism_tpu.model.icemodel import IceModel
     from pism_tpu.verification import eismint2
-
-    dtype = "float32" if any(d.platform != "cpu" for d in jax.devices()) else "float64"
 
     es = eismint2.setup("A", Mx=61, Mz=61, Lz=5000.0)
     es.config.update({"runtime.float_dtype": dtype})
     model = IceModel(grid=es.grid, config=es.config, surface=es.surface)
-    state = es.state
-    if dtype == "float32":
-        state = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.float32)
-            if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, state)
+    state = es.state if dtype == "float64" else _to_f32(es.state)
 
-    # Warm up: compile + spin ice up so the adaptive dt is in its
-    # steady (diffusivity-limited) regime, the honest throughput regime.
-    t = 0.0
-    state, t, _ = model.step_once(state, t, 5000.0 * SPY)
+    # warm up: compile + spin into the diffusivity-limited dt regime
+    state, t, _ = model.step_once(state, 0.0, 5000.0 * SPY)
     jax.block_until_ready(state.geometry.ice_thickness)
 
-    # Timed segment (same jitted computation, no recompile).
-    bench_years = 2000.0
+    years = 2000.0
     tic = time.time()
-    state, t, stats = model.step_once(state, t, bench_years * SPY)
+    state, t, stats = model.step_once(state, t, years * SPY)
     jax.block_until_ready(state.geometry.ice_thickness)
     wall = time.time() - tic
-
-    nsteps = int(stats.nsteps)
-    my_per_hour = bench_years / wall * 3600.0
     cells = es.grid.Mx * es.grid.My * es.grid.Mz
-    cell_updates_per_s = nsteps * cells / wall
+    return {
+        "model_years_per_hour": round(years / wall * 3600.0, 1),
+        "steps": int(stats.nsteps),
+        "wall_s": round(wall, 3),
+        "cell_updates_per_s": round(int(stats.nsteps) * cells / wall, 0),
+    }
 
+
+def bench_hybrid_greenland(dtype):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pism_tpu import Config, Grid
+    from pism_tpu.coupler import atmosphere as atm
+    from pism_tpu.coupler.pdd import TemperatureIndex
+    from pism_tpu.coupler.ocean import Constant as OceanConstant
+    from pism_tpu.model.icemodel import IceModel
+    from pism_tpu.state import ModelState, new_geometry
+
+    km = 20.0
+    Lx, Ly = 750e3, 1400e3
+    Mx = int(2 * Lx / (km * 1e3)) + 1
+    My = int(2 * Ly / (km * 1e3)) + 1
+    grid = Grid(Mx=Mx, My=My, Lx=Lx, Ly=Ly, Mz=41, Lz=4000.0)
+    cfg = Config({
+        "stress_balance.model": "ssa+sia",
+        "energy.model": "enthalpy",
+        "basal_resistance.pseudo_plastic.enabled": True,
+        "basal_resistance.pseudo_plastic.q": 0.25,
+        "basal_yield_stress.model": "mohr_coulomb",
+        "calving.methods": "thickness_calving",
+        "geometry.remove_icebergs": True,
+        "geometry.part_grid.enabled": True,
+        "time_stepping.skip.enabled": True,
+        "time_stepping.skip.max": 10,
+        "runtime.float_dtype": dtype,
+        "runtime.device_loop": True,
+    })
+
+    X, Y = np.meshgrid(grid.x, grid.y)
+    r2 = (X / (0.55 * Lx)) ** 2 + (Y / (0.8 * Ly)) ** 2
+    bed = 400.0 - 900.0 * r2 + 150.0 * np.sin(X / 120e3) * np.cos(Y / 160e3)
+    H = 2800.0 * np.maximum(1.0 - r2, 0.0) ** 1.5 * (bed > -600)
+    lat = 60.0 + (Y + Ly) / (2 * Ly) * 23.0
+    lon = -42.0 + X / Lx * 10.0
+    precip = np.clip(0.6 - 0.25 * (lat - 60.0) / 23.0, 0.05, None) / SPY
+    a = atm.SeariseGreenland(latitude=jnp.asarray(lat),
+                             longitude=jnp.asarray(lon),
+                             precipitation=jnp.asarray(precip))
+    surface = TemperatureIndex(atmosphere=a, config=cfg)
+    model = IceModel(grid=grid, config=cfg, surface=surface,
+                     ocean=OceanConstant(config=cfg))
+    state = model.prepare_state(ModelState(geometry=new_geometry(
+        jnp.asarray(H), jnp.asarray(bed))))
+    if dtype == "float32":
+        state = _to_f32(state)
+
+    # warm up: compile + let the fronts/dt settle
+    state, t, _ = model.step_once(state, 0.0, 10.0 * SPY)
+    jax.block_until_ready(state.geometry.ice_thickness)
+
+    years = 50.0
+    tic = time.time()
+    state, t, stats = model.step_once(state, t, years * SPY)
+    jax.block_until_ready(state.geometry.ice_thickness)
+    wall = time.time() - tic
+    return {
+        "model_years_per_hour": round(years / wall * 3600.0, 1),
+        "steps": int(stats.nsteps),
+        "wall_s": round(wall, 3),
+        "grid": f"{Mx}x{My}x41 @ {km:.0f} km",
+    }
+
+
+def main():
+    import jax
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    dtype = "float32" if on_tpu else "float64"
+
+    hybrid = bench_hybrid_greenland(dtype)
+    sia = bench_eismint_sia(dtype)
+
+    value = hybrid["model_years_per_hour"]
     result = {
-        "metric": "EISMINT2-A 61x61x61 thermo-coupled SIA model-years/wall-hour",
-        "value": round(my_per_hour, 1),
+        "metric": "synthetic-Greenland 20 km hybrid SSA+SIA+enthalpy+PDD model-years/wall-hour",
+        "value": value,
         "unit": "model_years/hour",
-        "vs_baseline": round(my_per_hour / BASELINE_MODEL_YEARS_PER_HOUR, 3),
+        "vs_baseline": round(value / BASELINE_HYBRID_MODEL_YEARS_PER_HOUR, 3),
         "detail": {
-            "steps": nsteps,
-            "wall_s": round(wall, 3),
-            "cell_updates_per_s": round(cell_updates_per_s, 0),
+            "hybrid": hybrid,
+            "eismint2A_sia": sia,
+            "eismint2A_vs_1core_baseline": round(
+                sia["model_years_per_hour"] / BASELINE_SIA_MODEL_YEARS_PER_HOUR, 3),
             "dtype": dtype,
             "platform": jax.devices()[0].platform,
-            "baseline_note": "1.2e6 model-years/hour from-memory PISM 1-core estimate (reference mount empty)",
+            "baseline_note": "3e3 model-years/hour indicative 64-rank PISM "
+                             "20 km estimate (reference mount empty; see BASELINE.md)",
         },
     }
     print(json.dumps(result))

@@ -6,10 +6,19 @@ series, ``-ts_file/-ts_times`` scalar series) plus wall-clock backups
 (``-backup_interval``). The manager runs on the host at segment boundaries;
 ``IceModel.run`` clamps each jitted segment to the next requested output
 time so outputs land exactly (PISM ``time_stepping.hit_extra_times``).
+
+Asynchronous writes (the analog of the reference's parallel NetCDF path,
+which overlaps I/O with compute across ranks): with ``async_io`` (default)
+the device->host transfer and the NetCDF write run on a single worker
+thread in submission order, so the next jitted segment launches without
+waiting on the disk. JAX arrays are immutable, so handing the state to the
+writer is safe while the device advances. ``close()`` drains the queue.
 """
 
 from __future__ import annotations
 
+import queue as _queue
+import threading as _threading
 import time as _time
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
@@ -19,6 +28,48 @@ import numpy as np
 from . import diagnostics as diag
 from ..io import checkpoint as ckpt
 from ..io.nc4 import File
+
+
+class _AsyncWriter:
+    """Single worker thread executing write closures in order."""
+
+    def __init__(self):
+        self._q: _queue.Queue = _queue.Queue()
+        self._err = None
+        self._thread = _threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            task = self._q.get()
+            try:
+                if task is None:
+                    return
+                try:
+                    task()
+                except Exception as e:      # surfaced on next submit/drain
+                    self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, task):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        self._q.put(task)
+
+    def drain(self):
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def stop(self):
+        self._q.put(None)
+        self._thread.join(timeout=30.0)
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
 
 def _times(seq) -> np.ndarray:
@@ -44,8 +95,11 @@ class OutputManager:
     # wall-clock backups
     backup_interval: float = 0.0   # seconds of wall time; 0 disables
     backup_file: str = "backup.nc"
+    # overlap device->host transfer + NetCDF writes with the device loop
+    async_io: bool = True
 
     def __post_init__(self):
+        self._writer = _AsyncWriter() if self.async_io else None
         self._snap = list(_times(self.snapshot_times))
         self._extra = list(_times(self.extra_times))
         self._ts = list(_times(self.ts_times))
@@ -66,13 +120,21 @@ class OutputManager:
         cands = [s[0] for s in (self._snap, self._extra, self._ts) if s and s[0] > t + eps]
         return min(cands) if cands else np.inf
 
+    def _submit(self, task) -> None:
+        """Run ``task`` on the writer thread (in order), or inline."""
+        if self._writer is not None:
+            self._writer.submit(task)
+        else:
+            task()
+
     # -- processing ----------------------------------------------------------
     def process(self, state, t: float, model) -> None:
         eps = 1e-3
         while self._snap and self._snap[0] <= t + eps:
             ts = self._snap.pop(0)
             path = self.snapshot_file.format(kyr=ts / 3.15569259747e10, t=ts)
-            ckpt.save_state(path, state, self.grid, t, config=self.config)
+            self._submit(lambda path=path, state=state, t=t: ckpt.save_state(
+                path, state, self.grid, t, config=self.config))
         while self._extra and self._extra[0] <= t + eps:
             self._extra.pop(0)
             self._write_extra(state, t, model)
@@ -81,40 +143,61 @@ class OutputManager:
             self._write_ts(state, t, model)
         if self.backup_interval > 0 and \
                 _time.time() - self._last_backup_wall > self.backup_interval:
-            ckpt.save_state(self.backup_file, state, self.grid, t,
-                            config=self.config)
+            self._submit(lambda state=state, t=t: ckpt.save_state(
+                self.backup_file, state, self.grid, t, config=self.config))
             self._last_backup_wall = _time.time()
 
     def _write_extra(self, state, t, model):
         f = self._extra_f
         if f is None:
             return
-        n = f.append_time(t)
+        # diagnostics are computed (dispatched) on the main thread; the
+        # device->host transfer + h5 write happen on the writer thread
         values = diag.compute_spatial(self.extra_vars, state, model, t)
-        for name, v in values.items():
-            d = diag.SPATIAL[name]
-            arr = np.asarray(v)
-            dims = ("time", "y", "x") if arr.ndim == 2 else ("time", "y", "x", "z")
-            f.write(name, arr[None], dims,
-                    {"units": d.units, "long_name": d.long_name}, time_index=n)
-        f.h5.flush()
+
+        def task(values=values, t=t):
+            n = f.append_time(t)
+            for name, v in values.items():
+                d = diag.SPATIAL[name]
+                arr = np.asarray(v)
+                dims = ("time", "y", "x") if arr.ndim == 2 \
+                    else ("time", "y", "x", "z")
+                f.write(name, arr[None], dims,
+                        {"units": d.units, "long_name": d.long_name},
+                        time_index=n)
+            f.h5.flush()
+
+        self._submit(task)
 
     def _write_ts(self, state, t, model):
         f = self._ts_f
         if f is None:
             return
-        n = f.append_time(t)
         values = diag.compute_scalar(self.ts_vars, state, model, t)
-        rec = {"time": t}
-        for name, v in values.items():
-            d = diag.SCALAR[name]
-            f.write(name, np.asarray(float(v)).reshape(1), ("time",),
-                    {"units": d.units, "long_name": d.long_name}, time_index=n)
-            rec[name] = float(v)
-        self._ts_records.append(rec)
-        f.h5.flush()
+
+        def task(values=values, t=t):
+            n = f.append_time(t)
+            rec = {"time": t}
+            for name, v in values.items():
+                d = diag.SCALAR[name]
+                f.write(name, np.asarray(float(v)).reshape(1), ("time",),
+                        {"units": d.units, "long_name": d.long_name},
+                        time_index=n)
+                rec[name] = float(v)
+            self._ts_records.append(rec)
+            f.h5.flush()
+
+        self._submit(task)
+
+    def flush(self):
+        """Block until all queued writes hit the files."""
+        if self._writer is not None:
+            self._writer.drain()
 
     def close(self):
+        if self._writer is not None:
+            self._writer.stop()
+            self._writer = None
         if self._extra_f is not None:
             self._extra_f.close()
         if self._ts_f is not None:
