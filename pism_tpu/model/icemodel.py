@@ -464,6 +464,20 @@ class IceModel:
                     "bootstrapping.defaults.geothermal_flux")).astype(H.dtype)
         return state.replace(**kw) if kw else state
 
+    def _check_thickness(self, state: S.ModelState) -> None:
+        """PISM aborts when the ice thickness reaches the top of the
+        computational box (``IceModel::check_maximum_ice_thickness``): the
+        column solvers' surface boundary condition needs the surface
+        strictly inside the grid. Host-side check at segment boundaries."""
+        if self.energy_model is None and self.age_model is None:
+            return
+        Hmax = float(jnp.max(state.geometry.ice_thickness))
+        if Hmax >= self.grid.Lz:
+            raise RuntimeError(
+                f"ice thickness ({Hmax:.1f} m) reaches the top of the "
+                f"computational box (Lz = {self.grid.Lz:.1f} m); increase "
+                "grid.Lz (PISM aborts identically)")
+
     # ------------------------------------------------------------------ API
     def run(self, state: S.ModelState, time: Time,
             segment_seconds: Optional[float] = None,
@@ -479,6 +493,7 @@ class IceModel:
         if segment_seconds is None:
             segment_seconds = self.config.get_number("runtime.segment_years", "seconds")
         state = self.prepare_state(state)
+        self._check_thickness(state)
         t = time.start
         total_stats = None
         while t < time.end - 1e-6:
@@ -487,6 +502,7 @@ class IceModel:
                 t_seg = min(t_seg, output.next_time(t))
             state, t_dev, stats = self._advance(state, t, t_seg)
             t = float(t_dev)
+            self._check_thickness(state)
             total_stats = _merge_stats(total_stats, stats)
             if output is not None:
                 output.process(state, t, self)
