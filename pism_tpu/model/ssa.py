@@ -393,7 +393,26 @@ class SSAFD:
                 rtol=self.ksp_rtol, max_iter=self.ksp_max, dot_dtype=ddt)
             return free(sol)
 
-        uv = jax.lax.fori_loop(0, self.picard_warmup, picard_iter, uv)
+        # adaptive warmup: within the time-stepping loop the previous
+        # velocity is an excellent initial guess, and additional continuation
+        # sweeps (each a full Krylov solve) change it by well under a
+        # percent — stop the warmup once a sweep moves the velocity by less
+        # than 3% relative. Cold starts keep the full continuation schedule
+        # (their early sweeps change the iterate by orders of magnitude).
+        def warm_cond(carry):
+            i, _, chg2 = carry
+            return (i < self.picard_warmup) & (chg2 > 0.03 ** 2)
+
+        def warm_body(carry):
+            i, uv, _ = carry
+            uv_new = picard_iter(i, uv)
+            d_ = (uv_new[0] - uv[0], uv_new[1] - uv[1])
+            chg2 = dot(d_, d_) / jnp.maximum(dot(uv_new, uv_new), 1e-300)
+            return i + 1, uv_new, chg2
+
+        _, uv, _ = jax.lax.while_loop(
+            warm_cond, warm_body,
+            (jnp.asarray(0), uv, jnp.asarray(jnp.inf, jnp.float64 if ddt else dtype)))
         uv = free_hi(hi(uv))   # promote the iterate to the carry precision
 
         # ---- safeguarded Newton-Picard ----------------------------------
