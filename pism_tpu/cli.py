@@ -59,6 +59,9 @@ def build_parser():
                    help="wall-clock hours between backups")
     p.add_argument("-config", action="append", default=[],
                    metavar="KEY=VALUE", help="config override (repeatable)")
+    p.add_argument("-config_override", metavar="FILE", default=None,
+                   help="merge config overrides from a file (.json dict or a "
+                        "NetCDF file carrying a stored pism_tpu config)")
     p.add_argument("-atmosphere", default=None,
                    help="atmosphere model chain (e.g. uniform,delta_T)")
     p.add_argument("-surface", default=None,
@@ -195,6 +198,16 @@ def main(argv=None):
         print("error: need one of -i, -eisII, -test", file=sys.stderr)
         return 1
 
+    if args.config_override:
+        # PISM ``-config_override``: merge a user parameter file on top of the
+        # defaults (reference src/util/ConfigInterface.cc override handling)
+        if args.config_override.endswith(".json"):
+            import json
+            with open(args.config_override) as f:
+                cfg.update(json.load(f))
+        else:
+            over = ckpt.load_config(args.config_override)
+            cfg.update(over.non_default())
     _apply_config_overrides(cfg, args.config)
 
     # PISM-style coupler selection flags: build chains via the factory
@@ -244,8 +257,11 @@ def main(argv=None):
     )
 
     wall0 = _wall.time()
+    t_reached = run_time.start
 
     def report(state_, t, stats):
+        nonlocal t_reached
+        t_reached = t
         if log.verbosity >= 2:
             vol = float(jnp.sum(state_.geometry.ice_thickness)) \
                 * grid.dx * grid.dy / 1e9
@@ -254,9 +270,12 @@ def main(argv=None):
                 "wall = %7.1f s", t / yl, int(stats.nsteps), vol,
                 _wall.time() - wall0)
 
-    state, stats = model.run(state, run_time, output=out, callback=report)
+    from .util.signals import SignalMonitor
+    with SignalMonitor() as sigs:
+        state, stats = model.run(state, run_time, output=out,
+                                 callback=report, signals=sigs)
     out.close()
-    ckpt.save_state(args.o, state, grid, run_time.end, config=cfg)
+    ckpt.save_state(args.o, state, grid, t_reached, config=cfg)
     log.message(1, "done; state written to %s", args.o)
     return 0
 

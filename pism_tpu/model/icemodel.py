@@ -30,6 +30,7 @@ from ..ops import sia as sia_ops
 from ..ops.stencils import Shifter
 from ..physics.rheology import flow_law_from_config
 from ..physics.enthalpy_converter import EnthalpyConverter
+from ..util.logger import log
 from ..util.timecal import Time
 from . import geometry_evolution as ge
 from .stressbalance import StressBalance, StressBalanceResult
@@ -482,13 +483,19 @@ class IceModel:
     def run(self, state: S.ModelState, time: Time,
             segment_seconds: Optional[float] = None,
             callback: Optional[Callable] = None,
-            output: Optional[object] = None):
+            output: Optional[object] = None,
+            signals: Optional[object] = None):
         """Advance from time.start to time.end.
 
         ``output``: an ``OutputManager``; segments are clamped to its next
         requested output time so snapshots/series land exactly (PISM
         ``hit_extra_times``). ``callback(state, t, stats)`` additionally runs
-        at every segment boundary.
+        at every segment boundary. ``signals``: a ``SignalMonitor`` polled
+        between segments — SIGUSR1 writes a backup and continues, SIGTERM
+        ends the run cleanly after the current segment (reference
+        ``IceModel::process_signals``). The reached time is returned in
+        ``stats.t_reached`` via the callback's ``t`` argument; callers that
+        need it should capture it there.
         """
         if segment_seconds is None:
             segment_seconds = self.config.get_number("runtime.segment_years", "seconds")
@@ -508,6 +515,13 @@ class IceModel:
                 output.process(state, t, self)
             if callback is not None:
                 callback(state, t, stats)
+            if signals is not None:
+                if signals.take_backup_request() and output is not None:
+                    output.write_backup(state, t)
+                if signals.stop_requested():
+                    log.message(1, "caught SIGTERM: stopping at t = %.2f a",
+                                t / 3.15569259747e7)
+                    break
         return state, total_stats
 
     def step_once(self, state: S.ModelState, t: float, dt_cap: float):

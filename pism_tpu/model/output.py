@@ -143,9 +143,13 @@ class OutputManager:
             self._write_ts(state, t, model)
         if self.backup_interval > 0 and \
                 _time.time() - self._last_backup_wall > self.backup_interval:
-            self._submit(lambda state=state, t=t: ckpt.save_state(
-                self.backup_file, state, self.grid, t, config=self.config))
-            self._last_backup_wall = _time.time()
+            self.write_backup(state, t)
+
+    def write_backup(self, state, t: float) -> None:
+        """Write a full-state backup now (wall-clock schedule or SIGUSR1)."""
+        self._submit(lambda state=state, t=t: ckpt.save_state(
+            self.backup_file, state, self.grid, t, config=self.config))
+        self._last_backup_wall = _time.time()
 
     def _write_extra(self, state, t, model):
         f = self._extra_f

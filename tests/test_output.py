@@ -93,3 +93,36 @@ def test_diagnostics_registry(model_state):
                                 state, model, sol.t0)
     assert float(svals["ice_volume"]) > 0
     assert float(svals["ice_area_glacierized"]) > 0
+
+def test_signal_handling(tmp_path, model_state):
+    """SIGUSR1 -> backup written, run continues; SIGTERM -> clean early stop
+    (reference IceModel::process_signals)."""
+    import os
+    import signal
+
+    from pism_tpu.util.signals import SignalMonitor
+
+    sol, grid, cfg, model, state = model_state
+    t0 = sol.t0
+    out = OutputManager(grid=grid, config=cfg,
+                        backup_file=str(tmp_path / "backup.nc"),
+                        async_io=False)
+    seen = []
+
+    def poke(state_, t, stats):
+        seen.append(t)
+        if len(seen) == 1:
+            os.kill(os.getpid(), signal.SIGUSR1)
+        elif len(seen) == 2:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    with SignalMonitor() as sigs:
+        state, _ = model.run(state, Time(t0, t0 + 500 * SPY), output=out,
+                             callback=poke, signals=sigs,
+                             segment_seconds=20 * SPY)
+    # stopped after the second segment, well before 500 years
+    assert len(seen) == 2
+    assert seen[-1] < t0 + 100 * SPY
+    from pism_tpu.io import checkpoint as ckpt
+    s2, t2 = ckpt.load_state(str(tmp_path / "backup.nc"), config=cfg)
+    assert abs(t2 - seen[0]) < 1.0
