@@ -2,22 +2,32 @@
 
 Rebuild of PISM ``surface::TemperatureIndex`` + ``localMassBalance.cc``: the
 expected positive degree days come from the Calov & Greve (2005) integral
-over a yearly temperature cycle with Gaussian daily variability sigma,
+over the temperature cycle with Gaussian daily variability sigma,
 
     E[max(T, 0)] = sigma/sqrt(2 pi) exp(-T^2 / (2 sigma^2))
-                   + (T/2) erfc(-T / (sqrt(2) sigma)),
+                   + (T/2) erfc(-T / (sqrt(2) sigma)).
 
-accumulated over N sub-year intervals; snow falls when air temperature is
-below a threshold (linear transition); PDDs melt snow first (factor_snow),
-a fraction of snow melt refreezes, remaining PDDs melt ice (factor_ice).
-The whole computation is a fused ``lax.fori_loop`` over the yearly cycle per
-step — one vectorized pass over the grid per interval.
+Like the reference, the model is **stateful**: 2D snow-depth and firn-depth
+bookkeeping fields (model state, checkpointed) persist across steps, melt
+is applied snow -> firn -> ice with separate degree-day factors, a fraction
+of snow/firn melt refreezes, and the snow depth resets at the start of each
+balance year (``surface.pdd.balance_year_start_day``), at which point the
+surviving snow is promoted to firn. The depths are melt-factor bookkeeping
+only — reported SMB = accumulation - runoff, so mass conservation does not
+depend on them (same convention as the reference).
+
+``update(geometry, t, dt, snow, firn)`` integrates the budget over
+``[t, t+dt]`` with a fixed number of sub-intervals (a ``lax.fori_loop``;
+one vectorized pass over the grid per interval), calling the atmosphere
+model at each sub-interval midpoint so time-dependent forcing (delta_T,
+anomaly stacks) is seen at sub-year resolution. The stateless ``__call__``
+returns the annual-expectation climatology (zero initial snow at the
+balance-year start), used for bootstrapping.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -42,54 +52,101 @@ class TemperatureIndex(SurfaceModel):
 
     atmosphere: AtmosphereModel
     config: object = None
-    n_intervals: int = 52   # weekly sub-year resolution, PISM default-ish
+    n_intervals: int = 26   # sub-intervals per update (and per year in
+    #                         __call__); the expectation integrand is smooth,
+    #                         midpoint quadrature converges fast
+
+    stateful = True
 
     def __post_init__(self):
         cfg = self.config
         self.factor_snow = cfg.get_number("surface.pdd.factor_snow", "m K-1 s-1")
         self.factor_ice = cfg.get_number("surface.pdd.factor_ice", "m K-1 s-1")
         self.refreeze = cfg.get_number("surface.pdd.refreeze")
+        self.refreeze_ice = cfg.get_flag("surface.pdd.refreeze_ice_melt")
         self.sigma = cfg.get_number("surface.pdd.std_dev.value")
         self.T_melt = cfg.get_number("surface.pdd.positive_threshold_temp")
         self.T_all_snow = cfg.get_number("surface.pdd.air_temp_all_precip_as_snow")
         self.T_all_rain = cfg.get_number("surface.pdd.air_temp_all_precip_as_rain")
+        self.balance_year_start = cfg.get_number(
+            "surface.pdd.balance_year_start_day") / 365.0  # year fraction
         self.rho_i = cfg.get_number("constants.ice.density")
         self.rho_w = cfg.get_number("constants.fresh_water.density")
 
-    def __call__(self, geometry, t) -> SurfaceInputs:
-        atm = self.atmosphere(geometry, t)
-        Ta, Tj, precip = atm.temperature, atm.temperature_july, atm.precipitation
-        dtype = Ta.dtype
+    def max_timestep(self, t) -> float:
+        # keep the yearly cycle resolved by the fixed sub-interval count
+        return SEC_PER_YEAR
+
+    # -- stateful protocol -----------------------------------------------------
+    def update(self, geometry, t, dt, snow, firn):
+        shp = geometry.ice_thickness.shape
+        dtype = geometry.ice_thickness.dtype
+        if snow is None:
+            snow = jnp.zeros(shp, dtype)
+        if firn is None:
+            firn = jnp.zeros(shp, dtype)
         N = self.n_intervals
-        dt_i = SEC_PER_YEAR / N
+        dt_i = dt / N
+
+        def balance_year(tk):
+            """Balance-year index of model time tk."""
+            return jnp.floor(tk / SEC_PER_YEAR - self.balance_year_start)
 
         def interval(k, carry):
-            smb, snow = carry
-            frac = (k + 0.5) / N
-            T = Ta + (Tj - Ta) * jnp.cos(2.0 * jnp.pi * (frac - 0.5))
+            smb, snow, firn, yr = carry
+            tk = t + (k + 0.5) * dt_i        # clock stays float64
+            dt_if = jnp.asarray(dt_i, dtype)  # field math in the field dtype
+            atm = self.atmosphere(geometry, tk)
+            Ta, Tj, precip = (atm.temperature.astype(dtype),
+                              atm.temperature_july.astype(dtype),
+                              atm.precipitation.astype(dtype))
+            frac = tk / SEC_PER_YEAR - jnp.floor(tk / SEC_PER_YEAR)
+            T = Ta + (Tj - Ta) * jnp.cos(2.0 * jnp.pi * (frac - 0.5)).astype(dtype)
+            # balance-year rollover: surviving snow becomes firn
+            yr_k = balance_year(tk)
+            rolled = yr_k > yr
+            firn = jnp.where(rolled, firn + snow, firn)
+            snow = jnp.where(rolled, 0.0, snow)
             # snow fraction of precipitation: 1 below T_all_snow, 0 above rain
             sf = jnp.clip((self.T_all_rain - T)
                           / (self.T_all_rain - self.T_all_snow), 0.0, 1.0)
-            snowfall = precip * sf * dt_i            # m ice equivalent
+            snowfall = precip * sf * dt_if           # m ice equivalent
             snow = snow + snowfall
             # degree-day supply this interval [K s] -> [K day]
-            pdd = expected_pdd_rate(T, self.T_melt, self.sigma) * dt_i / 86400.0
-            # melt snow first
-            snow_melt_cap = self.factor_snow * 86400.0 * pdd
-            snow_melt = jnp.minimum(snow, snow_melt_cap)
-            pdd_left = jnp.where(snow_melt_cap > 0,
-                                 pdd * (1.0 - snow_melt / jnp.maximum(snow_melt_cap, 1e-30)),
-                                 pdd)
-            ice_melt = self.factor_ice * 86400.0 * pdd_left
-            refrozen = self.refreeze * snow_melt
-            smb = smb + snowfall - snow_melt - ice_melt + refrozen
+            pdd = expected_pdd_rate(T, self.T_melt, self.sigma) * dt_if / 86400.0
+            # melt snow, then firn (snow factor), then ice
+            snowfirn_cap = self.factor_snow * 86400.0 * pdd
+            snow_melt = jnp.minimum(snow, snowfirn_cap)
+            firn_melt = jnp.minimum(firn, snowfirn_cap - snow_melt)
+            used = jnp.where(snowfirn_cap > 0,
+                             (snow_melt + firn_melt)
+                             / jnp.maximum(snowfirn_cap, 1e-30), 0.0)
+            ice_melt = self.factor_ice * 86400.0 * pdd * (1.0 - used)
+            refrozen = self.refreeze * (snow_melt + firn_melt)
+            if self.refreeze_ice:
+                refrozen = refrozen + self.refreeze * ice_melt
+            smb = smb + snowfall - snow_melt - firn_melt - ice_melt + refrozen
             snow = snow - snow_melt
-            return smb, snow
+            firn = firn - firn_melt
+            return smb, snow, firn, yr_k
 
-        smb0 = jnp.zeros_like(Ta)
-        smb, snow = jax.lax.fori_loop(0, N, interval, (smb0, smb0))
-        # annual-mean SMB rate [m/s ice equivalent]
-        smb_rate = smb / SEC_PER_YEAR
+        smb0 = jnp.zeros(shp, dtype)
+        # year index just *before* the step start, so a rollover landing
+        # exactly on a step boundary still promotes snow -> firn in the
+        # step that begins there
+        yr0 = balance_year(t - 1e-3 * dt_i)
+        smb, snow, firn, _ = jax.lax.fori_loop(
+            0, N, interval, (smb0, snow, firn, yr0))
+        smb_rate = smb / dt
         # ice surface temperature: annual mean air temp, capped at melting
+        Ta = self.atmosphere(geometry, t).temperature.astype(dtype)
         T_surf = jnp.minimum(Ta, 273.15)
-        return SurfaceInputs(smb=smb_rate.astype(dtype), temperature=T_surf)
+        return (SurfaceInputs(smb=smb_rate.astype(dtype), temperature=T_surf),
+                snow.astype(dtype), firn.astype(dtype))
+
+    # -- stateless climatology (bootstrapping, diagnostics) ---------------------
+    def __call__(self, geometry, t) -> SurfaceInputs:
+        t0 = (jnp.floor(t / SEC_PER_YEAR) + self.balance_year_start) \
+            * SEC_PER_YEAR
+        out, _, _ = self.update(geometry, t0, SEC_PER_YEAR, None, None)
+        return out

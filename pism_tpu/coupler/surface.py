@@ -21,13 +21,45 @@ class SurfaceInputs(NamedTuple):
 
 
 class SurfaceModel:
-    """Base interface (PISM ``surface::SurfaceModel``)."""
+    """Base interface (PISM ``surface::SurfaceModel``).
+
+    Two evaluation protocols:
+
+    - stateless: ``model(geometry, t)`` returns the instantaneous /
+      climatological :class:`SurfaceInputs` (every model supports this);
+    - stateful: ``model.update(geometry, t, dt, snow, firn)`` integrates
+      the surface budget over ``[t, t+dt]`` carrying the PDD snow/firn
+      bookkeeping depths (reference ``surface::TemperatureIndex`` model
+      state). Stateless models ignore and pass the carry through; modifier
+      chains forward the carry to their inner model and transform the
+      result via ``_transform``.
+    """
 
     def __call__(self, geometry, t) -> SurfaceInputs:
+        inner = getattr(self, "inner", None)
+        if inner is not None:
+            return self._transform(inner(geometry, t), geometry, t)
         raise NotImplementedError
 
+    def _transform(self, s: "SurfaceInputs", geometry, t) -> "SurfaceInputs":
+        """Modifier hook: transform the inner model's output."""
+        raise NotImplementedError
+
+    @property
+    def stateful(self) -> bool:
+        inner = getattr(self, "inner", None)
+        return bool(inner is not None and inner.stateful)
+
+    def update(self, geometry, t, dt, snow, firn):
+        inner = getattr(self, "inner", None)
+        if inner is not None:
+            s, snow, firn = inner.update(geometry, t, dt, snow, firn)
+            return self._transform(s, geometry, t), snow, firn
+        return self(geometry, t), snow, firn
+
     def max_timestep(self, t) -> float:
-        return jnp.inf
+        inner = getattr(self, "inner", None)
+        return inner.max_timestep(t) if inner is not None else jnp.inf
 
 
 @dataclass
@@ -194,8 +226,7 @@ class Anomaly(SurfaceModel):
                      0, times.shape[0] - 1)
         return f[k]
 
-    def __call__(self, geometry, t) -> SurfaceInputs:
-        s = self.inner(geometry, t)
+    def _transform(self, s, geometry, t) -> SurfaceInputs:
         dt_ = s.smb.dtype
         return SurfaceInputs(s.smb + self._slice(self.smb_anomaly, t, dt_),
                              s.temperature + self._slice(self.temp_anomaly, t, dt_))
@@ -209,8 +240,7 @@ class DeltaT(SurfaceModel):
     inner: SurfaceModel
     offset: Callable            # t -> K
 
-    def __call__(self, geometry, t) -> SurfaceInputs:
-        s = self.inner(geometry, t)
+    def _transform(self, s, geometry, t) -> SurfaceInputs:
         return SurfaceInputs(s.smb, s.temperature + self.offset(t))
 
 
@@ -230,6 +260,13 @@ class Cache(SurfaceModel):
         tq = jnp.floor(t / self.update_interval) * self.update_interval
         return self.inner(geometry, tq)
 
+    def update(self, geometry, t, dt, snow, firn):
+        # a stateful inner model must see every (t, dt) interval exactly
+        # once — caching would drop state updates — so forward unquantized
+        if self.stateful:
+            return self.inner.update(geometry, t, dt, snow, firn)
+        return self(geometry, t), snow, firn
+
 
 @dataclass
 class ForceThickness(SurfaceModel):
@@ -244,8 +281,7 @@ class ForceThickness(SurfaceModel):
     alpha: float = 3.17e-9           # 1/s  (PISM default ~0.1/year)
     ice_free_alpha_factor: float = 1.0
 
-    def __call__(self, geometry, t) -> SurfaceInputs:
-        s = self.inner(geometry, t)
+    def _transform(self, s, geometry, t) -> SurfaceInputs:
         H = geometry.ice_thickness
         Ht = jnp.asarray(self.target_thickness, H.dtype)
         alpha = jnp.where(Ht > 1.0, self.alpha,

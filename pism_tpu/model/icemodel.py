@@ -218,6 +218,10 @@ class IceModel:
             lim = self.hydrology.max_timestep()
             if lim is not None:
                 limits.append(jnp.asarray(lim, jnp.float64))
+        if self.surface is not None:
+            lim = self.surface.max_timestep(t)
+            if lim is not None and float(lim) != float(jnp.inf):
+                limits.append(jnp.asarray(lim, jnp.float64))
         dt = functools.reduce(jnp.minimum, [jnp.asarray(l, jnp.float64) for l in limits])
         # guards: guaranteed progress (dt floor) and NaN containment
         min_dt = self.config.get_number("time_stepping.minimum_time_step", "seconds")
@@ -246,7 +250,13 @@ class IceModel:
         dt = self._compute_dt(sb, t, t_end)
         dt_f = dt.astype(state.geometry.ice_thickness.dtype)
 
-        smb_in = self.surface(state.geometry, t)
+        if getattr(self.surface, "stateful", False) \
+                and state.snow_depth is not None:
+            smb_in, snow, firn = self.surface.update(
+                state.geometry, t, dt_f, state.snow_depth, state.firn_depth)
+            state = state.replace(snow_depth=snow, firn_depth=firn)
+        else:
+            smb_in = self.surface(state.geometry, t)
 
         # 3. energy (enthalpy) step ---------------------------------------
         if self.energy_model is not None:
@@ -446,6 +456,11 @@ class IceModel:
                 kw["v_ssa"] = z2
         if self.fracture is not None and state.fracture_density is None:
             kw["fracture_density"] = z2
+        if getattr(self.surface, "stateful", False):
+            if state.snow_depth is None:
+                kw["snow_depth"] = z2
+            if state.firn_depth is None:
+                kw["firn_depth"] = z2
         if self.isochrones is not None and state.iso_layers is None:
             iso0 = self.isochrones.initialize(H, self._iso_dep_times)
             kw["iso_layers"] = iso0.layers

@@ -185,6 +185,8 @@ class ModelState:
     fracture_density: Optional[jnp.ndarray] = None
     iso_layers: Optional[jnp.ndarray] = None         # (My, Mx, NL) isochrone layers
     iso_top: Optional[jnp.ndarray] = None            # int32 active top layer
+    snow_depth: Optional[jnp.ndarray] = None         # PDD snow bookkeeping m i.e.
+    firn_depth: Optional[jnp.ndarray] = None         # PDD firn bookkeeping m i.e.
 
     def replace(self, **kw) -> "ModelState":
         return dataclasses.replace(self, **kw)
