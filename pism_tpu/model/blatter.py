@@ -4,28 +4,40 @@ Rebuild of PISM ``src/stressbalance/blatter/`` — with a different, TPU-native
 discretization. The reference uses Q1 FEM on an extruded mesh with PETSc
 SNES + geometric multigrid (vertical semi-coarsening). Here the equations
 are discretized in a terrain-following coordinate zeta = z_above_base / H
-on the existing (My, Mx, Mz) grid (small-metric simplification: horizontal
-metric corrections from grad H / grad b are neglected in the membrane terms;
-vertical shear terms are exact), and solved matrix-free:
+on the existing (My, Mx, Mz) grid and solved matrix-free:
 
   d/dx(4 nu u_x + 2 nu v_y) + d/dy(nu (u_y + v_x))
       + d/dz(nu u_z) = rho g s_x          (x-momentum, per unit volume)
 
 with nu = (B/2)(eps^2 + reg)^((1-n)/(2n)),
-eps^2 = u_x^2 + v_y^2 + u_x v_y + 1/4 (u_y+v_x)^2 + 1/4 u_z^2 + 1/4 v_z^2,
-u_z = u_zeta / (H dzeta-scale).
+eps^2 = u_x^2 + v_y^2 + u_x v_y + 1/4 (u_y+v_x)^2 + 1/4 u_z^2 + 1/4 v_z^2.
+
+Sigma-coordinate metric terms: a horizontal derivative at constant z is
+  d/dx|_z = d/dx|_zeta + zeta_x d/dzeta,   zeta_x = -(b_x + zeta H_x)/H
+(b = ice base). The chain-rule corrections are applied both to the strain
+rates (face and center evaluations) and to the stress divergence
+(+ zeta_x d(T)/dzeta at centers); they vanish identically on a flat base
+with uniform thickness. Vertical shear terms are exact in zeta.
 
 Boundary conditions: stress-free surface (u_zeta = 0 at zeta=1); basal
 sliding nu u_z = beta u at zeta=0 (beta from the same sliding laws as the
-SSA); lateral ice-free cells are Dirichlet zero, stress decoupled (no
-calving-front pressure term yet — use for grounded/periodic configurations).
+SSA); lateral ice-free cells are Dirichlet zero. At faces between icy and
+ice-free-ocean cells the depth-varying calving-front stress condition
+(``stress_balance.calving_front_stress_bc``) applies the hydrostatic
+imbalance  sigma_nn(z) = rho_i g (s - z) - rho_w g max(sl - z, 0)  as the
+normal resistive stress (the per-level form of the depth-integrated CFBC
+in the SSA; Winkelmann et al. 2011); faces to ice-free land stay
+stress-free.
 
 Solver: Newton iterations with exact autodiff JVPs, BiCGStab, and a
 vertical-line preconditioner: the dominant d/dz(nu d/dz) coupling plus the
 horizontal diagonal is inverted per column with the batched Thomas kernel —
 the TPU-natural analog of the reference's vertical semi-coarsening
-multigrid. Verified against the analytic inclined-slab (SIA-limit) and
-plug-flow (SSA-limit) solutions in tests/test_blatter.py.
+multigrid. Verified in tests/test_blatter.py against the analytic
+inclined-slab (SIA-limit) and plug-flow (SSA-limit) solutions, the van der
+Veen unconfined-shelf strain rate + the independently verified SSAFD CFBC
+solution (calving front), and an ISMIP-HOM-B-style wavy-bed configuration
+(metric terms).
 """
 
 from __future__ import annotations
@@ -54,6 +66,9 @@ class BlatterSolver:
     sliding_law: Optional[SlidingLaw] = None
     taud_x: Optional[jnp.ndarray] = None   # prescribed driving stress (tests)
     taud_y: Optional[jnp.ndarray] = None
+    bc_mask: Optional[jnp.ndarray] = None  # 2D: zero-velocity Dirichlet
+    #   columns (stress IS transmitted across their faces, unlike ice-free
+    #   cells which are stress-decoupled)
 
     def __post_init__(self):
         cfg = self.config
@@ -69,6 +84,9 @@ class BlatterSolver:
         slen = cfg.get_number("stress_balance.ssa.Schoof_regularizing_length", "m")
         self.eps_reg2 = (svel / slen) ** 2
         self.beta_floor = cfg.get_number("stress_balance.ssa.fd.beta_floor")
+        self.cfbc = cfg.get_flag("stress_balance.calving_front_stress_bc")
+        self.metric_terms = cfg.get_flag("stress_balance.blatter.metric_terms")
+        self.rho_w = cfg.get_number("constants.sea_water.density")
         if self.sliding_law is None:
             self.sliding_law = SlidingLaw.from_config(cfg)
         # normalized vertical coordinate from the ice grid levels
@@ -95,6 +113,23 @@ class BlatterSolver:
         keep_n = (icy & icy_n).astype(jnp.float64)[..., None]
         Hs = jnp.maximum(H2, 1.0)[..., None]     # (My, Mx, 1)
 
+        # sigma-coordinate metric coefficients zeta_x, zeta_y at centers:
+        # zeta_x = -(b_x + zeta H_x)/H with b the ice base. Gradients are
+        # masked to fully-icy stencils (one-sided surface cliffs at margins
+        # are boundary effects handled by the lateral BCs, not the metric)
+        surf2 = jnp.asarray(geom.ice_surface_elevation, jnp.float64)
+        base2 = surf2 - H2
+        interior = (icy & sh(icy, 0, 1) & sh(icy, 0, -1)
+                    & sh(icy, 1, 0) & sh(icy, -1, 0)).astype(jnp.float64)
+        bxg, byg = st.centered_grad(base2, dx, dy, sh)
+        Hxg, Hyg = st.centered_grad(H2, dx, dy, sh)
+        zxc = -(bxg[..., None] + zeta * Hxg[..., None]) / Hs \
+            * interior[..., None]
+        zyc = -(byg[..., None] + zeta * Hyg[..., None]) / Hs \
+            * interior[..., None]
+        if not self.metric_terms:
+            zxc = zyc = jnp.zeros_like(zxc)
+
         # hardness per level from enthalpy (or constant)
         if state.enthalpy is None:
             B3 = self.flow_law.hardness(jnp.zeros(grid.shape3, jnp.float64),
@@ -109,9 +144,21 @@ class BlatterSolver:
             bx2 = jnp.asarray(self.taud_x, jnp.float64)
             by2 = jnp.asarray(self.taud_y, jnp.float64)
         else:
-            sx, sy = st.centered_grad(geom.ice_surface_elevation, dx, dy, sh)
-            bx2 = -self.rho * self.g * H2 * jnp.asarray(sx, jnp.float64)
-            by2 = -self.rho * self.g * H2 * jnp.asarray(sy, jnp.float64)
+            # one-sided surface gradients at the ice margin (as in the SSA;
+            # a centered difference across the front would double-count the
+            # calving-front pressure force)
+            def masked_grad(shift, d):
+                icy_p, icy_m = sh(icy, *shift), sh(icy, *[-a for a in shift])
+                s_p = sh(surf2, *shift)
+                s_m = sh(surf2, *[-a for a in shift])
+                return jnp.where(icy_p & icy_m, (s_p - s_m) / (2 * d),
+                                 jnp.where(icy_p, (s_p - surf2) / d,
+                                           jnp.where(icy_m, (surf2 - s_m) / d,
+                                                     0.0)))
+            sx = masked_grad((0, 1), dx)
+            sy = masked_grad((1, 0), dy)
+            bx2 = -self.rho * self.g * H2 * sx
+            by2 = -self.rho * self.g * H2 * sy
         # per-volume driving term: tau_d / H  [Pa/m] (Blatter is a
         # per-level balance, unlike the depth-integrated SSA)
         bx = jnp.broadcast_to((bx2[..., None] / Hs), grid.shape3)
@@ -121,7 +168,9 @@ class BlatterSolver:
             tau_c = jnp.zeros_like(H2)
         tau_eff = jnp.where(S.grounded_ice(mask), jnp.asarray(tau_c, jnp.float64), 0.0)
 
-        bc3 = (~icy)[..., None] & jnp.ones((1, 1, Mz), bool)
+        fixed2 = ~icy if self.bc_mask is None \
+            else (~icy) | jnp.asarray(self.bc_mask, bool)
+        bc3 = fixed2[..., None] & jnp.ones((1, 1, Mz), bool)
 
         dz_l = jnp.concatenate([dzeta[:1], dzeta])      # below level k (clamped)
         dz_u = jnp.concatenate([dzeta, dzeta[-1:]])     # above level k (clamped)
@@ -135,28 +184,57 @@ class BlatterSolver:
         def free(x):
             return (jnp.where(bc3, 0.0, x[0]), jnp.where(bc3, 0.0, x[1]))
 
+        def ddzeta(a):
+            """Centered d/dzeta (one-sided at the ends)."""
+            d_int = (a[..., 2:] - a[..., :-2]) / (dz_l[1:-1] + dz_u[1:-1])
+            d_lo = (a[..., 1:2] - a[..., 0:1]) / dzeta[0]
+            d_hi = (a[..., -1:] - a[..., -2:-1]) / dzeta[-1]
+            return jnp.concatenate([d_lo, d_int, d_hi], axis=-1)
+
+        def center_grads(u_a, v_a):
+            """Horizontal strain-rate ingredients at constant z via the
+            sigma-coordinate chain rule (cell centers, per level)."""
+            u_zeta, v_zeta = ddzeta(u_a), ddzeta(v_a)
+            ux = (sh(u_a, 0, 1) - sh(u_a, 0, -1)) / (2 * dx) + zxc * u_zeta
+            vy = (sh(v_a, 1, 0) - sh(v_a, -1, 0)) / (2 * dy) + zyc * v_zeta
+            uy = (sh(u_a, 1, 0) - sh(u_a, -1, 0)) / (2 * dy) + zyc * u_zeta
+            vx = (sh(v_a, 0, 1) - sh(v_a, 0, -1)) / (2 * dx) + zxc * v_zeta
+            return ux, uy, vx, vy, u_zeta, v_zeta
+
         def strain_and_nu(u, v):
             """Effective viscosity at cell centers/levels (1/year units
             internally for f32-safe powers; rescaled to SI)."""
             u_a, v_a = u * SPY, v * SPY
-            ux = (sh(u_a, 0, 1) - sh(u_a, 0, -1)) / (2 * dx)
-            vy = (sh(v_a, 1, 0) - sh(v_a, -1, 0)) / (2 * dy)
-            uy = (sh(u_a, 1, 0) - sh(u_a, -1, 0)) / (2 * dy)
-            vx = (sh(v_a, 0, 1) - sh(v_a, 0, -1)) / (2 * dx)
-            # vertical shear du/dz = du/dzeta / H (centered, one-sided ends)
-            def ddz(a):
-                d_int = (a[..., 2:] - a[..., :-2]) / (dz_l[1:-1] + dz_u[1:-1])
-                d_lo = (a[..., 1:2] - a[..., 0:1]) / dzeta[0]
-                d_hi = (a[..., -1:] - a[..., -2:-1]) / dzeta[-1]
-                return jnp.concatenate([d_lo, d_int, d_hi], axis=-1) / Hs
-            uz = ddz(u_a)
-            vz = ddz(v_a)
+            ux, uy, vx, vy, u_zeta, v_zeta = center_grads(u_a, v_a)
+            uz = u_zeta / Hs
+            vz = v_zeta / Hs
             reg_a = self.eps_reg2 * SPY * SPY
             eps2 = (ux ** 2 + vy ** 2 + ux * vy + 0.25 * (uy + vx) ** 2
                     + 0.25 * uz ** 2 + 0.25 * vz ** 2 + reg_a)
             nu = 0.5 * B3 * eps2 ** ((1.0 - self.n_glen) / (2.0 * self.n_glen)) \
                 * SPY ** ((self.n_glen - 1.0) / self.n_glen)
             return nu
+
+        # depth-varying calving-front pressure imbalance per level of each
+        # icy cell: rho_i g (s - z) - rho_w g max(sl - z, 0)
+        if self.cfbc:
+            ocn = mask == S.MASK_ICE_FREE_OCEAN
+            z_abs = base2[..., None] + zeta * H2[..., None]
+            sl2 = jnp.asarray(geom.sea_level, jnp.float64)
+            p_diff = (self.rho * self.g * H2[..., None] * (1.0 - zeta)
+                      - self.rho_w * self.g
+                      * jnp.maximum(sl2[..., None] - z_abs, 0.0))
+            p_diff = jnp.where(icy[..., None], p_diff, 0.0)
+            # east-face field stored at i (face between i and i+1); same for
+            # north faces: traction evaluated at the icy side's levels
+            front_xx = (jnp.where((icy & sh(ocn, 0, 1))[..., None], p_diff, 0.0)
+                        + jnp.where((ocn & icy_e)[..., None],
+                                    sh(p_diff, 0, 1), 0.0))
+            front_yy = (jnp.where((icy & sh(ocn, 1, 0))[..., None], p_diff, 0.0)
+                        + jnp.where((ocn & icy_n)[..., None],
+                                    sh(p_diff, 1, 0), 0.0))
+        else:
+            front_xx = front_yy = 0.0
 
         def residual(uv):
             u, v = free(uv)
@@ -166,27 +244,54 @@ class BlatterSolver:
             nuH_e = 0.5 * (nu + sh(nu, 0, 1)) * keep_e
             nuH_n = 0.5 * (nu + sh(nu, 1, 0)) * keep_n
 
-            ux_e = (sh(u, 0, 1) - u) / dx
-            vy_e = (sh(v, 1, 0) + sh(v, 1, 1) - sh(v, -1, 0) - sh(v, -1, 1)) / (4 * dy)
-            Txx_e = nuH_e * (4.0 * ux_e + 2.0 * vy_e)
+            # metric coefficients and vertical derivatives at faces
+            u_zeta, v_zeta = ddzeta(u), ddzeta(v)
+            zx_e = 0.5 * (zxc + sh(zxc, 0, 1))
+            zy_e = 0.5 * (zyc + sh(zyc, 0, 1))
+            zx_n = 0.5 * (zxc + sh(zxc, 1, 0))
+            zy_n = 0.5 * (zyc + sh(zyc, 1, 0))
+            uz_e = 0.5 * (u_zeta + sh(u_zeta, 0, 1))
+            vz_e = 0.5 * (v_zeta + sh(v_zeta, 0, 1))
+            uz_n = 0.5 * (u_zeta + sh(u_zeta, 1, 0))
+            vz_n = 0.5 * (v_zeta + sh(v_zeta, 1, 0))
 
-            uy_n = (sh(u, 1, 0) - u) / dy
-            vx_n = (sh(v, 0, 1) + sh(v, 1, 1) - sh(v, 0, -1) - sh(v, 1, -1)) / (4 * dx)
+            ux_e = (sh(u, 0, 1) - u) / dx + zx_e * uz_e
+            vy_e = (sh(v, 1, 0) + sh(v, 1, 1) - sh(v, -1, 0) - sh(v, -1, 1)) \
+                / (4 * dy) + zy_e * vz_e
+            Txx_e = nuH_e * (4.0 * ux_e + 2.0 * vy_e) + front_xx
+
+            uy_n = (sh(u, 1, 0) - u) / dy + zy_n * uz_n
+            vx_n = (sh(v, 0, 1) + sh(v, 1, 1) - sh(v, 0, -1) - sh(v, 1, -1)) \
+                / (4 * dx) + zx_n * vz_n
             Txy_n = nuH_n * (uy_n + vx_n)
 
             div_x = ((Txx_e - sh(Txx_e, 0, -1)) / dx
                      + (Txy_n - sh(Txy_n, -1, 0)) / dy)
 
-            vy_n = (sh(v, 1, 0) - v) / dy
-            ux_n = (sh(u, 0, 1) + sh(u, 1, 1) - sh(u, 0, -1) - sh(u, 1, -1)) / (4 * dx)
-            Tyy_n = nuH_n * (4.0 * vy_n + 2.0 * ux_n)
+            vy_n = (sh(v, 1, 0) - v) / dy + zy_n * vz_n
+            ux_n = (sh(u, 0, 1) + sh(u, 1, 1) - sh(u, 0, -1) - sh(u, 1, -1)) \
+                / (4 * dx) + zx_n * uz_n
+            Tyy_n = nuH_n * (4.0 * vy_n + 2.0 * ux_n) + front_yy
 
-            uy_e = (sh(u, 1, 0) + sh(u, 1, 1) - sh(u, -1, 0) - sh(u, -1, 1)) / (4 * dy)
-            vx_e = (sh(v, 0, 1) - v) / dx
+            uy_e = (sh(u, 1, 0) + sh(u, 1, 1) - sh(u, -1, 0) - sh(u, -1, 1)) \
+                / (4 * dy) + zy_e * uz_e
+            vx_e = (sh(v, 0, 1) - v) / dx + zx_e * vz_e
             Txy_e = nuH_e * (uy_e + vx_e)
 
             div_y = ((Txy_e - sh(Txy_e, 0, -1)) / dx
                      + (Tyy_n - sh(Tyy_n, -1, 0)) / dy)
+
+            # --- metric correction of the divergence itself ----------------
+            # d/dx|_z T = d/dx|_zeta T + zeta_x dT/dzeta: the staggered
+            # differences above supply the constant-zeta part; add the
+            # chain-rule part from center-evaluated stresses
+            ux_c, uy_c, vx_c, vy_c, _, _ = center_grads(u, v)
+            keep_c = (keep_e * sh(keep_e, 0, -1) * keep_n * sh(keep_n, -1, 0))
+            Txx_c = nu * (4.0 * ux_c + 2.0 * vy_c) * keep_c
+            Tyy_c = nu * (4.0 * vy_c + 2.0 * ux_c) * keep_c
+            Txy_c = nu * (uy_c + vx_c) * keep_c
+            div_x = div_x + zxc * ddzeta(Txx_c) + zyc * ddzeta(Txy_c)
+            div_y = div_y + zxc * ddzeta(Txy_c) + zyc * ddzeta(Tyy_c)
 
             # --- vertical shear term: (1/H) d/dzeta(nu u_zeta / H) --------
             nu_mid = 0.5 * (nu[..., 1:] + nu[..., :-1])
@@ -304,5 +409,6 @@ class BlatterSolver:
         u, v = free(uv)
         if diagnostics:
             return u, v, {"newton_iters": iters, "F2_final": F2,
-                          "tol2": tol2, "b_norm2": b_norm2}
+                          "tol2": tol2, "b_norm2": b_norm2,
+                          "residual_fn": residual}
         return u, v
