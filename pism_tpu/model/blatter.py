@@ -96,7 +96,7 @@ class BlatterSolver:
 
     # ------------------------------------------------------------------
     def solve(self, state: S.ModelState, tau_c=None, u0=None, v0=None,
-              diagnostics: bool = False):
+              diagnostics: bool = False, full_output: bool = False):
         grid, sh = self.grid, self.sh
         geom = state.geometry
         H2 = jnp.asarray(geom.ice_thickness, jnp.float64)
@@ -201,9 +201,10 @@ class BlatterSolver:
             vx = (sh(v_a, 0, 1) - sh(v_a, 0, -1)) / (2 * dx) + zxc * v_zeta
             return ux, uy, vx, vy, u_zeta, v_zeta
 
-        def strain_and_nu(u, v):
-            """Effective viscosity at cell centers/levels (1/year units
-            internally for f32-safe powers; rescaled to SI)."""
+        def strain_nu_eps(u, v):
+            """Effective viscosity [Pa s] and squared effective strain rate
+            [1/s^2] at cell centers/levels (1/year units internally for
+            f32-safe powers; rescaled to SI)."""
             u_a, v_a = u * SPY, v * SPY
             ux, uy, vx, vy, u_zeta, v_zeta = center_grads(u_a, v_a)
             uz = u_zeta / Hs
@@ -213,7 +214,10 @@ class BlatterSolver:
                     + 0.25 * uz ** 2 + 0.25 * vz ** 2 + reg_a)
             nu = 0.5 * B3 * eps2 ** ((1.0 - self.n_glen) / (2.0 * self.n_glen)) \
                 * SPY ** ((self.n_glen - 1.0) / self.n_glen)
-            return nu
+            return nu, eps2 / (SPY * SPY)
+
+        def strain_and_nu(u, v):
+            return strain_nu_eps(u, v)[0]
 
         # depth-varying calving-front pressure imbalance per level of each
         # icy cell: rho_i g (s - z) - rho_w g max(sl - z, 0)
@@ -407,8 +411,43 @@ class BlatterSolver:
             (uv, F0, dot(F0, F0), jnp.asarray(1.0), jnp.asarray(0)))
 
         u, v = free(uv)
+        if full_output:
+            # volumetric first-order dissipation Phi = 4 nu eps^2 [W/m^3]
+            # on the zeta grid (the role of BlatterMod's Sigma)
+            nu_f, eps2_f = strain_nu_eps(u, v)
+            Phi = jnp.where(icy[..., None], 4.0 * nu_f * eps2_f, 0.0)
+            return u, v, Phi, iters
         if diagnostics:
             return u, v, {"newton_iters": iters, "F2_final": F2,
                           "tol2": tol2, "b_norm2": b_norm2,
                           "residual_fn": residual}
         return u, v
+
+    # -- composite-model helpers ----------------------------------------------
+    def vertical_average(self, f3):
+        """Column average over zeta (equals the z-average for any H)."""
+        z = np.asarray(self.grid.z)
+        zeta = z / max(z[-1], 1.0)
+        dz = np.diff(zeta)
+        w = np.concatenate([dz[:1] * 0.5, 0.5 * (dz[1:] + dz[:-1]),
+                            dz[-1:] * 0.5])
+        return jnp.tensordot(f3, jnp.asarray(w, f3.dtype), axes=([-1], [0]))
+
+    def regrid_to_z(self, f3, H):
+        """Interpolate a zeta-grid column field onto the model's fixed
+        z levels (height above base); zero above the local ice surface
+        (matching the SIA 3D reconstruction convention)."""
+        z = jnp.asarray(self.grid.z, f3.dtype)
+        zeta = jnp.asarray(self.zeta, f3.dtype)
+        Hc = jnp.maximum(H, 1.0)[..., None]
+        zt = jnp.clip(z / Hc, 0.0, 1.0)                    # (My, Mx, Mz)
+        idx = jnp.clip(jnp.searchsorted(zeta, zt, side="right") - 1,
+                       0, zeta.shape[0] - 2)
+        z0 = jnp.take(zeta, idx)
+        dz = jnp.take(zeta, idx + 1) - z0
+        wgt = jnp.clip((zt - z0) / jnp.maximum(dz, 1e-12), 0.0, 1.0)
+        f0 = jnp.take_along_axis(f3, idx, axis=-1)
+        f1 = jnp.take_along_axis(f3, idx + 1, axis=-1)
+        out = f0 * (1.0 - wgt) + f1 * wgt
+        in_ice = (z <= H[..., None]) | (jnp.arange(z.shape[0]) == 0)
+        return jnp.where(in_ice, out, 0.0)

@@ -94,6 +94,18 @@ class IceModel:
         if energy_kind in ("enthalpy", "cold") and self.energy_model is None:
             from .energy import EnergyModel
             self.energy_model = EnergyModel(grid=self.grid, config=cfg, EC=self.EC)
+        self.blatter = None
+        if sb_model == "blatter":
+            from .blatter import BlatterSolver
+            blatter_law = flow_law_from_config(cfg, "ssa", self.EC)
+            self.blatter = BlatterSolver(grid=self.grid, config=cfg,
+                                         flow_law=blatter_law)
+            if self.yield_stress is None:
+                from ..physics.basal import yield_stress_from_config
+                self.yield_stress = yield_stress_from_config(cfg)
+            if self.hydrology is None:
+                from ..physics.hydrology import hydrology_from_config
+                self.hydrology = hydrology_from_config(self.grid, cfg)
         if "ssa" in sb_model:
             if self.ssa is None:
                 ssa_law = flow_law_from_config(cfg, "ssa", self.EC)
@@ -163,7 +175,8 @@ class IceModel:
             if "sia" in sb_model.split("+") else None
         self.stress_balance = StressBalance(
             grid=self.grid, config=cfg, sia_flow_law=sia_law, ssa=self.ssa,
-            model=sb_model, compute_3d=self.energy_model is not None)
+            blatter=self.blatter, model=sb_model,
+            compute_3d=self.energy_model is not None)
 
         self.rho_i = cfg.get_number("constants.ice.density")
         self.rho_w = cfg.get_number("constants.sea_water.density")

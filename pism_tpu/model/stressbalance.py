@@ -49,7 +49,8 @@ class StressBalance:
     config: object
     sia_flow_law: object = None
     ssa: object = None           # SSA solver object (model/ssa), or None
-    model: str = "sia"           # none | sia | ssa | ssa+sia |
+    blatter: object = None       # BlatterSolver (model = "blatter")
+    model: str = "sia"           # none | sia | ssa | ssa+sia | blatter |
     #                              weertman_sliding[+sia] | prescribed_sliding[+sia]
     compute_3d: bool = False
     # prescribed sliding fields (model = "prescribed_sliding[+sia]")
@@ -125,9 +126,69 @@ class StressBalance:
         return (geom, st.avg_to_east(th, self.sh),
                 st.avg_to_north(th, self.sh))
 
+    def _blatter_update(self, state: S.ModelState, yield_stress):
+        """Blatter 3D first-order balance as the full stress balance
+        (reference ``-stress_balance blatter``: Blatter + BlatterMod).
+        The 3D solve supplies everything: vertically-averaged velocity
+        drives mass transport (all-advective, no SIA diffusive flux), the
+        z-regridded 3D field + incompressibility w + dissipation feed the
+        energy/age models."""
+        grid, sh = self.grid, self.sh
+        geom = state.geometry
+        H = geom.ice_thickness
+        dtype = H.dtype
+        # warm start: previous vertical mean, broadcast over depth
+        u0 = v0 = None
+        if state.u_ssa is not None:
+            Mz = grid.Mz
+            u0 = jnp.broadcast_to(state.u_ssa[..., None], H.shape + (Mz,))
+            v0 = jnp.broadcast_to(state.v_ssa[..., None], H.shape + (Mz,))
+        u3z_, v3z_, Phi_z_, _ = self.blatter.solve(
+            state, yield_stress, u0=u0, v0=v0, full_output=True)
+        ubar = self.blatter.vertical_average(u3z_).astype(dtype)
+        vbar = self.blatter.vertical_average(v3z_).astype(dtype)
+        u_b = u3z_[..., 0].astype(dtype)
+        v_b = v3z_[..., 0].astype(dtype)
+
+        sia3 = None
+        friction = None
+        if self.compute_3d:
+            u3 = self.blatter.regrid_to_z(u3z_, H).astype(dtype)
+            v3 = self.blatter.regrid_to_z(v3z_, H).astype(dtype)
+            Phi = self.blatter.regrid_to_z(Phi_z_, H).astype(dtype)
+            z = jnp.asarray(grid.z, dtype)
+            u_x = (sh(u3, 0, 1) - sh(u3, 0, -1)) / (2.0 * grid.dx)
+            v_y = (sh(v3, 1, 0) - sh(v3, -1, 0)) / (2.0 * grid.dy)
+            b_x, b_y = st.centered_grad(geom.bed_elevation, grid.dx,
+                                        grid.dy, sh)
+            w_base = u_b * b_x + v_b * b_y
+            if state.basal_melt_rate is not None:
+                w_base = w_base - state.basal_melt_rate
+            w = w_base[..., None] - sia3d._cumtrapz_z(u_x + v_y, z)
+            in_ice = (z <= H[..., None]) | (jnp.arange(z.shape[0]) == 0)
+            w = jnp.where(in_ice, w, 0.0).astype(dtype)
+            sia3 = sia3d.SIA3D(u=u3, v=v3, w=w, strain_heating=Phi,
+                               max_u=jnp.max(jnp.abs(u3)),
+                               max_v=jnp.max(jnp.abs(v3)))
+            if yield_stress is not None:
+                beta = self.blatter.sliding_law.beta(yield_stress, u_b, v_b)
+                friction = jnp.where(S.grounded_ice(geom.cell_type),
+                                     beta * (u_b ** 2 + v_b ** 2), 0.0)
+
+        u_e, v_n = ge.face_velocities(ubar, vbar, sh)
+        zeros = jnp.zeros(grid.shape2, dtype)
+        return StressBalanceResult(
+            qe=zeros, qn=zeros, u_face_e=u_e, v_face_n=v_n,
+            u_base=u_b, v_base=v_b, max_diffusivity=jnp.zeros(()),
+            u_ssa=ubar, v_ssa=vbar, sia3=sia3,
+            basal_frictional_heating=friction)
+
     def update(self, state: S.ModelState, yield_stress=None) -> StressBalanceResult:
         grid, sh = self.grid, self.sh
         zeros = jnp.zeros(grid.shape2, state.geometry.ice_thickness.dtype)
+
+        if self.model == "blatter" and self.blatter is not None:
+            return self._blatter_update(state, yield_stress)
 
         u_ssa, v_ssa = state.u_ssa, state.v_ssa
         if self.model in ("ssa", "ssa+sia") and self.ssa is not None:
