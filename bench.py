@@ -123,9 +123,17 @@ def bench_hybrid_greenland(dtype):
 
     years = 50.0
     tic = time.time()
-    state, t, stats = model.step_once(state, t, years * SPY)
+    nsteps = 0
+    t_end = t + years * SPY
+    while t < t_end - 1.0:
+        # segment the device dispatches: multi-minute single XLA
+        # executions can trip the TPU runtime watchdog over the tunnel
+        state, t, stats = model.step_once(state, t, min(10.0 * SPY,
+                                                        t_end - t))
+        nsteps += int(stats.nsteps)
     jax.block_until_ready(state.geometry.ice_thickness)
     wall = time.time() - tic
+    stats = stats._replace(nsteps=nsteps)
     return {
         "model_years_per_hour": round(years / wall * 3600.0, 1),
         "steps": int(stats.nsteps),

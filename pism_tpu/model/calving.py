@@ -93,6 +93,11 @@ class CalvingModel:
     config: object
     methods: tuple = ()
     prescribed_retreat: Optional[PrescribedRetreat] = None
+    # "ocean_kill": calve all ice in these cells (PISM ``calving
+    # ocean_kill`` with the kill mask from ``-ocean_kill_file``). If the
+    # method is active and no mask is supplied, the driver derives it from
+    # the initial ice-free-ocean cells (the file-default analog).
+    ocean_kill_mask: Optional[jnp.ndarray] = None
 
     def __post_init__(self):
         cfg = self.config
@@ -188,6 +193,9 @@ class CalvingModel:
         if self.float_kill:
             H = jnp.where(floating, 0.0, H)
 
+        if "ocean_kill" in self.methods and self.ocean_kill_mask is not None:
+            H = jnp.where(jnp.asarray(self.ocean_kill_mask, bool), 0.0, H)
+
         if "thickness_calving" in self.methods and self.H_threshold > 0:
             calve = front & floating & (H < self.H_threshold)
             H = jnp.where(calve, 0.0, H)
@@ -225,6 +233,11 @@ class CalvingModel:
             H = self.prescribed_retreat(H, t)
 
         geometry = geometry.replace(ice_thickness=H)
+        if "ocean_kill" in self.methods and self.ocean_kill_mask is not None:
+            km = jnp.asarray(self.ocean_kill_mask, bool)
+            geometry = geometry.replace(
+                ice_area_specific_volume=jnp.where(
+                    km, 0.0, geometry.ice_area_specific_volume))
         if self.remove_bergs:
             geometry = remove_icebergs(geometry, sh)
         return geometry

@@ -481,6 +481,12 @@ class IceModel:
             self._iso_times_arr = iso0.deposition_times
         if self.no_model_mask is not None and self._nmm_ref is None:
             self._nmm_ref = (state.geometry.ice_thickness, state.enthalpy)
+        if self.calving is not None and "ocean_kill" in self.calving.methods \
+                and self.calving.ocean_kill_mask is None:
+            # PISM ocean_kill defaults its kill mask to the input file's
+            # ice-free-ocean cells; here: the initial state's
+            self.calving.ocean_kill_mask = \
+                state.geometry.cell_type == S.MASK_ICE_FREE_OCEAN
         if self.bed_deformation is not None and state.bed_reference is None:
             state = self.bed_deformation.initialize(state.replace(**kw))
             kw = {}

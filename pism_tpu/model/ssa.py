@@ -84,6 +84,7 @@ class SSAFD:
         self.max_speed = cfg.get_number("stress_balance.ssa.fd.max_speed", "m s-1")
         self.subgl_drag = cfg.get_flag("geometry.grounded_cell_fraction")
         self.solve_dtype = cfg.get_string("stress_balance.ssa.fd.solve_dtype")
+        self.precond_kind = cfg.get_string("stress_balance.ssa.fd.preconditioner")
         if self.sliding_law is None:
             self.sliding_law = SlidingLaw.from_config(cfg)
 
@@ -323,6 +324,18 @@ class SSAFD:
             bx_hi, by_hi = bx, by
             cdt = dtype
 
+        def make_precond(nuH, beta):
+            """Inner-Krylov preconditioner from the current (frozen)
+            coefficients: geometric multigrid V-cycle (default) or point
+            Jacobi."""
+            if self.precond_kind == "mg":
+                from ..ops import mg
+                return mg.make_preconditioner(nuH, beta, bc_mask, dx, dy, sh)
+            diag_u, diag_v = ssa_ops.operator_diagonal(nuH, beta, dx, dy, sh)
+            diag_u = jnp.where(bc_mask, 1.0, jnp.maximum(diag_u, 1e-12))
+            diag_v = jnp.where(bc_mask, 1.0, jnp.maximum(diag_v, 1e-12))
+            return lambda r: (r[0] / diag_u, r[1] / diag_v)
+
         def lo(x):   # outer iterate -> f32 working precision
             return (x[0].astype(dtype), x[1].astype(dtype))
 
@@ -380,10 +393,6 @@ class SSAFD:
                 return (out[0] + jnp.where(bc_mask, x[0], 0.0),
                         out[1] + jnp.where(bc_mask, x[1], 0.0))
 
-            diag_u, diag_v = ssa_ops.operator_diagonal(nuH, beta, dx, dy, sh)
-            diag_u = jnp.where(bc_mask, 1.0, jnp.maximum(diag_u, 1e-12))
-            diag_v = jnp.where(bc_mask, 1.0, jnp.maximum(diag_v, 1e-12))
-
             # RHS correction for nonzero Dirichlet neighbors
             Aub, Avb = ssa_ops.apply_operator(bc_u * 0 + jnp.where(bc_mask, bc_u, 0.0),
                                               jnp.where(bc_mask, bc_v, 0.0),
@@ -392,8 +401,7 @@ class SSAFD:
             # fixed-point sweeps do not need tight inner solves: the sweep
             # error is dominated by the frozen-coefficient linearization
             sol, _, _ = ssa_ops.bicgstab_solve(
-                matvec, rhs, free(uv),
-                lambda r: (r[0] / diag_u, r[1] / diag_v),
+                matvec, rhs, free(uv), make_precond(nuH, beta),
                 rtol=self.warmup_ksp_rtol if rtol is None else rtol,
                 max_iter=self.ksp_max, dot_dtype=ddt)
             return free(sol)
@@ -430,14 +438,12 @@ class SSAFD:
         alphas = jnp.asarray([1.0, 0.5, 0.25, 0.0625, 0.01], dtype)
 
         def newton_body(carry):
-            uv, F, F2, _chg2, F2prev_c, eta_c, it = carry
+            uv, F, F2, _chg2, F2prev_c, eta_c, it, ktot = carry
             uv32 = lo(uv)
             u, v = full(uv32)
             nuH = make_nuH(u, v)
             beta = beta_fn(u, v)
-            diag_u, diag_v = ssa_ops.operator_diagonal(nuH, beta, dx, dy, sh)
-            diag_u = jnp.where(bc_mask, 1.0, jnp.maximum(diag_u, 1e-12))
-            diag_v = jnp.where(bc_mask, 1.0, jnp.maximum(diag_v, 1e-12))
+            precond = make_precond(nuH, beta)
 
             def jmv(d):
                 df = free(d)
@@ -463,9 +469,8 @@ class SSAFD:
 
             negF = lo((-F[0], -F[1]))
             zero = (jnp.zeros_like(negF[0]), jnp.zeros_like(negF[1]))
-            d, _, _ = ssa_ops.bicgstab_solve(
-                jmv, negF, zero,
-                lambda r: (r[0] / diag_u, r[1] / diag_v),
+            d, kit, _ = ssa_ops.bicgstab_solve(
+                jmv, negF, zero, precond,
                 rtol=eta, max_iter=self.ksp_max, dot_dtype=ddt)
             d = hi(free(d))
 
@@ -508,7 +513,7 @@ class SSAFD:
             # stagnation measure: relative velocity change of this sweep
             dchg = (uv_new[0] - uv[0], uv_new[1] - uv[1])
             chg2 = dot(dchg, dchg) / jnp.maximum(dot(uv_new, uv_new), 1e-300)
-            return (uv_new, F_new, F2_new, chg2, F2, eta, it + 1)
+            return (uv_new, F_new, F2_new, chg2, F2, eta, it + 1, ktot + kit)
 
         if dtype == jnp.float64:
             chg_tol = 1e-8
@@ -527,7 +532,7 @@ class SSAFD:
         stag = 0.999
 
         def newton_cond(carry):
-            _, _, F2, chg2, F2prev, eta_c, it = carry
+            _, _, F2, chg2, F2prev, eta_c, it, _ktot = carry
             improving = (F2 < stag * F2prev) & (chg2 > chg_tol2)
             # a stagnated sweep that used a loose inner tolerance gets
             # retried with a tighter one before the loop gives up — but
@@ -540,17 +545,19 @@ class SSAFD:
 
         F0 = residual_hi(uv)
         F20 = dot(F0, F0)
-        uv, F, F2, chg2, F2prev, eta_f, iters = jax.lax.while_loop(
+        uv, F, F2, chg2, F2prev, eta_f, iters, ktot = jax.lax.while_loop(
             newton_cond, newton_body,
             (uv, F0, F20, jnp.ones((), F20.dtype),
              jnp.full((), jnp.inf, F20.dtype),
-             jnp.asarray(self.ksp_rtol_max, F20.dtype), jnp.asarray(0)))
+             jnp.asarray(self.ksp_rtol_max, F20.dtype), jnp.asarray(0),
+             jnp.asarray(0)))
 
         u, v = full(lo(uv))
         u = jnp.clip(u, -self.max_speed, self.max_speed)
         v = jnp.clip(v, -self.max_speed, self.max_speed)
         if diagnostics:
             info = {"newton_iters": iters, "F2_initial": F20, "F2_final": F2,
-                    "b_norm2": b_norm2, "tol2": newton_tol2}
+                    "b_norm2": b_norm2, "tol2": newton_tol2,
+                    "krylov_iters": ktot}
             return u, v, info
         return u, v

@@ -55,6 +55,7 @@ class MISMIPSetup:
     config: Config
     state: ModelState
     surface: FunctionSurface
+    calving: object = None   # CalvingModel with the ocean_kill edge mask
 
 
 def initial_profile(x, H_divide: float = 2800.0, margin: float = 950.0e3):
@@ -123,8 +124,18 @@ def setup(Mx: int = 151, My: int = 7, Lx: float = 1500.0e3,
         dt_ = geometry_.ice_thickness.dtype
         return (jnp.full(shp, ACCUMULATION, dt_), jnp.full(shp, 253.15, dt_))
 
+    # fixed calving front near the domain edge (PISM's MISMIP run scripts
+    # use ``-calving ocean_kill``): without it the shelf eventually reaches
+    # the boundary, piles up against the clamped-stencil wall and grounds
+    from ..model.calving import CalvingModel
+    config.update({"calving.methods": "thickness_calving,ocean_kill"})
+    dx = 2 * Lx / (Mx - 1)
+    kill = np.abs(np.tile(grid.x[None, :], (My, 1))) > Lx - 2.5 * dx
+    calving = CalvingModel(grid=grid, config=config,
+                           ocean_kill_mask=jnp.asarray(kill))
+
     return MISMIPSetup(grid=grid, config=config, state=state,
-                       surface=FunctionSurface(climate))
+                       surface=FunctionSurface(climate), calving=calving)
 
 
 def grounding_line_position(geometry, grid) -> float:

@@ -16,7 +16,8 @@ def test_mismip_short_run():
     ms = mismip.setup(Mx=101, My=5, Lx=1500e3)
     ms.config.update({"time_stepping.skip.enabled": True,
                       "time_stepping.skip.max": 5})
-    model = IceModel(grid=ms.grid, config=ms.config, surface=ms.surface)
+    model = IceModel(grid=ms.grid, config=ms.config, surface=ms.surface,
+                     calving=ms.calving)
     state = model.prepare_state(ms.state)
 
     mask0 = np.asarray(state.geometry.cell_type)

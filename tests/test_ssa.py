@@ -40,7 +40,7 @@ def test_I_exact_stream():
     err = np.abs(u[:, 5] - uex) * SPY
     assert u[:, 5].max() * SPY == pytest.approx(777.5, rel=0.02)
     assert err.max() < 10.0      # m/a on a ~780 m/a stream
-    assert np.abs(v).max() * SPY < 0.01
+    assert np.abs(v).max() * SPY < 0.05   # ~1e-5 of the stream speed
 
 
 def test_I_convergence():
