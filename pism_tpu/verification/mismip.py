@@ -101,11 +101,13 @@ def setup(Mx: int = 151, My: int = 7, Lx: float = 1500.0e3,
         # Href instead of creating near-zero-thickness cells whose SSA
         # speeds would dominate the CFL
         "geometry.part_grid.enabled": True,
-        # NOTE: at 20 km resolution the grounding line over-advances (the
-        # classic coarse-grid MISMIP failure mode); quantitative GL position
-        # requires finer grids or tuned sub-grid friction
-        # (geometry.grounded_cell_fraction) — see docs/ARCHITECTURE.md.
-        "stress_balance.ssa.fd.max_speed": 20.0e3,  # m/a
+        # NOTE: coarse grids need the sub-grid friction scaling
+        # (geometry.grounded_cell_fraction) for a quantitative GL position
+        # — see examples/mismip_study.py and docs/VALIDATION.md.
+        # The far shelf legitimately reaches ~80 km/a near the kill front
+        # (strain ~0.2/a over hundreds of km); a tight speed cap would
+        # distort it and jitter the grounding line
+        "stress_balance.ssa.fd.max_speed": 150.0e3,  # m/a
         "time_stepping.maximum_time_step": 10.0,  # years
     })
 
