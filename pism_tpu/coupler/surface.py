@@ -92,6 +92,23 @@ class Given(SurfaceModel):
 
 
 @dataclass
+class GivenStreamed(SurfaceModel):
+    """PISM ``-surface given`` reading time slices from file DURING the run
+    (forcings too large to pre-load into HBM): each field is a
+    ``coupler.stream.ForcingStream`` whose reader thread prefetches ahead
+    of model time; inside the jitted step the lookup is a host-RAM
+    callback, not file I/O."""
+
+    smb: object           # ForcingStream [m/s ice equivalent]
+    temperature: object   # ForcingStream [K]
+
+    def __call__(self, geometry, t) -> SurfaceInputs:
+        dt_ = geometry.ice_thickness.dtype
+        return SurfaceInputs(self.smb.slice_at(t).astype(dt_),
+                             self.temperature.slice_at(t).astype(dt_))
+
+
+@dataclass
 class FunctionSurface(SurfaceModel):
     """Wraps fn(geometry, t) -> (smb, temperature); used by the verification
     setups (EISMINT II parameterizations, Halfar compensatory sources)."""

@@ -102,6 +102,10 @@ class File:
     def read(self, name: str) -> np.ndarray:
         return np.asarray(self.h5[name])
 
+    def read_slice(self, name: str, index: int) -> np.ndarray:
+        """Read one leading-dimension slice lazily (no full-variable load)."""
+        return np.asarray(self.h5[name][index])
+
     def read_attrs(self, name: str) -> dict:
         return dict(self.h5[name].attrs)
 
