@@ -106,3 +106,19 @@ def test_btu_minimal():
     T, flux = btu.step(None, jnp.full(grid.shape2, 260.0), G, 1.0)
     assert T is None
     np.testing.assert_array_equal(np.asarray(flux), np.asarray(G))
+
+def test_pcr_matches_thomas():
+    """Parallel cyclic reduction (the TPU path) reproduces the Thomas scan
+    to machine precision on diagonally dominant batched systems."""
+    import numpy as np
+    from pism_tpu.util.tridiag import solve_batched_pcr, solve_batched_thomas
+
+    rng = np.random.default_rng(7)
+    for n in (2, 3, 41):
+        a = rng.standard_normal((5, 6, n)) * 0.3
+        c = rng.standard_normal((5, 6, n)) * 0.3
+        b = 2.0 + np.abs(a) + np.abs(c) + rng.random((5, 6, n))
+        d = rng.standard_normal((5, 6, n))
+        x1 = np.asarray(solve_batched_thomas(a, b, c, d))
+        x2 = np.asarray(solve_batched_pcr(a, b, c, d))
+        assert np.abs(x1 - x2).max() < 1e-12 * np.abs(x1).max() + 1e-14
