@@ -139,7 +139,8 @@ def load_state(path: str, config: Optional[Config] = None):
             H, bed, sea_level=sl, Href=Href,
             ice_density=cfg.get_number("constants.ice.density"),
             ocean_density=cfg.get_number("constants.sea_water.density"),
-            ice_free_thickness=cfg.get_number("geometry.ice_free_thickness_standard"))
+            ice_free_thickness=cfg.get_number("geometry.ice_free_thickness_standard"),
+            subgl=cfg.get_flag("geometry.grounded_cell_fraction"))
         kw = {}
         for field, (var, _, _) in _STATE_VARS.items():
             if f.has_variable(var):

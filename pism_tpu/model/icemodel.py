@@ -455,6 +455,10 @@ class IceModel:
     def prepare_state(self, state: S.ModelState) -> S.ModelState:
         """Fill in fields required by the enabled components (the step
         function must be pytree-structure-stable for lax.while_loop)."""
+        # derived geometry honors this model's sub-grid setting (initial
+        # states and checkpoints may have been built with another)
+        state = state.replace(geometry=S.ensure_consistency(
+            state.geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl))
         H = state.geometry.ice_thickness
         z2 = jnp.zeros_like(H)
         kw = {}

@@ -55,7 +55,8 @@ class Geometry:
 
 def new_geometry(thickness, bed, sea_level=None, Href=None,
                  ice_density=910.0, ocean_density=1028.0,
-                 ice_free_thickness=0.01) -> Geometry:
+                 ice_free_thickness=0.01,
+                 subgl: bool = False) -> Geometry:
     thickness = jnp.asarray(thickness)
     bed = jnp.asarray(bed)
     if sea_level is None:
@@ -71,7 +72,9 @@ def new_geometry(thickness, bed, sea_level=None, Href=None,
         cell_type=jnp.zeros(thickness.shape, jnp.int32),
         cell_grounded_fraction=jnp.zeros_like(thickness),
     )
-    return ensure_consistency(g, ice_density, ocean_density, ice_free_thickness)
+    return ensure_consistency(g, ice_density, ocean_density,
+                              ice_free_thickness,
+                              compute_grounded_fraction=subgl)
 
 
 def grounded_fraction(H, b, sl, mu):

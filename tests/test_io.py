@@ -95,3 +95,55 @@ def test_restart_through_file_bit_stable(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(sA.geometry.ice_thickness),
         np.asarray(sB3.geometry.ice_thickness))
+
+
+def test_restart_bit_stable_full_chain_with_pdd(tmp_path):
+    """Restart exactness through a hybrid chain with the *stateful* PDD:
+    snow/firn depths, enthalpy, velocities and hydrology all round-trip
+    through NetCDF and the continued run is bit-identical."""
+    from pism_tpu.coupler import atmosphere as atm
+    from pism_tpu.coupler.pdd import TemperatureIndex
+
+    grid = Grid(Mx=20, My=24, Lx=200e3, Ly=240e3, Mz=15, Lz=3000.0)
+    cfg = Config({
+        "stress_balance.model": "ssa+sia",
+        "energy.model": "enthalpy",
+        "basal_resistance.pseudo_plastic.enabled": True,
+        "basal_yield_stress.model": "mohr_coulomb",
+        "hydrology.model": "null",
+        "geometry.part_grid.enabled": True,
+    })
+    X, Y = np.meshgrid(np.asarray(grid.x), np.asarray(grid.y))
+    r2 = (X / 150e3) ** 2 + (Y / 190e3) ** 2
+    bed = 200.0 - 700.0 * r2
+    H = 1500.0 * np.maximum(1.0 - r2, 0.0)
+    a = atm.Uniform(temperature=258.15, temperature_july=273.65,
+                    precipitation=0.4 / SPY)
+    surface = TemperatureIndex(atmosphere=a, config=cfg)
+    model = IceModel(grid=grid, config=cfg, surface=surface)
+    state0 = model.prepare_state(ModelState(geometry=new_geometry(
+        jnp.asarray(H), jnp.asarray(bed))))
+
+    t_end = 6 * SPY
+    sA, tA, _ = model.step_once(state0, 0.0, 3 * SPY)
+    sA, tA, _ = model.step_once(sA, tA, t_end - tA)
+
+    sB, tB, _ = model.step_once(state0, 0.0, 3 * SPY)
+    assert sB.snow_depth is not None and float(sB.snow_depth.max()) > 0
+    path = str(tmp_path / "restart_pdd.nc")
+    ckpt.save_state(path, sB, grid, tB, config=cfg)
+    sB2, tB2 = ckpt.load_state(path, config=cfg)
+    np.testing.assert_array_equal(np.asarray(sB.snow_depth),
+                                  np.asarray(sB2.snow_depth))
+    np.testing.assert_array_equal(np.asarray(sB.firn_depth),
+                                  np.asarray(sB2.firn_depth))
+    sB3, _, _ = model.step_once(sB2, tB2, t_end - tB2)
+
+    for fld in ("geometry.ice_thickness", "enthalpy", "u_ssa",
+                "snow_depth", "tillwat"):
+        obj_a, obj_b = sA, sB3
+        for part in fld.split("."):
+            obj_a = getattr(obj_a, part)
+            obj_b = getattr(obj_b, part)
+        np.testing.assert_array_equal(np.asarray(obj_a), np.asarray(obj_b),
+                                      err_msg=fld)
