@@ -250,6 +250,344 @@ def _bwat(state, model, t):
     return state.hydro_W if state.hydro_W is not None else jnp.zeros_like(H)
 
 
+def _zeros2(state):
+    return jnp.zeros_like(state.geometry.ice_thickness)
+
+
+def _strain_eigenvalues(state, model):
+    """Principal values of the horizontal strain-rate tensor from the SSA
+    velocity (PISM ``strain_rates`` diagnostic / eigencalving input)."""
+    H = state.geometry.ice_thickness
+    u = state.u_ssa if state.u_ssa is not None else jnp.zeros_like(H)
+    v = state.v_ssa if state.v_ssa is not None else jnp.zeros_like(H)
+    sh, dx, dy = model.sh, model.grid.dx, model.grid.dy
+    ux = (sh(u, 0, 1) - sh(u, 0, -1)) / (2 * dx)
+    uy = (sh(u, 1, 0) - sh(u, -1, 0)) / (2 * dy)
+    vx = (sh(v, 0, 1) - sh(v, 0, -1)) / (2 * dx)
+    vy = (sh(v, 1, 0) - sh(v, -1, 0)) / (2 * dy)
+    exy = 0.5 * (uy + vx)
+    tr = 0.5 * (ux + vy)
+    det = jnp.sqrt(jnp.maximum((0.5 * (ux - vy)) ** 2 + exy ** 2, 0.0))
+    return tr + det, tr - det
+
+
+@spatial("ubar", "m s-1", "x-component of vertically-integrated velocity")
+def _ubar(state, model, t):
+    return state.u_ssa if state.u_ssa is not None else _zeros2(state)
+
+
+@spatial("vbar", "m s-1", "y-component of vertically-integrated velocity")
+def _vbar(state, model, t):
+    return state.v_ssa if state.v_ssa is not None else _zeros2(state)
+
+
+@spatial("uvelbase", "m s-1", "x-component of basal velocity")
+def _uvelbase(state, model, t):
+    sb = model.stress_balance.update(state)
+    return sb.sia3.u[..., 0] if sb.sia3 is not None else sb.u_base
+
+
+@spatial("vvelbase", "m s-1", "y-component of basal velocity")
+def _vvelbase(state, model, t):
+    sb = model.stress_balance.update(state)
+    return sb.sia3.v[..., 0] if sb.sia3 is not None else sb.v_base
+
+
+@spatial("wvelbase", "m s-1", "vertical velocity at the ice base")
+def _wvelbase(state, model, t):
+    sb = model.stress_balance.update(state)
+    return sb.sia3.w[..., 0] if sb.sia3 is not None else _zeros2(state)
+
+
+@spatial("uvel", "m s-1", "x-component of 3D velocity",
+         "land_ice_x_velocity")
+def _uvel3(state, model, t):
+    sb = model.stress_balance.update(state)
+    if sb.sia3 is not None:
+        return sb.sia3.u
+    return jnp.broadcast_to(sb.u_base[..., None],
+                            sb.u_base.shape + (model.grid.Mz,))
+
+
+@spatial("vvel", "m s-1", "y-component of 3D velocity",
+         "land_ice_y_velocity")
+def _vvel3(state, model, t):
+    sb = model.stress_balance.update(state)
+    if sb.sia3 is not None:
+        return sb.sia3.v
+    return jnp.broadcast_to(sb.v_base[..., None],
+                            sb.v_base.shape + (model.grid.Mz,))
+
+
+@spatial("wvel_rel", "m s-1", "vertical velocity relative to the base")
+def _wvel3(state, model, t):
+    sb = model.stress_balance.update(state)
+    if sb.sia3 is not None:
+        return sb.sia3.w
+    H = state.geometry.ice_thickness
+    return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+
+
+@spatial("strainheating", "W m-3", "volumetric strain heating (Sigma)")
+def _sigma3(state, model, t):
+    sb = model.stress_balance.update(state)
+    if sb.sia3 is not None:
+        return sb.sia3.strain_heating
+    H = state.geometry.ice_thickness
+    return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+
+
+@spatial("temp", "K", "3D ice temperature", "land_ice_temperature")
+def _temp3(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.enthalpy is None:
+        return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+    EC = model.EC
+    z = jnp.asarray(model.grid.z, H.dtype)
+    depth = jnp.maximum(H[..., None] - z, 0.0)
+    return EC.temperature(state.enthalpy, EC.pressure(depth))
+
+
+@spatial("temppa", "K", "3D pressure-adjusted ice temperature")
+def _temppa3(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.enthalpy is None:
+        return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+    EC = model.EC
+    z = jnp.asarray(model.grid.z, H.dtype)
+    depth = jnp.maximum(H[..., None] - z, 0.0)
+    return EC.pressure_adjusted_temperature(state.enthalpy,
+                                            EC.pressure(depth))
+
+
+@spatial("liqfrac", "1", "3D liquid water fraction")
+def _liqfrac3(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.enthalpy is None:
+        return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+    EC = model.EC
+    z = jnp.asarray(model.grid.z, H.dtype)
+    depth = jnp.maximum(H[..., None] - z, 0.0)
+    return EC.water_fraction(state.enthalpy, EC.pressure(depth))
+
+
+@spatial("enthalpy", "J kg-1", "3D ice enthalpy")
+def _enth3(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.enthalpy is None:
+        return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+    return state.enthalpy
+
+
+@spatial("enthalpybase", "J kg-1", "ice enthalpy at the base")
+def _enthbase(state, model, t):
+    return state.enthalpy[..., 0] if state.enthalpy is not None \
+        else _zeros2(state)
+
+
+@spatial("enthalpysurf", "J kg-1", "ice enthalpy at the surface layer")
+def _enthsurf(state, model, t):
+    return state.enthalpy[..., -1] if state.enthalpy is not None \
+        else _zeros2(state)
+
+
+@spatial("age", "s", "age of the ice", "age_of_glacier_ice")
+def _age3(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.age is None:
+        return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+    return state.age
+
+
+def _temperate_mask(state, model):
+    """(My,Mx,Mz) bool: temperate ice inside the ice column."""
+    H = state.geometry.ice_thickness
+    EC = model.EC
+    z = jnp.asarray(model.grid.z, H.dtype)
+    depth = jnp.maximum(H[..., None] - z, 0.0)
+    in_ice = z < jnp.maximum(H[..., None], 1e-9)
+    return (state.enthalpy >= EC.enthalpy_cts(EC.pressure(depth))) & in_ice
+
+
+@spatial("tempicethk", "m", "total thickness of temperate ice in the column")
+def _tempicethk(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.enthalpy is None:
+        return _zeros2(state)
+    temperate = _temperate_mask(state, model).astype(H.dtype)
+    dz = jnp.asarray(model.grid.dz, H.dtype)
+    mid = 0.5 * (temperate[..., 1:] + temperate[..., :-1])
+    return jnp.sum(mid * dz, axis=-1)
+
+
+@spatial("tempicethk_basal", "m",
+         "thickness of the contiguous basal temperate layer")
+def _tempicethk_basal(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.enthalpy is None:
+        return _zeros2(state)
+    temperate = _temperate_mask(state, model)
+    # contiguous-from-base flags via cumulative product along z
+    contig = jnp.cumprod(temperate.astype(H.dtype), axis=-1)
+    dz = jnp.asarray(model.grid.dz, H.dtype)
+    mid = 0.5 * (contig[..., 1:] + contig[..., :-1])
+    return jnp.sum(mid * dz, axis=-1)
+
+
+@spatial("bfrict", "W m-2", "basal frictional heating")
+def _bfrict(state, model, t):
+    sb = model.stress_balance.update(state)
+    return sb.basal_frictional_heating \
+        if sb.basal_frictional_heating is not None else _zeros2(state)
+
+
+def _taud_xy(state, model):
+    from ..ops import stencils as st
+    g = state.geometry
+    sx, sy = st.centered_grad(g.ice_surface_elevation, model.grid.dx,
+                              model.grid.dy, model.sh)
+    f = model.rho_i * 9.81 * g.ice_thickness
+    return -f * sx, -f * sy
+
+
+@spatial("taud_x", "Pa", "x-component of the driving stress")
+def _taud_x(state, model, t):
+    return _taud_xy(state, model)[0]
+
+
+@spatial("taud_y", "Pa", "y-component of the driving stress")
+def _taud_y(state, model, t):
+    return _taud_xy(state, model)[1]
+
+
+def _taub_xy(state, model):
+    H = state.geometry.ice_thickness
+    if model.yield_stress is None or model.ssa is None:
+        return jnp.zeros_like(H), jnp.zeros_like(H)
+    tau_c = model.yield_stress.compute(state)
+    u = state.u_ssa if state.u_ssa is not None else jnp.zeros_like(H)
+    v = state.v_ssa if state.v_ssa is not None else jnp.zeros_like(H)
+    beta = model.ssa.sliding_law.beta(tau_c, u, v)
+    return -beta * u, -beta * v
+
+
+@spatial("taub_x", "Pa", "x-component of basal shear stress")
+def _taub_x(state, model, t):
+    return _taub_xy(state, model)[0]
+
+
+@spatial("taub_y", "Pa", "y-component of basal shear stress")
+def _taub_y(state, model, t):
+    return _taub_xy(state, model)[1]
+
+
+@spatial("flux_mag", "m2 s-1",
+         "magnitude of vertically-integrated horizontal flux")
+def _fluxmag(state, model, t):
+    return _velbar(state, model, t) * state.geometry.ice_thickness
+
+
+@spatial("flux_divergence", "m s-1", "divergence of the ice flux")
+def _fluxdiv(state, model, t):
+    from . import geometry_evolution as ge
+    sb = model.stress_balance.update(state)
+    qe_adv, qn_adv = ge.advective_flux(sb.u_face_e, sb.v_face_n,
+                                       state.geometry.ice_thickness, model.sh)
+    return (sb.qe + qe_adv - model.sh(sb.qe + qe_adv, 0, -1)) / model.grid.dx \
+        + (sb.qn + qn_adv - model.sh(sb.qn + qn_adv, -1, 0)) / model.grid.dy
+
+
+@spatial("topg_sl_adjusted", "m", "bed elevation relative to sea level")
+def _topg_sl(state, model, t):
+    return state.geometry.bed_elevation - state.geometry.sea_level
+
+
+@spatial("ice_area_specific_volume", "m3 m-2",
+         "part-grid ice volume per unit area (Href)")
+def _href(state, model, t):
+    return state.geometry.ice_area_specific_volume
+
+
+@spatial("climatic_mass_balance", "kg m-2 s-1",
+         "surface mass balance (mass flux)",
+         "land_ice_surface_specific_mass_balance_flux")
+def _cmb(state, model, t):
+    return model.surface(state.geometry, t).smb * model.rho_i
+
+
+@spatial("bwp", "Pa", "subglacial water pressure")
+def _bwp(state, model, t):
+    return state.hydro_P if state.hydro_P is not None else _zeros2(state)
+
+
+@spatial("bwprel", "1", "water pressure as a fraction of overburden")
+def _bwprel(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.hydro_P is None:
+        return _zeros2(state)
+    P0 = model.rho_i * 9.81 * jnp.maximum(H, 1.0)
+    return jnp.where(H > 1.0, state.hydro_P / P0, 0.0)
+
+
+@spatial("effbwp", "Pa", "effective pressure (overburden minus water pressure)")
+def _effbwp(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.hydro_P is None:
+        return _zeros2(state)
+    return jnp.maximum(model.rho_i * 9.81 * H - state.hydro_P, 0.0)
+
+
+@spatial("hydraulic_potential", "Pa",
+         "subglacial hydraulic potential psi = P + rho_w g (b + W)")
+def _hydropot(state, model, t):
+    g = state.geometry
+    P = state.hydro_P if state.hydro_P is not None else _zeros2(state)
+    W = state.hydro_W if state.hydro_W is not None else _zeros2(state)
+    return P + 1000.0 * 9.81 * (g.bed_elevation + W)
+
+
+@spatial("eigen1", "s-1", "first principal horizontal strain rate")
+def _eigen1(state, model, t):
+    return _strain_eigenvalues(state, model)[0]
+
+
+@spatial("eigen2", "s-1", "second principal horizontal strain rate")
+def _eigen2(state, model, t):
+    return _strain_eigenvalues(state, model)[1]
+
+
+@spatial("snow_depth", "m", "PDD snow cover depth (ice equivalent)")
+def _snowdepth(state, model, t):
+    return state.snow_depth if state.snow_depth is not None \
+        else _zeros2(state)
+
+
+@spatial("firn_depth", "m", "PDD firn layer depth (ice equivalent)")
+def _firndepth(state, model, t):
+    return state.firn_depth if state.firn_depth is not None \
+        else _zeros2(state)
+
+
+@spatial("fracture_density", "1", "fracture density phase field")
+def _fracdens(state, model, t):
+    return state.fracture_density if state.fracture_density is not None \
+        else _zeros2(state)
+
+
+@spatial("shelfbmassflux", "kg m-2 s-1", "sub-shelf mass flux (melt positive)")
+def _shelfbmf(state, model, t):
+    if model.ocean is None:
+        return _zeros2(state)
+    return model.ocean(state.geometry, t) * model.rho_i
+
+
+@spatial("dbdt_total", "m", "total bed displacement since initialization")
+def _dbdt_total(state, model, t):
+    if state.bed_reference is None:
+        return _zeros2(state)
+    return state.geometry.bed_elevation - state.bed_reference
+
+
 # --------------------------------------------------------------------------
 # scalar time series (PISM ts_ names)
 # --------------------------------------------------------------------------
@@ -336,6 +674,114 @@ def _sif(state, model, t):
     smb = model.surface(state.geometry, t).smb
     return jnp.sum(jnp.where(S.icy(state.geometry.cell_type), smb, 0.0)) \
         * g.dx * g.dy
+
+
+@scalar("ice_volume_temperate", "m3", "volume of temperate ice")
+def _vol_temp(state, model, t):
+    if state.enthalpy is None:
+        return jnp.zeros(())
+    g = model.grid
+    H = state.geometry.ice_thickness
+    temperate = _temperate_mask(state, model).astype(H.dtype)
+    dz = jnp.asarray(g.dz, H.dtype)
+    mid = 0.5 * (temperate[..., 1:] + temperate[..., :-1])
+    return jnp.sum(mid * dz) * g.dx * g.dy
+
+
+@scalar("ice_enthalpy", "J", "total ice enthalpy")
+def _total_enth(state, model, t):
+    if state.enthalpy is None:
+        return jnp.zeros(())
+    g = model.grid
+    H = state.geometry.ice_thickness
+    z = jnp.asarray(g.z, H.dtype)
+    in_ice = (z < jnp.maximum(H[..., None], 1e-9)).astype(H.dtype)
+    dz = jnp.asarray(g.dz, H.dtype)
+    E = state.enthalpy * in_ice
+    mid = 0.5 * (E[..., 1:] + E[..., :-1])
+    return jnp.sum(mid * dz) * g.dx * g.dy * model.rho_i
+
+
+@scalar("max_diffusivity", "m2 s-1", "maximum SIA diffusivity")
+def _maxdiff(state, model, t):
+    return model.stress_balance.update(state).max_diffusivity
+
+
+@scalar("ice_area_glacierized_grounded", "m2", "grounded glacierized area")
+def _area_gr(state, model, t):
+    g = model.grid
+    return jnp.sum(S.grounded_ice(state.geometry.cell_type).astype(
+        state.geometry.ice_thickness.dtype)) * g.dx * g.dy
+
+
+@scalar("ice_area_glacierized_temperate_base", "m2",
+        "glacierized area with temperate base")
+def _area_tempbase(state, model, t):
+    if state.enthalpy is None:
+        return jnp.zeros(())
+    g, EC = model.grid, model.EC
+    H = state.geometry.ice_thickness
+    icy = S.icy(state.geometry.cell_type)
+    temperate = icy & (state.enthalpy[..., 0] >=
+                       EC.enthalpy_cts(EC.pressure(H)))
+    return jnp.sum(temperate.astype(H.dtype)) * g.dx * g.dy
+
+
+@scalar("ice_area_glacierized_cold_base", "m2",
+        "glacierized area with cold base")
+def _area_coldbase(state, model, t):
+    if state.enthalpy is None:
+        return jnp.zeros(())
+    g, EC = model.grid, model.EC
+    H = state.geometry.ice_thickness
+    icy = S.icy(state.geometry.cell_type)
+    cold = icy & (state.enthalpy[..., 0] <
+                  EC.enthalpy_cts(EC.pressure(H)))
+    return jnp.sum(cold.astype(H.dtype)) * g.dx * g.dy
+
+
+def _volume_above_flotation(state, model):
+    """Grounded-ice volume above flotation [m^3 of ice]."""
+    g = state.geometry
+    grid = model.grid
+    rho_ratio = model.rho_w / model.rho_i
+    depth = jnp.maximum(g.sea_level - g.bed_elevation, 0.0)
+    H_f = rho_ratio * depth    # flotation thickness
+    vaf = jnp.where(S.grounded_ice(g.cell_type),
+                    jnp.maximum(g.ice_thickness - H_f, 0.0), 0.0)
+    return jnp.sum(vaf) * grid.dx * grid.dy
+
+
+@scalar("limnsw", "kg", "mass of grounded ice above flotation")
+def _limnsw(state, model, t):
+    return _volume_above_flotation(state, model) * model.rho_i
+
+
+@scalar("sea_level_rise_potential", "m",
+        "global sea-level rise potential of ice above flotation")
+def _slr(state, model, t):
+    OCEAN_AREA = 3.625e14    # m^2 (CF convention value)
+    v = _volume_above_flotation(state, model)
+    return v * (model.rho_i / 1000.0) / OCEAN_AREA
+
+
+@scalar("basal_mass_flux_floating", "m3 s-1",
+        "area-integrated sub-shelf melt")
+def _bmf_fl(state, model, t):
+    g = model.grid
+    if model.ocean is None:
+        return jnp.zeros(())
+    melt = model.ocean(state.geometry, t)
+    m = jnp.where(S.floating_ice(state.geometry.cell_type), melt, 0.0)
+    return jnp.sum(m) * g.dx * g.dy
+
+
+@scalar("max_hor_vel", "m s-1", "maximum horizontal 3D velocity component")
+def _maxhorvel(state, model, t):
+    sb = model.stress_balance.update(state)
+    if sb.sia3 is not None:
+        return jnp.maximum(sb.sia3.max_u, sb.sia3.max_v)
+    return jnp.max(jnp.abs(jnp.stack([sb.u_base, sb.v_base])))
 
 
 def compute_spatial(names, state, model, t):

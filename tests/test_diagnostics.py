@@ -44,8 +44,8 @@ def test_all_scalar_diagnostics_finite(thermo_state):
 
 def test_registry_size():
     # a representative slice of PISM's diagnostic dictionary
-    assert len(diag.SPATIAL) >= 25
-    assert len(diag.SCALAR) >= 10
+    assert len(diag.SPATIAL) >= 60
+    assert len(diag.SCALAR) >= 20
 
 
 def test_vars_dictionary():
