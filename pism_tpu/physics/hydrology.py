@@ -56,11 +56,18 @@ class NullTransport:
 
 @dataclass
 class Routing(NullTransport):
-    """PISM ``hydrology::Routing``: lateral routing along the hydraulic
-    potential psi = rho_w g b + P_overburden (zero till-effective-pressure
-    approximation), explicit upwind with internal CFL subcycling."""
+    """PISM ``hydrology::Routing``: lateral routing of a transportable
+    water layer along the hydraulic potential psi = rho_w g b +
+    P_overburden (zero till-effective-pressure approximation), explicit
+    upwind steps subcycled on the water-advection CFL condition (the
+    reference computes the same per-substep bound in
+    ``Routing::max_timestep_W_cfl``; a fixed substep count would silently
+    rate-limit the flux whenever the CFL were violated). The subcycle loop
+    is a ``lax.while_loop``; termination is guaranteed by the
+    ``dt / max_subcycles`` floor on each substep."""
 
-    n_subcycles: int = 8
+    cfl_factor: float = 0.5
+    max_subcycles: int = 1024
 
     def __post_init__(self):
         super().__post_init__()
@@ -73,6 +80,52 @@ class Routing(NullTransport):
 
     def max_timestep(self):
         return None
+
+    def _face_gradients(self, psi):
+        """Staggered potential gradients and face gradient magnitudes."""
+        grid, sh = self.grid, self.sh
+        dpx = st.grad_x_east(psi, grid.dx, sh)
+        dpy = st.grad_y_north(psi, grid.dy, sh)
+        gpe = jnp.sqrt(dpx ** 2 + st.grad_y_east(psi, grid.dy, sh) ** 2) + 1e-12
+        gpn = jnp.sqrt(st.grad_x_north(psi, grid.dx, sh) ** 2 + dpy ** 2) + 1e-12
+        return dpx, dpy, gpe, gpn
+
+    def _wave_speed(self, W, gpe, gpn):
+        """Upper bound on the kinematic wave speed dq/dW = k a W^(a-1) g^(b-1)."""
+        Wmax = jnp.max(W)
+        gmax = jnp.maximum(jnp.max(gpe), jnp.max(gpn))
+        return self.k * self.alpha * jnp.maximum(Wmax, 1e-12) \
+            ** (self.alpha - 1.0) * gmax ** (self.beta_exp - 1.0)
+
+    def _cfl_subcycle(self, dt, W0, potential_fn, substep_fn, extra0=None):
+        """Advance W (and optional extra state) over [0, dt] with CFL-bounded
+        explicit substeps. ``potential_fn(W, extra) -> psi``;
+        ``substep_fn(W, extra, dt_sub, face_grads) -> (W, extra)``."""
+        grid = self.grid
+        dx_min = min(grid.dx, grid.dy)
+        dt_floor = dt / self.max_subcycles
+
+        def cond(carry):
+            _, _, t_done = carry
+            return t_done < dt
+
+        def body(carry):
+            W, extra, t_done = carry
+            psi = potential_fn(W, extra)
+            grads = self._face_gradients(psi)
+            _, _, gpe, gpn = grads
+            v = self._wave_speed(W, gpe, gpn)
+            t_left = dt - t_done
+            dt_sub = jnp.clip(self.cfl_factor * dx_min / jnp.maximum(v, 1e-30),
+                              dt_floor, t_left)
+            W, extra = substep_fn(W, extra, dt_sub, grads)
+            return W, extra, t_done + dt_sub
+
+        if extra0 is None:
+            extra0 = jnp.zeros(())
+        W, extra, _ = jax.lax.while_loop(
+            cond, body, (W0, extra0, jnp.zeros((), W0.dtype)))
+        return W, extra
 
     def step(self, state: S.ModelState, dt) -> S.ModelState:
         state = NullTransport.step(self, state, dt)  # fill till layer first
@@ -89,15 +142,10 @@ class Routing(NullTransport):
         overflow = jnp.where(state.tillwat >= self.W_max, inflow, 0.0)
 
         psi = self.rho_w * self.g * b + self.rho_i * self.g * H
+        ocean = S.ocean(state.geometry.cell_type)
 
-        dt_sub = dt / self.n_subcycles
-
-        def substep(W, _):
-            # staggered fluxes q = -K(W, |grad psi|) grad psi
-            dpx = st.grad_x_east(psi, grid.dx, sh)
-            dpy = st.grad_y_north(psi, grid.dy, sh)
-            gpe = jnp.sqrt(dpx ** 2 + st.grad_y_east(psi, grid.dy, sh) ** 2) + 1e-12
-            gpn = jnp.sqrt(st.grad_x_north(psi, grid.dx, sh) ** 2 + dpy ** 2) + 1e-12
+        def substep(W, extra, dt_sub, grads):
+            dpx, dpy, gpe, gpn = grads
             # upwind W onto faces by the flux direction (downgradient)
             We = jnp.where(dpx <= 0.0, W, sh(W, 0, 1))
             Wn = jnp.where(dpy <= 0.0, W, sh(W, 1, 0))
@@ -110,10 +158,9 @@ class Routing(NullTransport):
             qe, qn = limit_flux(qe, qn, W, dt_sub, grid.dx, grid.dy, sh)
             div = st.div_staggered(qe, qn, grid.dx, grid.dy, sh)
             W_new = jnp.maximum(W + dt_sub * (overflow - div), 0.0)
-            W_new = jnp.where(S.ocean(state.geometry.cell_type), 0.0, W_new)
-            return W_new, None
+            return jnp.where(ocean, 0.0, W_new), extra
 
-        W, _ = jax.lax.scan(substep, W, None, length=self.n_subcycles)
+        W, _ = self._cfl_subcycle(dt, W, lambda W_, e: psi, substep)
         return state.replace(hydro_W=W)
 
 
@@ -161,16 +208,10 @@ class Distributed(Routing):
             else jnp.zeros_like(H)
         inflow = (self.rho_i / self.rho_w) * m_b
         overflow = jnp.where(state.tillwat >= self.W_max, inflow, 0.0)
+        ocean = S.ocean(state.geometry.cell_type)
 
-        dt_sub = dt / self.n_subcycles
-
-        def substep(carry, _):
-            W, P = carry
-            psi = P + self.rho_w * self.g_ * b
-            dpx = st.grad_x_east(psi, grid.dx, sh)
-            dpy = st.grad_y_north(psi, grid.dy, sh)
-            gpe = jnp.sqrt(dpx ** 2 + st.grad_y_east(psi, grid.dy, sh) ** 2) + 1e-12
-            gpn = jnp.sqrt(st.grad_x_north(psi, grid.dx, sh) ** 2 + dpy ** 2) + 1e-12
+        def substep(W, P, dt_sub, grads):
+            dpx, dpy, gpe, gpn = grads
             We = jnp.where(dpx <= 0.0, W, sh(W, 0, 1))
             Wn = jnp.where(dpy <= 0.0, W, sh(W, 1, 0))
             qe = -self.k * We ** self.alpha * gpe ** (self.beta_exp - 2.0) * dpx
@@ -189,12 +230,11 @@ class Distributed(Routing):
             dP = (self.rho_w * self.g_ / self.phi0) * \
                 (dW_trans - (opening - closure))
             P_new = jnp.clip(P + dt_sub * dP, 0.0, P_ov)
-            return (W_new, P_new), None
+            return jnp.where(ocean, 0.0, W_new), jnp.where(ocean, 0.0, P_new)
 
-        (W, P), _ = jax.lax.scan(substep, (W, P), None, length=self.n_subcycles)
-        ocean = S.ocean(state.geometry.cell_type)
-        W = jnp.where(ocean, 0.0, W)
-        P = jnp.where(ocean, 0.0, P)
+        W, P = self._cfl_subcycle(
+            dt, W, lambda W_, P_: P_ + self.rho_w * self.g_ * b,
+            substep, extra0=P)
         return state.replace(hydro_W=W, hydro_P=P)
 
 
