@@ -58,9 +58,11 @@ class FractureDensity:
 
     def flow_enhancement(self, phi, n_glen=3.0):
         """Softening feedback: multiply ice softness by
-        (1 - (1 - soft_min^(-1/n)) phi)^(-n) (PISM ``fracture_density``
-        softening). soft_min = 1 disables it."""
+        (1 - (1 - eps) phi)^(-n), eps = softening_lower_limit (PISM
+        ``fracture_density`` softening: the hardness multiplier
+        1 - (1-eps) phi is bounded below by eps). eps = 1 disables it."""
         if self.soft_min == 1.0:
             return jnp.ones_like(phi)
-        c = 1.0 - self.soft_min ** (-1.0 / n_glen)
-        return (1.0 - c * phi) ** (-n_glen)
+        eps = self.soft_min
+        hard = jnp.maximum(1.0 - (1.0 - eps) * phi, eps)
+        return hard ** (-n_glen)

@@ -173,10 +173,17 @@ class IceModel:
         self.geothermal = cfg.get_number("bootstrapping.defaults.geothermal_flux")
         sia_law = flow_law_from_config(cfg, "sia", self.EC) \
             if "sia" in sb_model.split("+") else None
+        if self.no_model_mask is not None:
+            # regional mode (reference src/regional/): SIA/SSA see the strip
+            nmm = jnp.asarray(self.no_model_mask, bool)
+            if self.ssa is not None and hasattr(self.ssa, "no_model_mask"):
+                self.ssa.no_model_mask = nmm
         self.stress_balance = StressBalance(
             grid=self.grid, config=cfg, sia_flow_law=sia_law, ssa=self.ssa,
             blatter=self.blatter, model=sb_model,
-            compute_3d=self.energy_model is not None)
+            compute_3d=self.energy_model is not None,
+            no_model_mask=self.no_model_mask)
+        self.nmm_tauc = cfg.get_number("regional.no_model_yield_stress", "Pa")
 
         self.rho_i = cfg.get_number("constants.ice.density")
         self.rho_w = cfg.get_number("constants.sea_water.density")
@@ -259,6 +266,12 @@ class IceModel:
         tau_c = None
         if self.yield_stress is not None:
             tau_c = self.yield_stress.compute(state)
+            if self.no_model_mask is not None:
+                # RegionalYieldStress: a very large yield stress in the
+                # no-model strip pins the sliding velocity there
+                tau_c = jnp.where(jnp.asarray(self.no_model_mask, bool),
+                                  jnp.asarray(self.nmm_tauc, tau_c.dtype),
+                                  tau_c)
         sb = self.stress_balance.update(state, tau_c)
         dt = self._compute_dt(sb, t, t_end)
         dt_f = dt.astype(state.geometry.ice_thickness.dtype)

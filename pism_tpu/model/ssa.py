@@ -54,6 +54,9 @@ class SSAFD:
     # the geometric driving stress, like PISM's SSATestCase subclasses)
     taud_x: Optional[jnp.ndarray] = None
     taud_y: Optional[jnp.ndarray] = None
+    # regional mode (reference SSAFD_Regional::compute_driving_stress):
+    # zero driving stress inside the no-model strip
+    no_model_mask: Optional[jnp.ndarray] = None
 
     def __post_init__(self):
         cfg = self.config
@@ -85,6 +88,11 @@ class SSAFD:
         self.subgl_drag = cfg.get_flag("geometry.grounded_cell_fraction")
         self.solve_dtype = cfg.get_string("stress_balance.ssa.fd.solve_dtype")
         self.precond_kind = cfg.get_string("stress_balance.ssa.fd.preconditioner")
+        # fracture-induced softening (Albrecht & Levermann 2012): the
+        # reference applies it inside SSAFD::compute_nuH when
+        # fracture_density.softening_lower_limit < 1
+        self.frac_soft_min = cfg.get_number(
+            "fracture_density.softening_lower_limit")
         if self.sliding_law is None:
             self.sliding_law = SlidingLaw.from_config(cfg)
 
@@ -122,7 +130,17 @@ class SSAFD:
             B = self.flow_law.averaged_hardness(H, state.enthalpy,
                                                 jnp.asarray(self.grid.z, H.dtype))
         # SSA enhancement factor scales softness: B -> B * e^(-1/n)
-        return B * self.e_ssa ** (-1.0 / self.n_glen)
+        B = B * self.e_ssa ** (-1.0 / self.n_glen)
+        # fracture-induced softening (reference: SSAFD::compute_nuH when
+        # fracture_density.softening_lower_limit = eps < 1): softness
+        # A -> A * (1 - (1-eps) phi)^(-n), i.e. hardness
+        # B -> B * (1 - (1-eps) phi), bounded below by eps at phi = 1
+        phi = state.fracture_density
+        if phi is not None and self.frac_soft_min != 1.0:
+            eps = self.frac_soft_min
+            B = B * jnp.maximum(
+                1.0 - (1.0 - eps) * jnp.asarray(phi, B.dtype), eps)
+        return B
 
     def _front_stress(self, geometry):
         """T_front = 1/2 g (rho_i H^2 - rho_w d^2) per cell [Pa m]."""
@@ -177,6 +195,10 @@ class SSAFD:
                 - jnp.where(icy & ~icy_w, Tf / dx, 0.0)
         by = by + jnp.where(icy & ~icy_n, Tf / dy, 0.0) \
                 - jnp.where(icy & ~icy_s, Tf / dy, 0.0)
+        if self.no_model_mask is not None:
+            nmm = jnp.asarray(self.no_model_mask, bool)
+            bx = jnp.where(nmm, 0.0, bx)
+            by = jnp.where(nmm, 0.0, by)
 
         # stress transmitted only across icy-icy faces
         keep_e = (icy & icy_e).astype(dtype)

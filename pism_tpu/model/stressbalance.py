@@ -56,6 +56,10 @@ class StressBalance:
     # prescribed sliding fields (model = "prescribed_sliding[+sia]")
     prescribed_u: object = None
     prescribed_v: object = None
+    # regional mode (reference SIAFD_Regional::compute_surface_gradient):
+    # the surface gradient is zeroed in the no-model strip, so no SIA
+    # diffusive flux crosses faces touching strip cells
+    no_model_mask: object = None
 
     def __post_init__(self):
         self.sh = Shifter(self.grid)
@@ -207,6 +211,10 @@ class StressBalance:
                 gradient_method=self.gradient_method,
                 theta_e=th_e, theta_n=th_n)
             qe, qn, max_D = flux.qe, flux.qn, flux.max_D
+            if self.no_model_mask is not None:
+                nmm = jnp.asarray(self.no_model_mask, bool)
+                qe = jnp.where(nmm | sh(nmm, 0, 1), 0.0, qe)
+                qn = jnp.where(nmm | sh(nmm, 1, 0), 0.0, qn)
         else:
             qe, qn, max_D = zeros, zeros, jnp.zeros(())
 

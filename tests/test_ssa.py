@@ -154,3 +154,40 @@ def test_mixed_precision_iterative_refinement():
     rel = np.abs(res["mixed"] - res["float64"]).max() / \
         np.abs(res["float64"]).max()
     assert rel < 5e-6
+
+
+def test_fracture_softening_speeds_up_shelf():
+    """Fracture-induced softening (reference: SSAFD::compute_nuH applies
+    hardness *= max(1-(1-eps)*phi, eps) when
+    fracture_density.softening_lower_limit = eps < 1): a fractured shelf
+    flows faster than intact ice; eps = 1 leaves the solution unchanged."""
+    Mx, My = 41, 11
+    grid = Grid(Mx=Mx, My=My, Lx=100e3, Ly=25e3, periodicity="y")
+    law = IsothermalGlen(A=1e-25)
+    Hx = np.linspace(600.0, 200.0, Mx)
+    H = jnp.asarray(np.tile(Hx[None, :], (My, 1)))
+    geom = new_geometry(H, jnp.full(grid.shape2, -2000.0))
+    phi = jnp.full(grid.shape2, 0.5)
+
+    bc = np.zeros(grid.shape2, bool)
+    bc[:, 0] = True
+    u_in = np.zeros(grid.shape2)
+    u_in[:, 0] = 100.0 / SPY
+
+    def speed(soft_min, with_phi=True):
+        cfg = Config({"fracture_density.enabled": True,
+                      "fracture_density.softening_lower_limit": soft_min})
+        state = ModelState(geometry=geom,
+                           fracture_density=phi if with_phi else None)
+        ssa = SSAFD(grid=grid, config=cfg, flow_law=law,
+                    bc_mask=jnp.asarray(bc), bc_u=jnp.asarray(u_in),
+                    bc_v=jnp.zeros(grid.shape2))
+        u, v = jax.jit(lambda s: ssa.solve(s, None))(state)
+        return np.asarray(u)[My // 2, -2] * SPY
+
+    u_intact = speed(1.0)
+    u_soft = speed(0.1)
+    # hardness multiplier 1-(1-0.1)*0.5 = 0.55 -> softness x (1/0.55)^3 ~ 6
+    assert u_soft > 1.5 * u_intact
+    # eps = 1 disables the feedback entirely
+    assert speed(1.0, with_phi=False) == pytest.approx(u_intact, rel=1e-12)
