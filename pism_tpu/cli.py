@@ -50,11 +50,21 @@ def build_parser():
     p.add_argument("-Mx", type=int, default=None)
     p.add_argument("-My", type=int, default=None)
     p.add_argument("-Mz", type=int, default=None)
+    p.add_argument("-Lx", type=float, default=None,
+                   help="half-width of the domain [km] (with -bootstrap)")
+    p.add_argument("-Ly", type=float, default=None,
+                   help="half-length of the domain [km] (with -bootstrap)")
+    p.add_argument("-Lz", type=float, default=None,
+                   help="height of the computational box [m]")
     p.add_argument("-extra_file", default=None)
     p.add_argument("-extra_times", default=None)
     p.add_argument("-extra_vars", default="thk,usurf,velbar_mag,mask")
     p.add_argument("-ts_file", default=None)
     p.add_argument("-ts_times", default=None)
+    p.add_argument("-save_file", default=None,
+                   help="snapshot file pattern (e.g. snap_{kyr:.1f}.nc)")
+    p.add_argument("-save_times", default=None,
+                   help="snapshot times [years] (a:step:b or comma list)")
     p.add_argument("-backup_interval", type=float, default=0.0,
                    help="wall-clock hours between backups")
     p.add_argument("-config", action="append", default=[],
@@ -69,6 +79,28 @@ def build_parser():
     p.add_argument("-ocean", default=None,
                    help="ocean model chain (e.g. constant | pik,cache)")
     p.add_argument("-sea_level", default=None, help="sea level model chain")
+    # component-selection shorthands (in PISM every config parameter is a
+    # flag; these mirror the ones its manual leads with)
+    p.add_argument("-stress_balance", default=None,
+                   help="none|prescribed_sliding|sia|ssa|ssa+sia|"
+                        "weertman_sliding|blatter")
+    p.add_argument("-energy", default=None, help="none | cold | enthalpy")
+    p.add_argument("-hydrology", default=None,
+                   help="null | routing | distributed | steady")
+    p.add_argument("-calving", default=None,
+                   help="comma list: thickness_calving,eigen_calving,"
+                        "vonmises_calving,hayhurst_calving,float_kill,"
+                        "ocean_kill,prescribed_retreat")
+    p.add_argument("-bed_def", default=None, help="none | iso | lc | given")
+    p.add_argument("-skip", action="store_true",
+                   help="enable mass-transport subcycling between expensive "
+                        "energy/stress-balance updates")
+    p.add_argument("-skip_max", type=int, default=None)
+    p.add_argument("-max_dt", type=float, default=None,
+                   help="maximum time step [years]")
+    p.add_argument("-no_model_strip", type=float, default=None, metavar="KM",
+                   help="regional mode: freeze a strip this wide [km] along "
+                        "the domain boundary (PISM -regional)")
     p.add_argument("-platform", default=None, help="jax platform (cpu/tpu)")
     p.add_argument("-verbose", type=int, default=2)
     return p
@@ -111,11 +143,17 @@ def main(argv=None):
     t0 = 0.0
     if args.eisII:
         from .verification import eismint2
-        es = eismint2.setup(args.eisII, Mx=args.Mx or 61, Mz=args.Mz or 61)
-        grid, cfg, state, surface = es.grid, es.config, es.state, es.surface
-        if args.i:  # restart experiment B/C/D/... from an A steady state
-            grid = ckpt.load_grid(args.i)
+        if args.i:  # restart experiment B/C/D/... from an A steady state:
+            # the climate setup must live on the restored grid
+            grid0 = ckpt.load_grid(args.i)
+            es = eismint2.setup(args.eisII, Mx=grid0.Mx, Mz=grid0.Mz,
+                                Lz=grid0.Lz)
+            grid, cfg, surface = es.grid, es.config, es.surface
             state, t0 = ckpt.load_state(args.i, config=cfg)
+        else:
+            es = eismint2.setup(args.eisII, Mx=args.Mx or 61,
+                                Mz=args.Mz or 61)
+            grid, cfg, state, surface = es.grid, es.config, es.state, es.surface
     elif args.test and args.test.upper() == "I":
         # PISM ``ssa_testi``: exact Schoof (2006) plastic-till stream, one
         # SSA solve (FD or FEM per stress_balance.ssa.method), error report
@@ -182,9 +220,10 @@ def main(argv=None):
         cfg = Config()
         grid = Grid(Mx=args.Mx or cfg.get_int("grid.Mx"),
                     My=args.My or cfg.get_int("grid.My"),
-                    Lx=cfg.get_number("grid.Lx"), Ly=cfg.get_number("grid.Ly"),
+                    Lx=args.Lx * 1e3 if args.Lx else cfg.get_number("grid.Lx"),
+                    Ly=args.Ly * 1e3 if args.Ly else cfg.get_number("grid.Ly"),
                     Mz=args.Mz or cfg.get_int("grid.Mz"),
-                    Lz=cfg.get_number("grid.Lz"))
+                    Lz=args.Lz or cfg.get_number("grid.Lz"))
         state = _bootstrap(args.i, grid, cfg)
         from .coupler.surface import Uniform
         surface = Uniform(smb=0.0)
@@ -208,29 +247,68 @@ def main(argv=None):
         else:
             over = ckpt.load_config(args.config_override)
             cfg.update(over.non_default())
+    # component-selection shorthands -> config parameters
+    if args.stress_balance:
+        cfg.update({"stress_balance.model": args.stress_balance})
+    if args.energy:
+        cfg.update({"energy.model": args.energy})
+    if args.hydrology:
+        cfg.update({"hydrology.model": args.hydrology})
+    if args.calving:
+        cfg.update({"calving.methods": args.calving})
+    if args.bed_def:
+        cfg.update({"bed_deformation.model": args.bed_def})
+    if args.skip:
+        cfg.update({"time_stepping.skip.enabled": True})
+    if args.skip_max is not None:
+        cfg.update({"time_stepping.skip.enabled": True,
+                    "time_stepping.skip.max": args.skip_max})
+    if args.max_dt is not None:   # stored in years (parameters.py)
+        cfg.update({"time_stepping.maximum_time_step": args.max_dt})
     _apply_config_overrides(cfg, args.config)
 
-    # PISM-style coupler selection flags: build chains via the factory
-    # (models needing input fields must come through the Python API)
+    no_model_mask = None
+    if args.no_model_strip:
+        # PISM -regional: strip of width L [km] along the domain boundary
+        cfg.update({"regional.enabled": True})
+        w = args.no_model_strip * 1e3
+        import numpy as np
+        nmm = np.zeros(grid.shape2, bool)
+        nx = max(int(np.ceil(w / grid.dx)), 1)
+        ny = max(int(np.ceil(w / grid.dy)), 1)
+        nmm[:ny, :] = nmm[-ny:, :] = True
+        nmm[:, :nx] = nmm[:, -nx:] = True
+        no_model_mask = jnp.asarray(nmm)
+
+    # PISM-style coupler selection flags: build chains via the factory.
+    # Restarts (-i) rebuild chains recorded in the stored config, so a
+    # continuation run keeps its forcing without re-specifying flags
+    # (models needing input fields must come through the Python API).
     ocean_model = None
     sl_model = None
-    if args.atmosphere or args.surface or args.ocean or args.sea_level:
+    nd = cfg.non_default()
+    atm_sel = args.atmosphere or (args.i and nd.get("atmosphere.models"))
+    surf_sel = args.surface or (args.i and not args.eisII
+                                and nd.get("surface.models"))
+    ocean_sel = args.ocean or (args.i and nd.get("ocean.models"))
+    sl_sel = args.sea_level or (args.i and nd.get("sea_level.models"))
+    if atm_sel or surf_sel or ocean_sel or sl_sel:
         from .coupler import factory as _cf
         atm_model = None
-        if args.atmosphere:
-            cfg.update({"atmosphere.models": args.atmosphere})
+        if atm_sel:
+            cfg.update({"atmosphere.models": atm_sel})
             atm_model = _cf.atmosphere_from_config(cfg)
-        if args.surface:
-            cfg.update({"surface.models": args.surface})
+        if surf_sel:
+            cfg.update({"surface.models": surf_sel})
             surface = _cf.surface_from_config(cfg, atmosphere=atm_model)
         elif atm_model is not None:
             from .coupler.surface import Simple
             surface = Simple(atmosphere=atm_model)
-        if args.ocean:
-            cfg.update({"ocean.models": args.ocean})
+        if ocean_sel:
+            cfg.update({"ocean.models": ocean_sel})
             ocean_model = _cf.ocean_from_config(cfg, grid=grid)
-        if args.sea_level:
-            cfg.update({"sea_level.models": args.sea_level})
+        if sl_sel:
+            cfg.update({"sea_level.models": sl_sel})
             sl_model = _cf.sea_level_from_config(cfg)
 
     yl = SEC_PER_YEAR
@@ -244,7 +322,8 @@ def main(argv=None):
     run_time = Time(start=ys, end=ye)
 
     model = IceModel(grid=grid, config=cfg, surface=surface,
-                     ocean=ocean_model, sea_level=sl_model)
+                     ocean=ocean_model, sea_level=sl_model,
+                     no_model_mask=no_model_mask)
 
     out = OutputManager(
         grid=grid, config=cfg,
@@ -253,6 +332,8 @@ def main(argv=None):
         extra_file=args.extra_file,
         ts_times=parse_times(args.ts_times, yl) if args.ts_times else (),
         ts_file=args.ts_file,
+        snapshot_times=parse_times(args.save_times, yl) if args.save_times else (),
+        snapshot_file=args.save_file or "snapshots_{kyr:.3f}.nc",
         backup_interval=args.backup_interval * 3600.0,
     )
 

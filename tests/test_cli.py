@@ -1,0 +1,76 @@
+"""CLI driver tests (PISM executable layer: src/pism.cc flag handling) —
+verification run, EISMINT start + restart continuation, output scheduling
+(snapshots), component-selection shorthands, regional strip flag."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from pism_tpu.cli import build_parser, main, parse_times
+
+SPY = 3.15569259747e7
+
+
+def test_parse_times():
+    assert parse_times("0:10:30", 1.0) == [0.0, 10.0, 20.0, 30.0]
+    assert parse_times("5,7", 2.0) == [10.0, 14.0]
+
+
+def test_cli_halfar_run(tmp_path):
+    out = tmp_path / "b.nc"
+    rc = main(["-test", "B", "-Mx", "31", "-y", "100",
+               "-o", str(out), "-verbose", "1"])
+    assert rc == 0 and out.exists()
+    from pism_tpu.io import checkpoint as ckpt
+    state, t = ckpt.load_state(str(out))
+    H = np.asarray(state.geometry.ice_thickness)
+    assert np.isfinite(H).all() and H.max() > 1000.0
+
+
+def test_cli_eismint_restart_and_outputs(tmp_path):
+    os.chdir(tmp_path)
+    out1 = tmp_path / "a.nc"
+    rc = main(["-eisII", "A", "-Mx", "31", "-Mz", "11", "-y", "50",
+               "-o", str(out1),
+               "-save_times", "25", "-save_file", str(tmp_path / "snap_{kyr:.3f}.nc"),
+               "-ts_file", str(tmp_path / "ts.nc"), "-ts_times", "0:10:50",
+               "-max_dt", "5", "-verbose", "1"])
+    assert rc == 0 and out1.exists()
+    assert glob.glob(str(tmp_path / "snap_*.nc")), "snapshot not written"
+    assert (tmp_path / "ts.nc").exists()
+
+    # restart continuation (PISM: pism -i a.nc -y ...)
+    out2 = tmp_path / "a2.nc"
+    rc = main(["-eisII", "A", "-i", str(out1), "-y", "25",
+               "-o", str(out2), "-verbose", "1"])
+    assert rc == 0 and out2.exists()
+    from pism_tpu.io import checkpoint as ckpt
+    s1, t1 = ckpt.load_state(str(out1))
+    s2, t2 = ckpt.load_state(str(out2))
+    assert t2 == pytest.approx(t1 + 25 * SPY, rel=1e-9)
+    # ice kept growing under the EISMINT A climate
+    assert float(np.asarray(s2.geometry.ice_thickness).max()) \
+        >= float(np.asarray(s1.geometry.ice_thickness).max())
+
+
+def test_cli_shorthand_flags_map_to_config():
+    """-stress_balance/-energy/... are PISM's manual-level flags; they must
+    land in the same config parameters the long form sets."""
+    args = build_parser().parse_args(
+        ["-stress_balance", "ssa+sia", "-energy", "none",
+         "-hydrology", "routing", "-calving", "float_kill",
+         "-bed_def", "iso", "-skip_max", "7", "-no_model_strip", "30"])
+    assert args.stress_balance == "ssa+sia"
+    assert args.skip_max == 7 and args.no_model_strip == 30.0
+
+
+def test_cli_regional_strip_runs(tmp_path):
+    out = tmp_path / "r.nc"
+    rc = main(["-test", "B", "-Mx", "31", "-y", "50", "-o", str(out),
+               "-no_model_strip", "60", "-verbose", "1"])
+    assert rc == 0 and out.exists()
+    from pism_tpu.io import checkpoint as ckpt
+    state, _ = ckpt.load_state(str(out))
+    assert np.isfinite(np.asarray(state.geometry.ice_thickness)).all()
