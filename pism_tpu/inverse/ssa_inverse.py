@@ -27,46 +27,62 @@ from ..ops import ssa as ssa_ops
 
 
 class InversionResult(NamedTuple):
-    tau_c: jnp.ndarray
+    tau_c: jnp.ndarray        # the design variable (tau_c OR hardness B)
     u: jnp.ndarray
     v: jnp.ndarray
     misfits: jnp.ndarray      # per-iteration J values
 
 
-def make_differentiable_solve(ssa, state: S.ModelState):
-    """Return fn(tau_c) -> (u, v), differentiable w.r.t. tau_c.
+def make_differentiable_solve(ssa, state: S.ModelState, design="tau_c",
+                              tau_c=None):
+    """Return fn(design_var) -> (u, v), differentiable w.r.t. the design
+    variable: ``design = "tau_c"`` (basal yield stress,
+    ``IP_SSATaucForwardProblem``) or ``design = "hardness"``
+    (vertically-averaged hardness B, ``IP_SSAHardavForwardProblem`` — the
+    design variable for shelf inversions where basal drag vanishes).
 
     Forward: the regular (non-differentiable, while_loop) Newton-Picard
     solve. Backward: adjoint solve with the true Jacobian transpose via
     jax.vjp of the residual at the converged state.
     """
+    by_hardness = design == "hardness"
 
-    @jax.custom_vjp
-    def solve(tau_c):
-        u, v = ssa.solve(state, tau_c)
-        return u, v
+    def _solve_raw(dv):
+        if by_hardness:
+            return ssa.solve(state, tau_c, hardness=dv)
+        return ssa.solve(state, dv)
 
-    def fwd(tau_c):
-        u, v = ssa.solve(state, tau_c)
-        return (u, v), (tau_c, u, v)
+    solve = jax.custom_vjp(_solve_raw)
+
+    def fwd(dv):
+        u, v = _solve_raw(dv)
+        return (u, v), (dv, u, v)
 
     def bwd(saved, cotangents):
-        tau_c, u, v = saved
+        dv, u, v = saved
         ubar, vbar = cotangents
-        P = ssa.build_problem(state, tau_c, differentiable_beta=True)
+        if by_hardness:
+            P = ssa.build_problem(state, tau_c, differentiable_beta=True,
+                                  hardness=dv)
+        else:
+            P = ssa.build_problem(state, dv, differentiable_beta=True)
         free = P["free"]
         uv = free((u, v))
 
-        # F(uv, tau) = 0 at the solution. d(uv)/d(tau) = -J_uv^{-1} J_tau.
-        # cotangent: tau_bar = -J_tau^T (J_uv^{-T} uv_bar)
+        # F(uv, p) = 0 at the solution. d(uv)/dp = -J_uv^{-1} J_p.
+        # cotangent: p_bar = -J_p^T (J_uv^{-T} uv_bar)
         def F_of_uv(x):
-            return P["residual"](x, tau_c)
+            return P["residual"](x)
 
-        def F_of_tau(tc):
-            return P["residual"](uv, tc)
+        def F_of_design(p):
+            if by_hardness:
+                Pp = ssa.build_problem(state, tau_c,
+                                       differentiable_beta=True, hardness=p)
+                return Pp["residual"](uv)
+            return P["residual"](uv, p)
 
         _, vjp_uv = jax.vjp(F_of_uv, uv)
-        _, vjp_tau = jax.vjp(F_of_tau, tau_c)
+        _, vjp_tau = jax.vjp(F_of_design, dv)
 
         def JT_matvec(lam):
             lam_f = free(lam)
@@ -155,4 +171,66 @@ class TaucInversion:
         tau_c = jnp.exp(best[1])
         u, v = self.ssa.solve(self.state, tau_c)
         return InversionResult(tau_c=tau_c, u=u, v=v,
+                               misfits=jnp.asarray(misfits))
+
+
+@dataclass
+class HardnessInversion:
+    """Gradient-based inversion of the vertically-averaged ice hardness B
+    from observed surface velocities (PISM ``IP_SSAHardavForwardProblem``
+    analog) — the natural design variable over floating ice, where basal
+    drag vanishes and tau_c carries no signal. Parameterized as
+    B = exp(theta) (positive, log-preconditioned)."""
+
+    ssa: object
+    state: S.ModelState
+    u_obs: jnp.ndarray
+    v_obs: jnp.ndarray
+    tau_c: Optional[jnp.ndarray] = None      # held fixed during inversion
+    obs_mask: Optional[jnp.ndarray] = None
+    reg_weight: float = 1.0e-10
+
+    def misfit(self, hardness):
+        solve = make_differentiable_solve(self.ssa, self.state,
+                                          design="hardness",
+                                          tau_c=self.tau_c)
+        u, v = solve(hardness)
+        w = self.obs_mask if self.obs_mask is not None else \
+            S.icy(self.state.geometry.cell_type)
+        w = w.astype(u.dtype)
+        du = (u - self.u_obs) * w
+        dv = (v - self.v_obs) * w
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        obs2 = (jnp.sum(self.u_obs ** 2 * w) + jnp.sum(self.v_obs ** 2 * w)) / n
+        J_mis = 0.5 * (jnp.sum(du ** 2) + jnp.sum(dv ** 2)) / n
+        return J_mis / jnp.maximum(obs2, 1e-30)
+
+    def objective(self, theta):
+        B = jnp.exp(theta)
+        J = self.misfit(B)
+        gx = (jnp.roll(theta, -1, 1) - theta)
+        gy = (jnp.roll(theta, -1, 0) - theta)
+        R = 0.5 * self.reg_weight * (jnp.sum(gx ** 2) + jnp.sum(gy ** 2))
+        return J + R
+
+    def run(self, hardness0, iterations: int = 30, learning_rate: float = 0.1):
+        import optax
+
+        theta = jnp.log(jnp.maximum(jnp.asarray(hardness0), 1.0))
+        opt = optax.adam(learning_rate)
+        opt_state = opt.init(theta)
+        grad_fn = jax.jit(jax.value_and_grad(self.objective))
+
+        misfits = []
+        best = (jnp.inf, theta)
+        for _ in range(iterations):
+            J, g = grad_fn(theta)
+            misfits.append(float(J))
+            if float(J) < best[0]:
+                best = (float(J), theta)
+            updates, opt_state = opt.update(g, opt_state)
+            theta = optax.apply_updates(theta, updates)
+        B = jnp.exp(best[1])
+        u, v = self.ssa.solve(self.state, self.tau_c, hardness=B)
+        return InversionResult(tau_c=B, u=u, v=v,
                                misfits=jnp.asarray(misfits))

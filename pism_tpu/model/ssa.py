@@ -153,11 +153,16 @@ class SSAFD:
 
     # ------------------------------------------------------------------
     def build_problem(self, state: S.ModelState, tau_c=None,
-                      differentiable_beta: bool = False) -> dict:
+                      differentiable_beta: bool = False,
+                      hardness=None) -> dict:
         """Assemble the discrete SSA problem: masks, RHS (driving stress +
         calving-front terms), and the nonlinear residual closure. Used by
         :meth:`solve` and by the inverse toolkit (which differentiates the
         residual with respect to tau_c via the implicit function theorem).
+
+        ``hardness``: optional override of the vertically-averaged hardness
+        field (the design variable of the reference's
+        ``IP_SSAHardavForwardProblem`` hardness inversion).
 
         ``differentiable_beta``: by default the sliding-law drag coefficient
         is wrapped in stop_gradient inside the residual — beta ~
@@ -178,7 +183,8 @@ class SSAFD:
 
         icy = S.icy(mask)
 
-        B = self._hardness(state)
+        B = self._hardness(state) if hardness is None \
+            else jnp.asarray(hardness, dtype)
         if self.taud_x is not None:
             bx = jnp.asarray(self.taud_x, dtype)
             by = jnp.asarray(self.taud_y, dtype)
@@ -264,7 +270,7 @@ class SSAFD:
                     icy=icy, tau_c=tau_c)
 
     def solve(self, state: S.ModelState, tau_c=None, u0=None, v0=None,
-              diagnostics: bool = False):
+              diagnostics: bool = False, hardness=None):
         """Solve for (u, v); fully traced (usable inside jitted step).
 
         With diagnostics=True also returns a dict with the Newton iteration
@@ -295,7 +301,7 @@ class SSAFD:
                 u_ssa=f64(state.u_ssa), v_ssa=f64(state.v_ssa))
             tau_c = f64(tau_c)
             u0, v0 = f64(u0), f64(v0)
-            res = self.solve(state, tau_c, u0, v0, diagnostics)
+            res = self.solve(state, tau_c, u0, v0, diagnostics, f64(hardness))
             if diagnostics:
                 u, v, info = res
                 return u.astype(out_dtype), v.astype(out_dtype), info
@@ -309,7 +315,7 @@ class SSAFD:
         dtype = H.dtype
         dx, dy = grid.dx, grid.dy
 
-        P = self.build_problem(state, tau_c)
+        P = self.build_problem(state, tau_c, hardness=hardness)
         free, full = P["free"], P["full"]
         residual = P["residual"]
         make_nuH, beta_fn = P["make_nuH"], P["beta_fn"]
@@ -337,7 +343,8 @@ class SSAFD:
             state64 = state.replace(
                 geometry=geom64, enthalpy=f64c(state.enthalpy),
                 u_ssa=f64c(state.u_ssa), v_ssa=f64c(state.v_ssa))
-            P_hi = self.build_problem(state64, f64c(P["tau_c"]))
+            P_hi = self.build_problem(state64, f64c(P["tau_c"]),
+                                      hardness=f64c(hardness))
             residual_hi, free_hi = P_hi["residual"], P_hi["free"]
             bx_hi, by_hi = P_hi["bx"], P_hi["by"]
             cdt = jnp.float64

@@ -93,3 +93,72 @@ def test_twin_experiment_recovers_weak_channel(stream_problem):
     start = float(tau0[c, 4])
     assert abs(rec - true) < abs(start - true) + 0.5 * true
     assert rec == pytest.approx(true, rel=0.55)
+
+
+@pytest.fixture(scope="module")
+def shelf_problem():
+    """Confined floating shelf (no basal drag): thickness ramp, inflow
+    Dirichlet BC — hardness B is the live design variable here."""
+    My, Mx = 11, 31
+    grid = Grid(Mx=Mx, My=My, Lx=75e3, Ly=25e3, periodicity="y")
+    cfg = Config()
+    law = IsothermalGlen(A=1e-25)
+    Hx = np.linspace(600.0, 250.0, Mx)
+    H = jnp.asarray(np.tile(Hx[None, :], (My, 1)))
+    geom = new_geometry(H, jnp.full(grid.shape2, -2000.0))
+    state = ModelState(geometry=geom)
+    bc = np.zeros(grid.shape2, bool)
+    bc[:, 0] = True
+    u_in = np.zeros(grid.shape2)
+    u_in[:, 0] = 150.0 / SPY
+    ssa = SSAFD(grid=grid, config=cfg, flow_law=law,
+                bc_mask=jnp.asarray(bc), bc_u=jnp.asarray(u_in),
+                bc_v=jnp.zeros(grid.shape2))
+    # "true" hardness: soft (damaged) band across the middle of the shelf
+    B0 = float(law.hardness(jnp.zeros(()), jnp.zeros(())))
+    Bx = np.full(Mx, B0)
+    Bx[12:19] = 0.55 * B0
+    B_true = jnp.asarray(np.tile(Bx[None, :], (My, 1)))
+    return grid, ssa, state, B_true, B0
+
+
+def test_hardness_adjoint_gradient(shelf_problem):
+    """IP_SSAHardavForwardProblem analog: adjoint dJ/dB vs finite
+    differences in a random direction."""
+    from pism_tpu.inverse.ssa_inverse import HardnessInversion
+
+    grid, ssa, state, B_true, B0 = shelf_problem
+    u_obs, v_obs = ssa.solve(state, None, hardness=B_true)
+    inv = HardnessInversion(ssa=ssa, state=state, u_obs=u_obs, v_obs=v_obs,
+                            reg_weight=0.0)
+    B_init = jnp.full(grid.shape2, B0)
+    J0, g = jax.jit(jax.value_and_grad(inv.misfit))(B_init)
+    assert np.isfinite(float(J0)) and np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(jnp.asarray(g)).max()) > 0.0
+
+    rng = np.random.default_rng(3)
+    direction = jnp.asarray(rng.normal(size=grid.shape2)) * 1e4
+    mis = jax.jit(inv.misfit)
+    eps = 1.0
+    fd = (float(mis(B_init + eps * direction))
+          - float(mis(B_init - eps * direction))) / (2 * eps)
+    ad = float(jnp.sum(g * direction))
+    assert ad == pytest.approx(fd, rel=2e-2)
+
+
+@pytest.mark.slow
+def test_hardness_twin_recovers_soft_band(shelf_problem):
+    from pism_tpu.inverse.ssa_inverse import HardnessInversion
+
+    grid, ssa, state, B_true, B0 = shelf_problem
+    u_obs, v_obs = ssa.solve(state, None, hardness=B_true)
+    inv = HardnessInversion(ssa=ssa, state=state, u_obs=u_obs, v_obs=v_obs,
+                            reg_weight=1e-12)
+    res = inv.run(jnp.full(grid.shape2, B0), iterations=12,
+                  learning_rate=0.05)
+    m = np.asarray(res.misfits)
+    assert m.min() < 0.25 * m[0]
+    # recovered hardness drops inside the soft band relative to outside
+    B_rec = np.asarray(res.tau_c)
+    c = grid.My // 2
+    assert B_rec[c, 15] < 0.85 * B_rec[c, 4]
