@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--ssa-dtype", default=None,
                     help="stress_balance.ssa.fd.solve_dtype override "
                          "(float64 | mixed)")
+    ap.add_argument("--precond", default=None,
+                    help="stress_balance.ssa.fd.preconditioner override "
+                         "(jacobi | mg)")
     ap.add_argument("--host-loop", action="store_true",
                     help="host-dispatched steps instead of the on-device "
                          "while_loop segment runner (debug escape hatch)")
@@ -75,6 +78,8 @@ def main():
     })
     if args.ssa_dtype:
         cfg.update({"stress_balance.ssa.fd.solve_dtype": args.ssa_dtype})
+    if args.precond:
+        cfg.update({"stress_balance.ssa.fd.preconditioner": args.precond})
 
     # synthetic geometry: elongated dome-ridge island with coastal shelves
     X, Y = np.meshgrid(grid.x, grid.y)

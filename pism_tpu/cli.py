@@ -41,7 +41,8 @@ def build_parser():
     p.add_argument("-i", metavar="FILE", help="restart from a model-state file")
     p.add_argument("-bootstrap", action="store_true",
                    help="treat -i as a bootstrap file (regrid 2D fields, heuristics for the rest)")
-    p.add_argument("-eisII", metavar="EXP", help="EISMINT II experiment (A-G)")
+    p.add_argument("-eisII", metavar="EXP",
+                   help="EISMINT II experiment (A-L except E, as upstream)")
     p.add_argument("-test", metavar="LETTER", help="verification test (B, C, I)")
     p.add_argument("-y", type=float, default=None, help="run length [years]")
     p.add_argument("-ys", type=float, default=None, help="start time [years]")

@@ -47,7 +47,42 @@ EXPERIMENTS = {
     "F": dict(T_min=223.15),
     "G": dict(sliding=True),
     "H": dict(sliding=True, melt_only=True),
+    # I-L: non-flat bed topography experiments (upstream ``pisms`` supports
+    # A-L except E, which needs sector-limited sliding; I/J = "trough",
+    # K/L = "mound" beds from Tony Payne's original EISMINT II code as
+    # carried in the reference's IceEISModel; J/L add the experiment-G
+    # sliding law. [topography formulas re-derived from the published
+    # description; the reference mount was empty at survey time]
+    "I": dict(bed="trough"),
+    "J": dict(bed="trough", sliding=True),
+    "K": dict(bed="mound"),
+    "L": dict(bed="mound", sliding=True),
 }
+
+
+def trough_topography(grid):
+    """EISMINT II "trough" bed: a 1000 m plateau with a channel (width
+    w = 200 km, centered on y = 0) descending linearly eastward from the
+    domain center to sea level at the east edge."""
+    import numpy as np
+    X, Y = np.meshgrid(grid.x, grid.y)
+    b0, w = 1000.0, 200.0e3
+    slope = b0 / grid.Lx
+    in_channel = (X >= 0.0) & (np.abs(Y) <= w / 2.0)
+    depression = slope * X * np.cos(np.pi * Y / w)
+    return np.where(in_channel, b0 - np.maximum(depression, 0.0), b0)
+
+
+def mound_topography(grid):
+    """EISMINT II "mound" bed: |a sin(pi x / w) + a cos(pi y / w)|,
+    a = 250 m, w = 150 km."""
+    import numpy as np
+    X, Y = np.meshgrid(grid.x, grid.y)
+    a, w = 250.0, 150.0e3
+    # shift to corner-based coordinates (Payne's code measures from the
+    # domain corner; with w = 150 km the pattern phase matters)
+    ewd, nsd = X + grid.Lx, Y + grid.Ly
+    return np.abs(a * np.sin(np.pi * ewd / w) + a * np.cos(np.pi * nsd / w))
 
 #: EISMINT II linear sliding coefficient (Payne et al. 2000 eq. 4):
 #: u_b = -B tau_b with B = 1e-3 m a^-1 Pa^-1.
@@ -104,7 +139,14 @@ def setup(experiment: str = "A", Mx: int = 61, Mz: int = 61,
     surface = FunctionSurface(climate)
 
     H0 = jnp.zeros(grid.shape2)
-    geometry = new_geometry(H0, jnp.zeros(grid.shape2))
+    bed_kind = params.get("bed")
+    if bed_kind == "trough":
+        bed = jnp.asarray(trough_topography(grid))
+    elif bed_kind == "mound":
+        bed = jnp.asarray(mound_topography(grid))
+    else:
+        bed = jnp.zeros(grid.shape2)
+    geometry = new_geometry(H0, bed)
     EC = EnthalpyConverter.from_config(config)
     T_sfc0 = T_min + S_T * d
     E0 = bootstrap_enthalpy(grid, EC, H0, T_sfc0, geothermal=GEOTHERMAL)

@@ -146,3 +146,39 @@ def test_eismint2_sliding_experiments_g_h():
     assert speeds["G"] > 1.0           # sliding is active (m/a scale)
     assert speeds["H"] <= speeds["G"]  # melt gate can only reduce sliding
     assert vols["G"] < vols["A"]       # sliding flattens the sheet
+
+
+def test_eismint2_trough_and_mound_experiments():
+    """Experiments I/K (upstream IceEISModel trough/mound beds): the bed
+    shapes are right, runs are stable, and for I the channel carries more
+    ice flux than the plateau at the same distance east."""
+    from pism_tpu.verification import eismint2
+
+    # bed geometry sanity
+    es_i = eismint2.setup("I", Mx=31, Mz=15, Lz=5000.0)
+    bed = np.asarray(es_i.state.geometry.bed_elevation)
+    c = es_i.grid.My // 2
+    assert bed[c, -1] == pytest.approx(0.0, abs=1.0)     # trough mouth
+    assert bed[0, 0] == pytest.approx(1000.0)            # plateau
+    assert bed[c, 0] == pytest.approx(1000.0)            # west half intact
+
+    es_k = eismint2.setup("K", Mx=31, Mz=15, Lz=5000.0)
+    bk = np.asarray(es_k.state.geometry.bed_elevation)
+    assert bk.min() >= 0.0 and 300.0 < bk.max() <= 500.0
+
+    for es in (es_i, es_k):
+        model = IceModel(grid=es.grid, config=es.config, surface=es.surface)
+        state, t, stats = model.step_once(es.state, 0.0, 5000 * SPY)
+        H = np.asarray(state.geometry.ice_thickness)
+        assert not np.isnan(H).any()
+        assert H.max() > 500.0
+
+    # trough channels the flow: at a fixed eastern column inside the sheet,
+    # the ice in the channel row is thicker than on the plateau rows
+    j = int(0.75 * 31)
+    Hi = np.asarray(state.geometry.ice_thickness)  # K run; redo for I
+    es = es_i
+    model = IceModel(grid=es.grid, config=es.config, surface=es.surface)
+    state, t, stats = model.step_once(es.state, 0.0, 5000 * SPY)
+    Hi = np.asarray(state.geometry.ice_thickness)
+    assert Hi[c, j] > Hi[2, j]
