@@ -195,6 +195,44 @@ def main(argv=None):
               f"(exact {float(np.abs(uex).max()) * spy:.2f}); "
               f"max error = {err.max():.3f} m/a, avg = {err.mean():.3f} m/a")
         return 0
+    elif args.test and args.test.upper() == "V":
+        # PISM ``pismv -test V``: van der Veen unconfined shelf, one SSA
+        # solve with the calving-front stress BC, error report
+        import numpy as np
+
+        from .model.ssa import SSAFD
+        from .physics.rheology import IsothermalGlen
+        from .state import ModelState, new_geometry
+        from .verification.ssa_exact import ExactV
+
+        tv = ExactV()
+        Mx, My = args.Mx or 101, args.My or 5
+        L = 300e3
+        grid = Grid(Mx=Mx, My=My, Lx=L / 2, Ly=50e3, periodicity="y")
+        cfg = Config()
+        _apply_config_overrides(cfg, args.config)
+        x = np.asarray(grid.x) + L / 2
+        jf = int(0.85 * Mx)
+        H = np.zeros(grid.shape2)
+        H[:, :jf] = np.tile(tv.thickness(x[:jf])[None, :], (My, 1))
+        geom = new_geometry(jnp.asarray(H), jnp.full(grid.shape2, -3000.0))
+        bc = np.zeros(grid.shape2, bool)
+        bc[:, 0] = True
+        u_in = np.zeros(grid.shape2)
+        u_in[:, 0] = tv.velocity(x[0])
+        ssa = SSAFD(grid=grid, config=cfg,
+                    flow_law=IsothermalGlen(A=float(tv.B) ** -3.0),
+                    bc_mask=jnp.asarray(bc), bc_u=jnp.asarray(u_in),
+                    bc_v=jnp.zeros(grid.shape2))
+        u, v = ssa.solve(ModelState(geometry=geom), None)
+        spy = 3.15569259747e7
+        uex = tv.velocity(x[:jf])
+        err = np.abs(np.asarray(u)[My // 2, :jf] - uex) * spy
+        print(f"test V (SSAFD, CFBC): front u = "
+              f"{float(np.asarray(u)[My // 2, jf - 1]) * spy:.2f} m/a "
+              f"(exact {uex[-1] * spy:.2f}); "
+              f"max error = {err.max():.3f} m/a, avg = {err.mean():.3f} m/a")
+        return 0
     elif args.test:
         from .verification import halfar
         sol = halfar.test_B() if args.test.upper() == "B" else halfar.test_C()

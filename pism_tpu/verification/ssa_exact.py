@@ -73,3 +73,47 @@ class ExactI:
         yy = np.minimum(np.abs(np.asarray(y, float)), self.y0)
         u = (self.f / C) ** 3 * (F(self.y0) - F(yy))
         return np.maximum(u, 0.0)
+
+
+@dataclass(frozen=True)
+class ExactV:
+    """Test V — van der Veen (1985) unconfined flowline ice shelf
+    (PISM ``pismv -test V``; reference ``src/verification/tests/exactTestV``
+    role — re-derived from the closed form, the reference mount was empty):
+
+    A floating shelf fed at x = 0 with velocity u0 and thickness H0.
+    Steady mass conservation d(uH)/dx = 0 gives uH = q0 = u0 H0; the
+    flowline SSA with zero basal drag and the calving-front condition
+    satisfied everywhere reduces to
+
+        du/dx = C H^n,   C = [ rho_i g (1 - rho_i/rho_w) / (4 B) ]^n
+
+    (B = hardness). With H = q0/u, u^n du = C q0^n dx integrates to
+
+        u(x) = [ u0^(n+1) + (n+1) C q0^n x ]^(1/(n+1)),   H(x) = q0/u(x).
+
+    Because the analytic profile satisfies the front condition exactly,
+    the discrete front position may be placed anywhere downstream; the
+    numerical CFBC error shows up as a deviation of u near the front.
+    """
+
+    u0: float = 300.0 / 3.15569259747e7   # m/s inflow velocity
+    H0v: float = 600.0                    # m inflow thickness
+    B: float = 1.9e8                      # Pa s^(1/3) (cold shelf hardness)
+    rho_i: float = RHO
+    rho_w: float = 1028.0
+    n: float = N_GLEN
+
+    @property
+    def C(self) -> float:
+        return (self.rho_i * G * (1.0 - self.rho_i / self.rho_w)
+                / (4.0 * self.B)) ** self.n
+
+    def velocity(self, x) -> np.ndarray:
+        q0 = self.u0 * self.H0v
+        np1 = self.n + 1.0
+        return (self.u0 ** np1 + np1 * self.C * q0 ** self.n
+                * np.asarray(x, float)) ** (1.0 / np1)
+
+    def thickness(self, x) -> np.ndarray:
+        return self.u0 * self.H0v / self.velocity(x)

@@ -191,3 +191,53 @@ def test_fracture_softening_speeds_up_shelf():
     assert u_soft > 1.5 * u_intact
     # eps = 1 disables the feedback entirely
     assert speed(1.0, with_phi=False) == pytest.approx(u_intact, rel=1e-12)
+
+
+def _solve_test_V(Mx, front_frac=0.85):
+    """Van der Veen shelf (PISM test V): prescribed exact thickness,
+    Dirichlet inflow at x=0, calving front inside the domain."""
+    from pism_tpu.verification.ssa_exact import ExactV
+
+    tv = ExactV()
+    My = 5
+    L = 300e3
+    grid = Grid(Mx=Mx, My=My, Lx=L / 2, Ly=50e3, periodicity="y")
+    x = np.asarray(grid.x) + L / 2          # 0 .. L
+    jf = int(front_frac * Mx)               # front column
+    H = np.zeros(grid.shape2)
+    H[:, :jf] = np.tile(tv.thickness(x[:jf])[None, :], (My, 1))
+    geom = new_geometry(jnp.asarray(H), jnp.full(grid.shape2, -3000.0))
+    cfg = Config()
+    law = IsothermalGlen(A=float(tv.B) ** -3.0)
+    bc = np.zeros(grid.shape2, bool)
+    bc[:, 0] = True
+    u_in = np.zeros(grid.shape2)
+    u_in[:, 0] = tv.velocity(x[0])
+    ssa = SSAFD(grid=grid, config=cfg, flow_law=law,
+                bc_mask=jnp.asarray(bc), bc_u=jnp.asarray(u_in),
+                bc_v=jnp.zeros(grid.shape2))
+    u, v = jax.jit(lambda s: ssa.solve(s, None))(
+        ModelState(geometry=geom))
+    return tv, x, jf, np.asarray(u), np.asarray(v)
+
+
+def test_V_van_der_veen_shelf():
+    tv, x, jf, u, v = _solve_test_V(101)
+    uex = tv.velocity(x[:jf]) * SPY
+    uc = u[2, :jf] * SPY
+    rel = np.abs(uc - uex) / uex
+    # interior matches the closed form; the last column feels the discrete
+    # front, so measure up to one cell short of it
+    assert rel[: jf - 1].max() < 0.03
+    assert np.abs(v[2, :jf]).max() * SPY < 1.0
+    # speeds grow monotonically toward the front
+    assert np.all(np.diff(uc[: jf - 1]) > 0)
+
+
+def test_V_convergence():
+    errs = []
+    for Mx in (51, 101):
+        tv, x, jf, u, v = _solve_test_V(Mx)
+        uex = tv.velocity(x[:jf])
+        errs.append(float(np.abs(u[2, : jf - 1] / uex[: jf - 1] - 1).max()))
+    assert errs[1] < 0.6 * errs[0]
