@@ -23,7 +23,21 @@ _NC_PROPS = b"version=2,pism_tpu=0.1"
 
 
 class File:
-    """Minimal NetCDF-4-compatible file (PISM ``pism::File`` analog)."""
+    """Minimal NetCDF-4-compatible file (PISM ``pism::File`` analog).
+
+    Opening an existing file for reading sniffs the magic number: classic
+    NetCDF (CDF-1/2/5 — the format most PISM input files ship in) is
+    served read-only through scipy; NetCDF-4/HDF5 through h5py. The
+    reference supports the same formats via the NetCDF C library
+    (``io::NCFile`` backends)."""
+
+    def __new__(cls, path: str, mode: str = "r"):
+        if cls is File and mode == "r":
+            with open(path, "rb") as fh:
+                magic = fh.read(3)
+            if magic == b"CDF":
+                return ClassicFile(path)
+        return super().__new__(cls)
 
     def __init__(self, path: str, mode: str = "r"):
         self.h5 = h5py.File(path, mode)
@@ -128,6 +142,57 @@ class File:
 
     def close(self):
         self.h5.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class ClassicFile:
+    """Read-only classic NetCDF (CDF-1/2/5) backend on scipy, with the
+    same reading interface as :class:`File`."""
+
+    def __init__(self, path: str):
+        from scipy.io import netcdf_file
+        # mmap keeps reads lazy (read_slice of big forcing variables)
+        self.nc = netcdf_file(path, "r", mmap=True, maskandscale=False)
+
+    @staticmethod
+    def _decode(v):
+        return v.decode() if isinstance(v, bytes) else v
+
+    def dimension_length(self, name: str) -> int:
+        n = self.nc.dimensions[name]
+        if n is None:   # unlimited: take the record count from a variable
+            for var in self.nc.variables.values():
+                if var.dimensions and var.dimensions[0] == name:
+                    return var.shape[0]
+            return 0
+        return n
+
+    def read(self, name: str) -> np.ndarray:
+        return np.array(self.nc.variables[name].data)
+
+    def read_slice(self, name: str, index: int) -> np.ndarray:
+        return np.array(self.nc.variables[name].data[index])
+
+    def read_attrs(self, name: str) -> dict:
+        return {k: self._decode(v)
+                for k, v in self.nc.variables[name]._attributes.items()}
+
+    def variables(self):
+        return [k for k in self.nc.variables if k not in self.nc.dimensions]
+
+    def get_global_attr(self, key: str):
+        return self._decode(self.nc._attributes.get(key))
+
+    def has_variable(self, name):
+        return name in self.nc.variables
+
+    def close(self):
+        self.nc.close()
 
     def __enter__(self):
         return self

@@ -147,3 +147,49 @@ def test_restart_bit_stable_full_chain_with_pdd(tmp_path):
             obj_b = getattr(obj_b, part)
         np.testing.assert_array_equal(np.asarray(obj_a), np.asarray(obj_b),
                                       err_msg=fld)
+
+
+def test_classic_netcdf_bootstrap(tmp_path):
+    """PISM input files commonly ship as classic NetCDF (CDF-1/2); reading
+    them must work through the same File interface (scipy backend) and
+    feed the bootstrap regridder."""
+    from scipy.io import netcdf_file
+
+    import numpy as np
+    from pism_tpu import Config, Grid
+    from pism_tpu.io.nc4 import File
+    from pism_tpu.io.bootstrap import bootstrap
+
+    path = str(tmp_path / "boot_classic.nc")
+    ny, nx = 21, 25
+    x = np.linspace(-400e3, 400e3, nx)
+    y = np.linspace(-300e3, 300e3, ny)
+    X, Y = np.meshgrid(x, y)
+    thk = np.maximum(1500.0 * (1 - (X / 350e3) ** 2 - (Y / 250e3) ** 2), 0.0)
+    topg = 100.0 - 0.0002 * np.abs(X)
+
+    with netcdf_file(path, "w") as f:
+        f.createDimension("x", nx)
+        f.createDimension("y", ny)
+        vx = f.createVariable("x", "d", ("x",)); vx[:] = x
+        vx.units = b"m"
+        vy = f.createVariable("y", "d", ("y",)); vy[:] = y
+        vt = f.createVariable("thk", "d", ("y", "x")); vt[:] = thk
+        vt.units = b"m"
+        vb = f.createVariable("topg", "d", ("y", "x")); vb[:] = topg
+        vb.units = b"m"
+        f.history = b"made by test"
+
+    with File(path, "r") as f:
+        assert f.has_variable("thk")
+        assert "thk" in f.variables() and "x" not in f.variables()
+        assert f.read("thk").shape == (ny, nx)
+        assert f.read_attrs("thk")["units"] == "m"
+        assert f.dimension_length("x") == nx
+        assert f.get_global_attr("history") == "made by test"
+
+    grid = Grid(Mx=31, My=23, Lx=400e3, Ly=300e3, Mz=11, Lz=4000.0)
+    state = bootstrap(path, grid, Config())
+    H = np.asarray(state.geometry.ice_thickness)
+    assert H.shape == grid.shape2 and np.isfinite(H).all()
+    assert abs(H.max() - thk.max()) < 40.0   # regrid preserves the dome
