@@ -336,7 +336,7 @@ def main(argv=None):
         atm_model = None
         if atm_sel:
             cfg.update({"atmosphere.models": atm_sel})
-            atm_model = _cf.atmosphere_from_config(cfg)
+            atm_model = _cf.atmosphere_from_config(cfg, grid=grid)
         if surf_sel:
             cfg.update({"surface.models": surf_sel})
             surface = _cf.surface_from_config(cfg, atmosphere=atm_model)

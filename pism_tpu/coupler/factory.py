@@ -38,7 +38,8 @@ def _need(inputs: Mapping, key: str, model: str):
 
 
 # ---------------------------------------------------------------- atmosphere
-def atmosphere_from_config(config, inputs: Optional[Mapping] = None):
+def atmosphere_from_config(config, inputs: Optional[Mapping] = None,
+                           grid=None):
     """Build the atmosphere chain from ``atmosphere.models``.
 
     Bases: ``uniform`` | ``given`` (air_temp, precipitation) |
@@ -47,7 +48,9 @@ def atmosphere_from_config(config, inputs: Optional[Mapping] = None):
     precipitation [, scaling]) | ``one_station`` (air_temp(t), precipitation(t)).
     Modifiers: ``elevation_change`` (reference_surface), ``delta_T``
     (delta_T forcing), ``frac_P`` (frac_P forcing), ``precip_scaling``
-    (delta_T forcing), ``anomaly`` (air_temp_anomaly / precipitation_anomaly).
+    (delta_T forcing), ``anomaly`` (air_temp_anomaly / precipitation_anomaly),
+    ``orographic_precipitation`` (Smith-Barstad LTOP over the evolving
+    surface; needs ``grid``).
     """
     inputs = inputs or {}
     chain = config.get_string("atmosphere.models")
@@ -109,6 +112,14 @@ def atmosphere_from_config(config, inputs: Optional[Mapping] = None):
                 temp_anomaly=inputs.get("air_temp_anomaly"),
                 precip_anomaly=inputs.get("precipitation_anomaly"),
                 times=inputs.get("anomaly_times"))
+        elif mod == "orographic_precipitation":
+            from .orographic import OrographicModifier, orographic_from_config
+            if grid is None:
+                raise ValueError(
+                    "atmosphere modifier 'orographic_precipitation' needs "
+                    "the grid (FFT wavenumbers)")
+            model = OrographicModifier(
+                inner=model, ltop=orographic_from_config(grid, config))
         else:
             raise ValueError(f"unknown atmosphere modifier {mod!r}")
     return model

@@ -81,3 +81,44 @@ class OrographicPrecipitation(AtmosphereModel):
             jnp.full(shp, self.temperature, s.dtype),
             jnp.full(shp, self.temperature_july, s.dtype),
             P)
+
+
+@dataclass
+class OrographicModifier(AtmosphereModel):
+    """Atmosphere modifier (PISM ``-atmosphere ...,orographic_precipitation``):
+    temperature passes through from the inner model; precipitation is
+    replaced by the Smith-Barstad LTOP field over the evolving surface."""
+
+    inner: AtmosphereModel
+    ltop: OrographicPrecipitation
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        inp = self.inner(geometry, t)
+        s = geometry.ice_surface_elevation
+        P = self.ltop.precipitation_field(s).astype(s.dtype)
+        return AtmosphereInputs(inp.temperature, inp.temperature_july, P)
+
+
+def orographic_from_config(grid, config):
+    """Build an :class:`OrographicPrecipitation` from
+    ``atmosphere.orographic_precipitation.*`` parameters (PISM names)."""
+    import math
+
+    p = "atmosphere.orographic_precipitation."
+    speed = config.get_number(p + "wind_speed", "m s-1")
+    direction = config.get_number(p + "wind_direction", "degrees")
+    # meteorological convention: direction the wind blows FROM, clockwise
+    # from north; 270 deg = westerly = +x wind
+    theta = math.radians(direction)
+    return OrographicPrecipitation(
+        grid=grid,
+        wind_u=-speed * math.sin(theta),
+        wind_v=-speed * math.cos(theta),
+        tau_c=config.get_number(p + "conversion_time", "seconds"),
+        tau_f=config.get_number(p + "fallout_time", "seconds"),
+        Hw=config.get_number(p + "water_vapor_scale_height", "m"),
+        Nm=config.get_number(p + "moist_stability_frequency", "s-1"),
+        Cw=config.get_number(p + "uplift_sensitivity", "kg m-3"),
+        background_precip=config.get_number(
+            p + "background_precip_rate", "m s-1"),
+    )

@@ -197,3 +197,32 @@ def test_icemodel_applies_sea_level_forcing():
     state, _ = model.run(state, Time(0.0, SPY))
     assert float(state.geometry.sea_level[4, 4]) == -100.0
     assert not bool(floating_ice(state.geometry.cell_type)[4, 4])
+
+
+def test_orographic_precipitation_modifier():
+    """-atmosphere uniform,orographic_precipitation: precipitation is
+    replaced by the LTOP field (wetter on the windward slope), temperature
+    passes through from the inner model."""
+    import numpy as np
+    from pism_tpu.coupler.factory import atmosphere_from_config
+    from pism_tpu.state import new_geometry
+
+    grid = Grid(Mx=64, My=32, Lx=320e3, Ly=160e3)
+    cfg = Config({
+        "atmosphere.models": "uniform,orographic_precipitation",
+        "atmosphere.uniform.temperature": 260.0,
+        "atmosphere.orographic_precipitation.wind_direction": 270.0,
+    })
+    model = atmosphere_from_config(cfg, grid=grid)
+    # ridge across the wind (north-south), westerly flow
+    X, _ = np.meshgrid(grid.x, grid.y)
+    H = 2000.0 * np.exp(-((X) / 40e3) ** 2)
+    geom = new_geometry(jnp.asarray(H), jnp.zeros(grid.shape2))
+    out = model(geom, 0.0)
+    assert float(out.temperature[0, 0]) == 260.0
+    P = np.asarray(out.precipitation)
+    assert np.isfinite(P).all() and (P >= 0).all()
+    cx = grid.shape2[1] // 2
+    windward = P[:, : cx].max()
+    lee = P[:, cx + 4:].min()
+    assert windward > 2.0 * max(lee, 1e-12)  # rain shadow
