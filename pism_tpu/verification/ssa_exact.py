@@ -117,3 +117,115 @@ class ExactV:
 
     def thickness(self, x) -> np.ndarray:
         return self.u0 * self.H0v / self.velocity(x)
+
+
+@dataclass(frozen=True)
+class ExactM:
+    """Test M — annular ice shelf with radial flow (PISM ``pismv -test M``
+    role; the reference solves the same radial ODE numerically with GSL in
+    ``src/verification/tests/exactTestM.c``. Re-derived here: the mount was
+    empty, and the ODE below follows from the polar-coordinate SSA).
+
+    A flat floating annulus Rg <= r <= Rc of constant thickness H0 (zero
+    driving stress), velocity prescribed at the inner (grounding-line)
+    ring, calving-front stress condition at the outer edge. With purely
+    radial u(r): e_rr = u', e_tt = u/r,
+
+        d/dr T_rr + (T_rr - T_tt)/r = 0,
+        T_rr = 2 nu H (2 u' + u/r),  T_tt = 2 nu H (u' + 2 u/r),
+        nu = (B/2) (e_rr^2 + e_tt^2 + e_rr e_tt)^((1-n)/(2n)),
+
+    front condition T_rr(Rc) = 0.5 rho_i g (1 - rho_i/rho_w) H0^2.
+    Solved by RK4 + shooting on u'(Rg) (autodiff supplies dT_rr/d(u,u',r)).
+    """
+
+    Rg: float = 300.0e3
+    Rc: float = 600.0e3
+    H0m: float = 500.0
+    u0: float = 300.0 / 3.15569259747e7   # m/s at r = Rg
+    B: float = 1.9e8                      # Pa s^(1/3)
+    rho_i: float = RHO
+    rho_w: float = 1028.0
+    n: float = N_GLEN
+
+    def _solve_ode(self, nr: int = 2000):
+        import jax
+        import jax.numpy as jnp
+
+        B, H, nn = self.B, self.H0m, self.n
+
+        def T_rr(u, up, r):
+            err, ett = up, u / r
+            P = err ** 2 + ett ** 2 + err * ett + 1e-40
+            nu = 0.5 * B * P ** ((1.0 - nn) / (2.0 * nn))
+            return 2.0 * nu * H * (2.0 * up + u / r)
+
+        dT = (jax.grad(T_rr, argnums=0), jax.grad(T_rr, argnums=1),
+              jax.grad(T_rr, argnums=2))
+
+        def upp(u, up, r):
+            err, ett = up, u / r
+            P = err ** 2 + ett ** 2 + err * ett + 1e-40
+            nu = 0.5 * B * P ** ((1.0 - nn) / (2.0 * nn))
+            rhs = -2.0 * nu * H * (up - u / r) / r
+            return (rhs - dT[0](u, up, r) * up - dT[2](u, up, r)) \
+                / dT[1](u, up, r)
+
+        dr = (self.Rc - self.Rg) / nr
+
+        def rk4_step(carry, r):
+            u, up = carry
+
+            def f(y, rr):
+                return jnp.stack([y[1], upp(y[0], y[1], rr)])
+
+            y = jnp.stack([u, up])
+            k1 = f(y, r)
+            k2 = f(y + 0.5 * dr * k1, r + 0.5 * dr)
+            k3 = f(y + 0.5 * dr * k2, r + 0.5 * dr)
+            k4 = f(y + dr * k3, r + dr)
+            y = y + dr / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+            return (y[0], y[1]), y[0]
+
+        rs = jnp.asarray(self.Rg + dr * np.arange(nr))
+
+        @jax.jit
+        def integrate(up0):
+            (uc, upc), us = jax.lax.scan(rk4_step, (jnp.asarray(self.u0),
+                                                    up0), rs)
+            return uc, upc, us
+
+        target = 0.5 * self.rho_i * G * (1.0 - self.rho_i / self.rho_w) \
+            * H ** 2
+
+        def front_residual(up0):
+            uc, upc, _ = integrate(jnp.asarray(up0))
+            return float(T_rr(uc, upc, jnp.asarray(self.Rc))) - target
+
+        # bracket and bisect on u'(Rg)
+        scale = self.u0 / self.Rg
+        lo, hi = 0.0, scale
+        while front_residual(hi) < 0.0:
+            hi *= 2.0
+            if hi > 1e6 * scale:
+                raise RuntimeError("test M shooting failed to bracket")
+        for _ in range(80):
+            mid = 0.5 * (lo + hi)
+            if front_residual(mid) < 0.0:
+                lo = mid
+            else:
+                hi = mid
+        up0 = 0.5 * (lo + hi)
+        _, _, us = integrate(jnp.asarray(up0))
+        r_grid = np.concatenate([[self.Rg], np.asarray(rs) + dr])
+        u_grid = np.concatenate([[self.u0], np.asarray(us)])
+        return r_grid, u_grid
+
+    def velocity(self, r) -> np.ndarray:
+        """Radial velocity u(r) [m/s]; clamped to u0 inside Rg and
+        extrapolated flat outside Rc."""
+        if not hasattr(self, "_cache"):
+            object.__setattr__(self, "_cache", self._solve_ode())
+        rg, ug = self._cache
+        return np.interp(np.asarray(r, float), rg, ug,
+                         left=self.u0, right=ug[-1])
