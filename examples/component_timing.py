@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--spin-years", type=float, default=10.0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--float64", action="store_true")
+    ap.add_argument("--config", action="append", default=[],
+                    metavar="KEY=VALUE", help="config override (repeatable)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -57,6 +59,9 @@ def main():
         "runtime.float_dtype": "float32" if f32 else "float64",
         "runtime.device_loop": False,
     })
+    if args.config:
+        from pism_tpu.cli import _apply_config_overrides
+        _apply_config_overrides(cfg, args.config)
     X, Y = np.meshgrid(grid.x, grid.y)
     r2 = (X / (0.55 * Lx)) ** 2 + (Y / (0.8 * Ly)) ** 2
     bed = 400.0 - 900.0 * r2 + 150.0 * np.sin(X / 120e3) * np.cos(Y / 160e3)

@@ -104,6 +104,9 @@ def build_parser():
                         "the domain boundary (PISM -regional)")
     p.add_argument("-platform", default=None, help="jax platform (cpu/tpu)")
     p.add_argument("-verbose", type=int, default=2)
+    p.add_argument("-list_diagnostics", action="store_true",
+                   help="print all available -extra_vars / -ts_times "
+                        "quantities and exit (PISM -list_diagnostics)")
     return p
 
 
@@ -127,6 +130,17 @@ def _apply_config_overrides(cfg: Config, pairs):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.list_diagnostics:
+        from .model import diagnostics as dg
+        print("spatial diagnostics (-extra_vars):")
+        for name in sorted(dg.SPATIAL):
+            d = dg.SPATIAL[name]
+            print(f"  {name:<28} [{d.units or '-'}] {d.long_name}")
+        print("scalar time-series diagnostics (-ts_file/-ts_times):")
+        for name in sorted(dg.SCALAR):
+            d = dg.SCALAR[name]
+            print(f"  {name:<28} [{d.units or '-'}] {d.long_name}")
+        return 0
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)

@@ -550,6 +550,14 @@ class SSAFD:
             chg_tol = 1e-6   # f64 iterate: stagnation resolvable below f32
         else:
             chg_tol = 1e-4
+        # configurable velocity-change stop (reference: Picard stops at
+        # ssafd_picard_rtol = 1e-4 relative change in nuH; polishing far
+        # below that buys nothing for the time-stepping trajectory but
+        # costs Newton sweeps of ~100 Krylov iterations each)
+        chg_rtol_cfg = self.config.get_number(
+            "stress_balance.ssa.fd.velocity_change_rtol")
+        if chg_rtol_cfg > 0.0:
+            chg_tol = max(chg_tol, chg_rtol_cfg)
         chg_tol2 = jnp.asarray(chg_tol ** 2,
                                jnp.float64 if ddt is not None else dtype)
 

@@ -74,3 +74,10 @@ def test_cli_regional_strip_runs(tmp_path):
     from pism_tpu.io import checkpoint as ckpt
     state, _ = ckpt.load_state(str(out))
     assert np.isfinite(np.asarray(state.geometry.ice_thickness)).all()
+
+
+def test_cli_list_diagnostics(capsys):
+    rc = main(["-list_diagnostics"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "velsurf_mag" in out and "ice_volume" in out
