@@ -154,7 +154,7 @@ class SSAFD:
     # ------------------------------------------------------------------
     def build_problem(self, state: S.ModelState, tau_c=None,
                       differentiable_beta: bool = False,
-                      hardness=None) -> dict:
+                      hardness=None, use_fused: bool = False) -> dict:
         """Assemble the discrete SSA problem: masks, RHS (driving stress +
         calving-front terms), and the nonlinear residual closure. Used by
         :meth:`solve` and by the inverse toolkit (which differentiates the
@@ -163,6 +163,11 @@ class SSAFD:
         ``hardness``: optional override of the vertically-averaged hardness
         field (the design variable of the reference's
         ``IP_SSAHardavForwardProblem`` hardness inversion).
+
+        ``use_fused``: apply the operator through the fused Pallas matvec
+        kernel (TPU, float32, non-periodic; forward-mode differentiable via
+        its custom JVP — reverse-mode callers like the inverse toolkit must
+        keep the default XLA operator).
 
         ``differentiable_beta``: by default the sliding-law drag coefficient
         is wrapped in stop_gradient inside the residual — beta ~
@@ -253,6 +258,16 @@ class SSAFD:
                 tc_eff = jnp.where(grounded_ice_mask, tc, 0.0)
             return self.sliding_law.beta(tc_eff, u, v, reg=reg) + self.beta_floor
 
+        if use_fused:
+            from ..ops.pallas_kernels import ssa_matvec_pallas
+
+            def apply_op(u, v, nuH, beta):
+                return ssa_matvec_pallas(u, v, nuH.e, nuH.n, beta,
+                                         dx, dy, False)
+        else:
+            def apply_op(u, v, nuH, beta):
+                return ssa_ops.apply_operator(u, v, nuH, beta, dx, dy, sh)
+
         def residual(uv, tc=tau_c):
             """Nonlinear residual on the free rows (full fields in the
             stencil, so nonzero Dirichlet values need no RHS correction)."""
@@ -261,11 +276,11 @@ class SSAFD:
             beta = beta_fn(u, v, tc)
             if not differentiable_beta:
                 beta = jax.lax.stop_gradient(beta)
-            Au, Av = ssa_ops.apply_operator(u, v, nuH, beta, dx, dy, sh)
+            Au, Av = apply_op(u, v, nuH, beta)
             return free((Au - bx, Av - by))
 
         return dict(residual=residual, free=free, full=full,
-                    make_nuH=make_nuH, beta_fn=beta_fn,
+                    make_nuH=make_nuH, beta_fn=beta_fn, apply=apply_op,
                     bc_mask=bc_mask, bc_u=bc_u, bc_v=bc_v, bx=bx, by=by,
                     icy=icy, tau_c=tau_c)
 
@@ -315,7 +330,17 @@ class SSAFD:
         dtype = H.dtype
         dx, dy = grid.dx, grid.dy
 
-        P = self.build_problem(state, tau_c, hardness=hardness)
+        # fused Pallas matvec: TPU + float32 vectors + non-periodic grid
+        # (the mixed path below keeps the f64 outer problem on XLA ops)
+        pk = self.config.get_string("stress_balance.ssa.fd.pallas_matvec")
+        fused = (pk == "on" or (pk == "auto"
+                                and jax.devices()[0].platform == "tpu")) \
+            and dtype == jnp.float32 \
+            and not (grid.periodic_x or grid.periodic_y) \
+            and (H.shape[0] + 2) * (H.shape[1] + 2) * 4 * 16 < 96 * 2 ** 20
+        P = self.build_problem(state, tau_c, hardness=hardness,
+                               use_fused=fused)
+        apply_op = P["apply"]
         free, full = P["free"], P["full"]
         residual = P["residual"]
         make_nuH, beta_fn = P["make_nuH"], P["beta_fn"]
@@ -417,15 +442,15 @@ class SSAFD:
 
             def matvec(x):
                 xu, xv = free(x)
-                Au, Av = ssa_ops.apply_operator(xu, xv, nuH, beta, dx, dy, sh)
+                Au, Av = apply_op(xu, xv, nuH, beta)
                 out = free((Au, Av))
                 return (out[0] + jnp.where(bc_mask, x[0], 0.0),
                         out[1] + jnp.where(bc_mask, x[1], 0.0))
 
             # RHS correction for nonzero Dirichlet neighbors
-            Aub, Avb = ssa_ops.apply_operator(bc_u * 0 + jnp.where(bc_mask, bc_u, 0.0),
-                                              jnp.where(bc_mask, bc_v, 0.0),
-                                              nuH, beta, dx, dy, sh)
+            Aub, Avb = apply_op(jnp.where(bc_mask, bc_u, 0.0),
+                                jnp.where(bc_mask, bc_v, 0.0),
+                                nuH, beta)
             rhs = free((bx - Aub, by - Avb))
             # fixed-point sweeps do not need tight inner solves: the sweep
             # error is dominated by the frozen-coefficient linearization

@@ -278,3 +278,116 @@ def sia_flux_pallas(H, s, *, A: float, n: float = 3.0, enhancement: float = 1.0,
     )(Hp, sp)
     max_D = jnp.maximum(jnp.max(De), jnp.max(Dn))
     return De, Dn, qe, qn, max_D
+
+
+# ---------------------------------------------------------------------------
+# SSA membrane-operator matvec (the Krylov hot kernel)
+# ---------------------------------------------------------------------------
+
+def _ssa_matvec_kernel(dx: float, dy: float,
+                       up_ref, vp_ref, nuHe_ref, nuHn_ref, beta_ref,
+                       Au_ref, Av_ref):
+    """Fused A(u,v) = -div(T) + beta*(u,v) in one VMEM pass.
+
+    up, vp: (My+2, Mx+2) ghost-padded velocities (edge clamp, matching the
+    non-periodic Shifter); nuH_e/nuH_n/beta: (My, Mx). Face stresses are
+    clamp-shifted (west/south) exactly like the XLA path's
+    ``div_staggered`` on edge-padded face arrays.
+    """
+    up = up_ref[:]
+    vp = vp_ref[:]
+    nuHe = nuHe_ref[:]
+    nuHn = nuHn_ref[:]
+    beta = beta_ref[:]
+
+    c = (slice(1, -1), slice(1, -1))
+    e = (slice(1, -1), slice(2, None))
+    nn = (slice(2, None), slice(1, -1))
+    ne = (slice(2, None), slice(2, None))
+    s_ = (slice(0, -2), slice(1, -1))
+    se = (slice(0, -2), slice(2, None))
+    w = (slice(1, -1), slice(0, -2))
+    nw = (slice(2, None), slice(0, -2))
+
+    # east-face gradients
+    ux_e = (up[e] - up[c]) / dx
+    vx_e = (vp[e] - vp[c]) / dx
+    uy_e = (up[nn] + up[ne] - up[s_] - up[se]) / (4.0 * dy)
+    vy_e = (vp[nn] + vp[ne] - vp[s_] - vp[se]) / (4.0 * dy)
+    # north-face gradients
+    uy_n = (up[nn] - up[c]) / dy
+    vy_n = (vp[nn] - vp[c]) / dy
+    ux_n = (up[e] + up[ne] - up[w] - up[nw]) / (4.0 * dx)
+    vx_n = (vp[e] + vp[ne] - vp[w] - vp[nw]) / (4.0 * dx)
+
+    Txx_e = 2.0 * nuHe * (2.0 * ux_e + vy_e)
+    Txy_n = nuHn * (uy_n + vx_n)
+    Tyy_n = 2.0 * nuHn * (2.0 * vy_n + ux_n)
+    Txy_e = nuHe * (uy_e + vx_e)
+
+    def shift_w(T):   # clamp-shift one column west
+        return jnp.concatenate([T[:, :1], T[:, :-1]], axis=1)
+
+    def shift_s(T):   # clamp-shift one row south
+        return jnp.concatenate([T[:1, :], T[:-1, :]], axis=0)
+
+    div_x = (Txx_e - shift_w(Txx_e)) / dx + (Txy_n - shift_s(Txy_n)) / dy
+    div_y = (Txy_e - shift_w(Txy_e)) / dx + (Tyy_n - shift_s(Tyy_n)) / dy
+
+    Au_ref[:] = -div_x + beta * up[c]
+    Av_ref[:] = -div_y + beta * vp[c]
+
+
+def _ssa_matvec_raw(u, v, nuH_e, nuH_n, beta, dx, dy, interpret):
+    up = jnp.pad(u, 1, mode="edge")
+    vp = jnp.pad(v, 1, mode="edge")
+    shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
+    kernel = functools.partial(_ssa_matvec_kernel, float(dx), float(dy))
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape),
+        in_specs=[pl.BlockSpec(memory_space=ms)] * 5,
+        out_specs=(pl.BlockSpec(memory_space=ms),) * 2,
+        interpret=interpret,
+    )(up, vp, nuH_e, nuH_n, beta)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(5, 6, 7))
+def ssa_matvec_pallas(u, v, nuH_e, nuH_n, beta, dx, dy, interpret=False):
+    """Fused SSA operator application (non-periodic grids).
+
+    Equivalent to ``ops.ssa.apply_operator`` with a clamped Shifter. The
+    operator is bilinear in ((u, v), (nuH, beta)), so its JVP is two fused
+    applications — Newton's ``jax.jvp`` through the residual works without
+    differentiating the kernel itself. (Reverse-mode callers — the inverse
+    toolkit — use the XLA operator; see ``model.ssa.SSAFD.build_problem``.)
+    """
+    return _ssa_matvec_raw(u, v, nuH_e, nuH_n, beta, dx, dy, interpret)
+
+
+@ssa_matvec_pallas.defjvp
+def _ssa_matvec_jvp(dx, dy, interpret, primals, tangents):
+    u, v, nuH_e, nuH_n, beta = primals
+    du, dv, dnuH_e, dnuH_n, dbeta = tangents
+    out = _ssa_matvec_raw(u, v, nuH_e, nuH_n, beta, dx, dy, interpret)
+    # d/du part: A(du, dv; nuH, beta)
+    zeros = jnp.zeros_like(u)
+    du_ = du if not _is_zero(du) else zeros
+    dv_ = dv if not _is_zero(dv) else zeros
+    t1 = _ssa_matvec_raw(du_, dv_, nuH_e, nuH_n, beta, dx, dy, interpret)
+    # d/dnuH part: A(u, v; dnuH, 0) (+ dbeta * (u, v))
+    if not (_is_zero(dnuH_e) and _is_zero(dnuH_n) and _is_zero(dbeta)):
+        de = dnuH_e if not _is_zero(dnuH_e) else jnp.zeros_like(nuH_e)
+        dn = dnuH_n if not _is_zero(dnuH_n) else jnp.zeros_like(nuH_n)
+        db = dbeta if not _is_zero(dbeta) else jnp.zeros_like(beta)
+        t2 = _ssa_matvec_raw(u, v, de, dn, db, dx, dy, interpret)
+        tang = (t1[0] + t2[0], t1[1] + t2[1])
+    else:
+        tang = t1
+    return out, tang
+
+
+def _is_zero(t):
+    from jax.interpreters.ad import Zero
+    return isinstance(t, Zero) or t is None

@@ -87,3 +87,55 @@ def test_pallas_sia_f32():
     assert De.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(qe), np.asarray(ref.qe),
                                rtol=2e-5, atol=1e-12)
+
+
+def test_ssa_matvec_pallas_matches_xla(rng):
+    """Fused SSA matvec (interpret mode) is bit-equivalent to
+    ops.ssa.apply_operator with a clamped Shifter, including its custom
+    JVP through the nonlinear residual composition."""
+    import jax
+    import jax.numpy as jnp
+    from pism_tpu.ops import ssa as ssa_ops
+    from pism_tpu.ops.pallas_kernels import ssa_matvec_pallas
+    from pism_tpu.ops.stencils import shift
+
+    class ClampSh:
+        def __call__(self, a, jy, ix):
+            return shift(a, jy, ix, False, False)
+
+    My, Mx = 24, 40
+    sh = ClampSh()
+    u = jnp.asarray(rng.normal(size=(My, Mx)))
+    v = jnp.asarray(rng.normal(size=(My, Mx)))
+    nuHe = jnp.asarray(rng.uniform(1e13, 1e16, size=(My, Mx)))
+    nuHn = jnp.asarray(rng.uniform(1e13, 1e16, size=(My, Mx)))
+    beta = jnp.asarray(rng.uniform(0, 1e10, size=(My, Mx)))
+    dx, dy = 20e3, 25e3
+
+    Au0, Av0 = ssa_ops.apply_operator(u, v, ssa_ops.NuH(nuHe, nuHn), beta,
+                                      dx, dy, sh)
+    Au1, Av1 = ssa_matvec_pallas(u, v, nuHe, nuHn, beta, dx, dy, True)
+    assert float(jnp.max(jnp.abs(Au1 - Au0))) < 1e-12 * float(jnp.max(jnp.abs(Au0)))
+    assert float(jnp.max(jnp.abs(Av1 - Av0))) < 1e-12 * float(jnp.max(jnp.abs(Av0)))
+
+    B = jnp.full((My, Mx), 1.9e8)
+    H = jnp.full((My, Mx), 500.0)
+
+    def resid(apply_fused):
+        def f(uv):
+            uu, vv = uv
+            nuH = ssa_ops.compute_nuH(uu, vv, B, H, dx, dy, sh)
+            if apply_fused:
+                return ssa_matvec_pallas(uu, vv, nuH.e, nuH.n, beta,
+                                         dx, dy, True)
+            return ssa_ops.apply_operator(uu, vv, nuH, beta, dx, dy, sh)
+        return f
+
+    tu = jnp.asarray(rng.normal(size=(My, Mx)))
+    tv = jnp.asarray(rng.normal(size=(My, Mx)))
+    _, jx = jax.jvp(resid(False), ((u, v),), ((tu, tv),))
+    _, jp = jax.jvp(resid(True), ((u, v),), ((tu, tv),))
+    assert float(jnp.max(jnp.abs(jx[0] - jp[0]))) \
+        < 1e-12 * float(jnp.max(jnp.abs(jx[0])))
+    assert float(jnp.max(jnp.abs(jx[1] - jp[1]))) \
+        < 1e-12 * float(jnp.max(jnp.abs(jx[1])))
