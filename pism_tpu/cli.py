@@ -209,6 +209,42 @@ def main(argv=None):
               f"(exact {float(np.abs(uex).max()) * spy:.2f}); "
               f"max error = {err.max():.3f} m/a, avg = {err.mean():.3f} m/a")
         return 0
+    elif args.test and args.test.upper() == "M":
+        # PISM ``pismv -test M``: annular shelf, radial exact profile
+        import numpy as np
+
+        from .model.ssa import SSAFD
+        from .physics.rheology import IsothermalGlen
+        from .state import ModelState, new_geometry
+        from .verification.ssa_exact import ExactM
+
+        tm = ExactM()
+        Mx = args.Mx or 61
+        grid = Grid(Mx=Mx, My=Mx, Lx=750e3, Ly=750e3)
+        cfg = Config()
+        _apply_config_overrides(cfg, args.config)
+        X, Y = np.meshgrid(np.asarray(grid.x), np.asarray(grid.y))
+        R = np.hypot(X, Y)
+        Rs = np.maximum(R, 1.0)
+        u_ex = tm.velocity(R)
+        H = np.where(R <= tm.Rc, tm.H0m, 0.0)
+        bc = R <= tm.Rg + grid.dx
+        geom = new_geometry(jnp.asarray(H), jnp.full(grid.shape2, -3000.0))
+        ssa = SSAFD(grid=grid, config=cfg,
+                    flow_law=IsothermalGlen(A=float(tm.B) ** -3.0),
+                    bc_mask=jnp.asarray(bc),
+                    bc_u=jnp.asarray(np.where(bc, u_ex * X / Rs, 0.0)),
+                    bc_v=jnp.asarray(np.where(bc, u_ex * Y / Rs, 0.0)))
+        u, v = ssa.solve(ModelState(geometry=geom), None)
+        spy = 3.15569259747e7
+        spd = np.hypot(np.asarray(u), np.asarray(v))
+        sel = (R > tm.Rg + grid.dx) & (R < tm.Rc - grid.dx)
+        err = np.abs(spd[sel] - u_ex[sel]) * spy
+        print(f"test M (SSAFD, annulus + staircase CFBC): "
+              f"max speed = {spd.max() * spy:.2f} m/a "
+              f"(exact front {tm.velocity(tm.Rc) * spy:.2f}); "
+              f"max error = {err.max():.2f} m/a, avg = {err.mean():.2f} m/a")
+        return 0
     elif args.test and args.test.upper() == "V":
         # PISM ``pismv -test V``: van der Veen unconfined shelf, one SSA
         # solve with the calving-front stress BC, error report

@@ -602,6 +602,12 @@ class SSAFD:
             # near-tolerance stagnation is the precision noise floor and
             # tightening the inner solve cannot fix it
             retry = (eta_c > self.ksp_rtol * 1.01) & (F2 > 1e4 * newton_tol2)
+            if chg_rtol_cfg > 0.0:
+                # configured velocity-change stop is HARD (the reference's
+                # ssafd_picard_rtol semantics): once a sweep moves the
+                # velocity less than this, further polishing (including
+                # tighten-and-retry) buys nothing for the trajectory
+                retry = retry & (chg2 > chg_tol2)
             return (F2 > newton_tol2) & (improving | retry) \
                 & (it < self.newton_max)
 
