@@ -369,9 +369,12 @@ class BlatterSolver:
         def newton_body(carry):
             uv, F, F2, chg2, it = carry
 
+            # linearize once per sweep (jax.jvp would recompute the primal
+            # residual at every Krylov iteration)
+            _, jvp_lin = jax.linearize(residual, uv)
+
             def jmv(d):
-                df = free(d)
-                _, Jd = jax.jvp(residual, (uv,), (df,))
+                Jd = jvp_lin(free(d))
                 return (Jd[0] + jnp.where(bc3, d[0], 0.0),
                         Jd[1] + jnp.where(bc3, d[1], 0.0))
 

@@ -499,9 +499,13 @@ class SSAFD:
             beta = beta_fn(u, v)
             precond = make_precond(nuH, beta)
 
+            # linearize once per sweep: the primal residual evaluation is
+            # hoisted out of the Krylov loop (jax.jvp would recompute it
+            # at every inner iteration — measured ~2x on the solve)
+            _, jvp_lin = jax.linearize(residual, uv32)
+
             def jmv(d):
-                df = free(d)
-                _, Jd = jax.jvp(residual, (uv32,), (df,))
+                Jd = jvp_lin(free(d))
                 return (Jd[0] + jnp.where(bc_mask, d[0], 0.0),
                         Jd[1] + jnp.where(bc_mask, d[1], 0.0))
 

@@ -324,9 +324,12 @@ class SSAFEM:
             nu_q = nuH_q(u, v)
             beta = beta_fn(u, v)
 
+            # linearize once per sweep (jax.jvp would recompute the primal
+            # residual at every Krylov iteration)
+            _, jvp_lin = jax.linearize(residual, uv)
+
             def jmv(d):
-                df = free(d)
-                _, Jd = jax.jvp(residual, (uv,), (df,))
+                Jd = jvp_lin(free(d))
                 return (Jd[0] + jnp.where(bc_mask, d[0], 0.0),
                         Jd[1] + jnp.where(bc_mask, d[1], 0.0))
 

@@ -227,7 +227,7 @@ def sia_flux_thermo_pallas(H, s, E, *, grid, n: float = 3.0,
         body(Hb[:], sb[:], Eb[:], qe_ref, qn_ref, De_ref, Dn_ref)
 
     shape = jax.ShapeDtypeStruct((ny * TY, Mx), H.dtype)
-    ms = pltpu.ANY if interpret else pltpu.VMEM
+    ms = pl.ANY if interpret else pltpu.VMEM
     # index maps use np.int32 literals: under jax_enable_x64 a python-int 0
     # traces as int64 and Mosaic fails to legalize the index-map func.return
     z0 = np.int32(0)
@@ -272,8 +272,8 @@ def sia_flux_pallas(H, s, *, A: float, n: float = 3.0, enhancement: float = 1.0,
     qe, qn, De, Dn = pl.pallas_call(
         kernel,
         out_shape=(shape, shape, shape, shape),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)] * 2,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)] * 4),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)] * 2,
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)] * 4),
         interpret=interpret,
     )(Hp, sp)
     max_D = jnp.maximum(jnp.max(De), jnp.max(Dn))
@@ -343,7 +343,7 @@ def _ssa_matvec_raw(u, v, nuH_e, nuH_n, beta, dx, dy, interpret):
     vp = jnp.pad(v, 1, mode="edge")
     shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
     kernel = functools.partial(_ssa_matvec_kernel, float(dx), float(dy))
-    ms = pltpu.ANY if interpret else pltpu.VMEM
+    ms = pl.ANY if interpret else pltpu.VMEM
     return pl.pallas_call(
         kernel,
         out_shape=(shape, shape),
