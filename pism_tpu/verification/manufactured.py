@@ -142,3 +142,80 @@ class ManufacturedThermoSIA:
 
         state = ModelState(geometry=geometry, enthalpy=E)
         return state, FunctionSurface(climate)
+
+
+@dataclass
+class ManufacturedThermoSIAPeriodic(ManufacturedThermoSIA):
+    """Test-G role: the steady manufactured dome of the base class with a
+    time-periodic thickness wobble superposed (PISM's test G is test F plus
+    a sinusoidal perturbation; reference ``src/verification/tests``,
+    Bueler et al. 2007),
+
+        H(t, r) = H_F(r) * (1 + a sin(2 pi t / Tp) exp(-(r / sigma)^2)),
+
+    and a compensatory mass balance that is exact for the TIME-DEPENDENT
+    problem,
+
+        M_c(t, r) = dH/dt + (1/r) d(r q_r(t, r))/dr,
+
+    with both terms by autodiff.  The temperature field is held at the
+    steady field T(r, z) of the base class (evaluated against the steady
+    thickness), so the prescribed-enthalpy model state remains exact for
+    all t while the flux integral still sees the oscillating geometry:
+
+        q_r(t, r) = -2 (rho g)^n |dH/dr|^(n-1) dH/dr
+                    * int_0^{H(t)} A(T(r, z)) (H(t) - z)^(n+1) dz.
+
+    After an integer number of periods the exact solution returns to the
+    initial state, so the drift |H_num(Tp) - H_F| is pure discretization
+    error of the coupled transient scheme.
+    """
+
+    amplitude: float = 0.1          # relative wobble at the dome
+    period: float = 1000.0 * SPY    # s
+    sigma_frac: float = 0.4         # radial extent of the wobble / L
+
+    def thickness_t(self, t, r):
+        wob = self.amplitude * jnp.sin(2.0 * jnp.pi * t / self.period) \
+            * jnp.exp(-(r / (self.sigma_frac * self.L)) ** 2)
+        return self.thickness(r) * (1.0 + wob)
+
+    def flux_t(self, t, r):
+        """Exact radial flux at time t (scalar t, r)."""
+        zeta, w = self._gauss()
+        H = self.thickness_t(t, r)
+        dsdr = jax.grad(self.thickness_t, argnums=1)(t, r)
+        z = zeta * H
+        # T frozen at the steady field (see class docstring)
+        K = H * jnp.sum(w * self.softness(self.temperature(r, z), H - z)
+                        * jnp.maximum(H - z, 0.0) ** (self.n + 1.0))
+        D = 2.0 * (self.rho * self.g) ** self.n \
+            * jnp.abs(dsdr) ** (self.n - 1.0) * K
+        return -D * dsdr
+
+    def compensatory_smb_t(self, t, r):
+        """M_c(t, r) = dH/dt + div q, exact via autodiff (scalars)."""
+        r = jnp.maximum(jnp.abs(r), 1e-3)
+        dHdt = jax.grad(self.thickness_t, argnums=0)(t, r)
+        dq = jax.grad(lambda rr: rr * self.flux_t(t, rr), argnums=0)(r)
+        return dHdt + dq / r
+
+    def setup(self, grid, config):
+        """Initial state at t = 0 (the steady dome) plus a time-dependent
+        compensatory climate evaluated inside the jitted step."""
+        from ..coupler.surface import FunctionSurface
+        from ..state import ModelState
+
+        state, _ = ManufacturedThermoSIA.setup(self, grid, config)
+        r2d = jnp.asarray(grid.radius)
+        Ts2d = self.temperature(r2d, self.thickness(r2d))
+        mc_grid = jax.vmap(jax.vmap(self.compensatory_smb_t, (None, 0)),
+                           (None, 0))
+
+        def climate(geometry, t):
+            dt_ = geometry.ice_thickness.dtype
+            Mc = mc_grid(jnp.asarray(t, r2d.dtype), r2d)
+            Mc = jnp.where(r2d < 0.999 * self.L, Mc, -0.1 / SPY)
+            return Mc.astype(dt_), Ts2d.astype(dt_)
+
+        return state, FunctionSurface(climate)
