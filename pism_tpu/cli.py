@@ -43,7 +43,8 @@ def build_parser():
                    help="treat -i as a bootstrap file (regrid 2D fields, heuristics for the rest)")
     p.add_argument("-eisII", metavar="EXP",
                    help="EISMINT II experiment (A-L except E, as upstream)")
-    p.add_argument("-test", metavar="LETTER", help="verification test (B, C, I)")
+    p.add_argument("-test", metavar="LETTER",
+                   help="verification test (A-D, F-M except E/J, O, P, V)")
     p.add_argument("-y", type=float, default=None, help="run length [years]")
     p.add_argument("-ys", type=float, default=None, help="start time [years]")
     p.add_argument("-ye", type=float, default=None, help="end time [years]")
@@ -62,6 +63,10 @@ def build_parser():
     p.add_argument("-extra_vars", default="thk,usurf,velbar_mag,mask")
     p.add_argument("-ts_file", default=None)
     p.add_argument("-ts_times", default=None)
+    p.add_argument("-ts_vars", default="ice_volume_glacierized,"
+                   "ice_area_glacierized,max_velocity",
+                   help="scalar time-series quantities (instantaneous or "
+                        "interval-averaged tendency_* rates)")
     p.add_argument("-save_file", default=None,
                    help="snapshot file pattern (e.g. snap_{kyr:.1f}.nc)")
     p.add_argument("-save_times", default=None,
@@ -140,6 +145,11 @@ def main(argv=None):
         for name in sorted(dg.SCALAR):
             d = dg.SCALAR[name]
             print(f"  {name:<28} [{d.units or '-'}] {d.long_name}")
+        print("interval-averaged rate diagnostics (-ts_vars, cell_methods="
+              "'time: mean'):")
+        for name in sorted(dg.RATE):
+            d = dg.RATE[name]
+            print(f"  {name:<28} [{d.units or '-'}] {d.long_name}")
         return 0
     if args.platform:
         import jax
@@ -169,10 +179,17 @@ def main(argv=None):
             es = eismint2.setup(args.eisII, Mx=args.Mx or 61,
                                 Mz=args.Mz or 61)
             grid, cfg, state, surface = es.grid, es.config, es.state, es.surface
+    elif args.test and args.test.upper() in "ADFGHKLOP":
+        # pismv-style single-test runs with an error report (runner.py)
+        from .verification import runner
+        over = Config({})
+        _apply_config_overrides(over, args.config or [])
+        runner.run_test(args.test, Mx=args.Mx, Mz=args.Mz, years=args.y,
+                        config=over.non_default() or None)
+        return 0
     elif args.test and args.test.upper() == "I":
         # PISM ``ssa_testi``: exact Schoof (2006) plastic-till stream, one
         # SSA solve (FD or FEM per stress_balance.ssa.method), error report
-        import numpy as np
 
         from .model.ssa import SSAFD
         from .model.ssafem import SSAFEM
@@ -211,7 +228,6 @@ def main(argv=None):
         return 0
     elif args.test and args.test.upper() == "M":
         # PISM ``pismv -test M``: annular shelf, radial exact profile
-        import numpy as np
 
         from .model.ssa import SSAFD
         from .physics.rheology import IsothermalGlen
@@ -248,7 +264,6 @@ def main(argv=None):
     elif args.test and args.test.upper() == "V":
         # PISM ``pismv -test V``: van der Veen unconfined shelf, one SSA
         # solve with the calving-front stress BC, error report
-        import numpy as np
 
         from .model.ssa import SSAFD
         from .physics.rheology import IsothermalGlen
@@ -361,7 +376,6 @@ def main(argv=None):
         # PISM -regional: strip of width L [km] along the domain boundary
         cfg.update({"regional.enabled": True})
         w = args.no_model_strip * 1e3
-        import numpy as np
         nmm = np.zeros(grid.shape2, bool)
         nx = max(int(np.ceil(w / grid.dx)), 1)
         ny = max(int(np.ceil(w / grid.dy)), 1)
@@ -420,6 +434,7 @@ def main(argv=None):
         extra_vars=tuple(args.extra_vars.split(",")),
         extra_file=args.extra_file,
         ts_times=parse_times(args.ts_times, yl) if args.ts_times else (),
+        ts_vars=tuple(args.ts_vars.split(",")),
         ts_file=args.ts_file,
         snapshot_times=parse_times(args.save_times, yl) if args.save_times else (),
         snapshot_file=args.save_file or "snapshots_{kyr:.3f}.nc",
@@ -446,6 +461,16 @@ def main(argv=None):
                                  callback=report, signals=sigs)
     out.close()
     ckpt.save_state(args.o, state, grid, t_reached, config=cfg)
+    if args.test and args.test.upper() in ("B", "C"):
+        # pismv-style error report at the final time (Halfar similarity)
+        from .verification import halfar
+        from .verification.runner import _report
+        He = sol.thickness(t_reached, grid.radius)
+        e = halfar.error_norms(np.asarray(state.geometry.ice_thickness), He)
+        _report(f"test {args.test.upper()} (Halfar, t = {t_reached / yl:.0f} a)",
+                [("geometry", {"prcnt_volume": 100.0 * e["rel_volume"],
+                               "max_H": e["max_H"], "avg_H": e["avg_H"],
+                               "dome_H": e["dome_H"]})])
     log.message(1, "done; state written to %s", args.o)
     return 0
 

@@ -790,3 +790,117 @@ def compute_spatial(names, state, model, t):
 
 def compute_scalar(names, state, model, t):
     return {n: SCALAR[n].func(state, model, t) for n in names}
+
+
+# --------------------------------------------------------------------------
+# interval-averaged rate diagnostics (PISM ``TSDiagnostic`` rate quantities)
+# --------------------------------------------------------------------------
+# PISM reports mass-budget time series not as instantaneous samples but as
+# exact averages over the reporting window [t_prev, t], computed from the
+# conservation bookkeeping accumulated by ``GeometryEvolution``
+# (reference ``src/icemodel/diagnostics.cc``: tendency_of_ice_volume,
+# tendency_of_ice_mass_due_to_* family, with CF ``cell_methods =
+# "time: mean"`` and a ``time_bnds`` variable).  Here the window deltas come
+# from ``StepStats`` (time-integrated volumes, m^3); each rate function maps
+# a ``Window`` to a scalar.
+
+class Window(NamedTuple):
+    """Reporting-window deltas for rate diagnostics (all volumes in m^3)."""
+    dt: float            # window length [s]
+    d_volume: float      # change of total ice volume
+    d_smb: float         # time-integrated applied surface mass balance
+    d_bmb: float         # time-integrated applied basal mass balance
+    d_flow: float        # time-integrated flux-divergence volume
+    d_nonneg: float      # time-integrated non-negativity (projection) volume
+    d_discharge: float   # volume change by calving/front retreat (<= 0 loss)
+    rho_i: float         # ice density [kg m-3]
+
+
+RATE: Dict[str, Diagnostic] = {}
+
+
+def rate(name, units, long_name, standard_name=""):
+    def deco(fn):
+        RATE[name] = Diagnostic(fn, units, long_name, standard_name)
+        return fn
+    return deco
+
+
+@rate("tendency_of_ice_volume", "m3 s-1",
+      "rate of change of ice volume over the reporting interval")
+def _dvol(w):
+    return w.d_volume / w.dt
+
+
+@rate("tendency_of_ice_mass", "kg s-1",
+      "rate of change of ice mass over the reporting interval")
+def _dmass(w):
+    return w.rho_i * w.d_volume / w.dt
+
+
+@rate("tendency_of_ice_volume_due_to_surface_mass_flux", "m3 s-1",
+      "average surface mass balance volume rate")
+def _dvol_smb(w):
+    return w.d_smb / w.dt
+
+
+@rate("tendency_of_ice_mass_due_to_surface_mass_flux", "kg s-1",
+      "average surface mass balance mass rate",
+      "tendency_of_land_ice_mass_due_to_surface_mass_balance")
+def _dmass_smb(w):
+    return w.rho_i * w.d_smb / w.dt
+
+
+@rate("tendency_of_ice_volume_due_to_basal_mass_flux", "m3 s-1",
+      "average basal mass balance volume rate (negative = melt)")
+def _dvol_bmb(w):
+    # StepStats.sum_bmb is positive for melt (ice removed)
+    return -w.d_bmb / w.dt
+
+
+@rate("tendency_of_ice_mass_due_to_basal_mass_flux", "kg s-1",
+      "average basal mass balance mass rate (negative = melt)",
+      "tendency_of_land_ice_mass_due_to_basal_mass_balance")
+def _dmass_bmb(w):
+    return -w.rho_i * w.d_bmb / w.dt
+
+
+@rate("tendency_of_ice_volume_due_to_flow", "m3 s-1",
+      "average volume rate of change due to flow (negative flux divergence)")
+def _dvol_flow(w):
+    return -w.d_flow / w.dt
+
+
+@rate("tendency_of_ice_mass_due_to_flow", "kg s-1",
+      "average mass rate of change due to flow (negative flux divergence)")
+def _dmass_flow(w):
+    return -w.rho_i * w.d_flow / w.dt
+
+
+@rate("tendency_of_ice_volume_due_to_discharge", "m3 s-1",
+      "average volume rate of change by calving and front retreat")
+def _dvol_disch(w):
+    return w.d_discharge / w.dt
+
+
+@rate("tendency_of_ice_mass_due_to_discharge", "kg s-1",
+      "average mass rate of change by calving and front retreat",
+      "tendency_of_land_ice_mass_due_to_calving_and_ice_front_melting")
+def _dmass_disch(w):
+    return w.rho_i * w.d_discharge / w.dt
+
+
+@rate("tendency_of_ice_volume_due_to_conservation_error", "m3 s-1",
+      "average volume rate of the non-negativity projection")
+def _dvol_err(w):
+    return w.d_nonneg / w.dt
+
+
+@rate("tendency_of_ice_mass_due_to_conservation_error", "kg s-1",
+      "average mass rate of the non-negativity projection")
+def _dmass_err(w):
+    return w.rho_i * w.d_nonneg / w.dt
+
+
+def compute_rates(names, window: Window):
+    return {n: RATE[n].func(window) for n in names}

@@ -45,12 +45,13 @@ class StepStats(NamedTuple):
     sum_smb: jnp.ndarray         # time-integrated applied SMB volume [m^3]
     sum_bmb: jnp.ndarray
     sum_nonneg: jnp.ndarray
+    sum_discharge: jnp.ndarray   # volume change by calving/front retreat [m^3]
 
     @staticmethod
     def zero(dtype=jnp.float64):
         z = jnp.zeros((), dtype)
         return StepStats(jnp.zeros((), jnp.int64), jnp.full((), jnp.inf, dtype),
-                         jnp.zeros((), dtype), z, z, z, z)
+                         jnp.zeros((), dtype), z, z, z, z, z)
 
 
 @dataclass
@@ -400,7 +401,9 @@ class IceModel:
             state = state.replace(iso_layers=iso_carry[0], iso_top=iso_carry[1])
 
         # 8. calving / front retreat --------------------------------------
+        discharge_vol = jnp.zeros((), self.dtype)
         if self.calving is not None:
+            H_pre_calving = geometry.ice_thickness
             hardness_B = None
             if "vonmises_calving" in self.calving.methods \
                     and self.ssa is not None:
@@ -412,6 +415,10 @@ class IceModel:
                                          hardness_B=hardness_B,
                                          frontal_melt_rate=fm_rate)
             geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
+            # discharge bookkeeping (reference GeometryEvolution: the volume
+            # removed by calving/front retreat; negative = mass loss)
+            discharge_vol = jnp.sum(geometry.ice_thickness - H_pre_calving) \
+                * jnp.asarray(self.grid.dx * self.grid.dy, self.dtype)
 
         state = state.replace(geometry=geometry, u_ssa=sb.u_ssa, v_ssa=sb.v_ssa)
 
@@ -443,6 +450,7 @@ class IceModel:
             sum_smb=stats.sum_smb + jnp.float64(dt * smb_app),
             sum_bmb=stats.sum_bmb + jnp.float64(dt * bmb_app),
             sum_nonneg=stats.sum_nonneg + jnp.float64(dt * nonneg),
+            sum_discharge=stats.sum_discharge + jnp.float64(discharge_vol),
         )
         return state, t + dt, stats
 
@@ -554,6 +562,8 @@ class IceModel:
         self._check_thickness(state)
         t = time.start
         total_stats = None
+        if output is not None and hasattr(output, "start"):
+            output.start(state, t, self)
         while t < time.end - 1e-6:
             t_seg = min(t + segment_seconds, time.end)
             if output is not None:
@@ -563,7 +573,7 @@ class IceModel:
             self._check_thickness(state)
             total_stats = _merge_stats(total_stats, stats)
             if output is not None:
-                output.process(state, t, self)
+                output.process(state, t, self, stats=total_stats)
             if callback is not None:
                 callback(state, t, stats)
             if signals is not None:
@@ -593,4 +603,5 @@ def _merge_stats(a: Optional[StepStats], b: StepStats) -> StepStats:
         sum_smb=a.sum_smb + b.sum_smb,
         sum_bmb=a.sum_bmb + b.sum_bmb,
         sum_nonneg=a.sum_nonneg + b.sum_nonneg,
+        sum_discharge=a.sum_discharge + b.sum_discharge,
     )

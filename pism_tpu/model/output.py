@@ -107,11 +107,54 @@ class OutputManager:
         self._ts_f = File(self.ts_file, "w") if self.ts_file and self._ts else None
         self._ts_records: List[dict] = []
         self._last_backup_wall = _time.time()
+        # previous reporting-window sample per channel, set by start():
+        # (t, total ice volume, StepStats cumulative tuple)
+        self._ts_prev = None
+        self._extra_prev = None
         if self._extra_f is not None:
             ckpt._setup_dims(self._extra_f, self.grid)
+            self._setup_bounds(self._extra_f)
         if self._ts_f is not None:
             self._ts_f.define_dimension("time", None, attrs={
                 "units": "seconds since 1-1-1", "calendar": "365_day"})
+            self._setup_bounds(self._ts_f)
+
+    @staticmethod
+    def _setup_bounds(f):
+        """CF time bounds: reporting windows of rate quantities (PISM writes
+        ``time_bnds`` on both -ts and -extra files)."""
+        f.define_dimension("nv", 2)
+        f.h5["time"].attrs["bounds"] = "time_bnds"
+
+    @staticmethod
+    def _stats_sums(stats):
+        if stats is None:
+            return (0.0, 0.0, 0.0, 0.0, 0.0)
+        return (float(stats.sum_smb), float(stats.sum_bmb),
+                float(stats.sum_div_flux), float(stats.sum_nonneg),
+                float(stats.sum_discharge))
+
+    def start(self, state, t: float, model) -> None:
+        """Record the run-start sample so the first reporting window of the
+        rate diagnostics covers [run start, first output time]."""
+        vol = float(diag.SCALAR["ice_volume"].func(state, model, t))
+        first = (float(t), vol, self._stats_sums(None))
+        self._ts_prev = first
+        self._extra_prev = first
+
+    def _window(self, prev, state, t, model, stats):
+        """Build a diag.Window for [prev, now] and the new prev sample."""
+        vol = float(diag.SCALAR["ice_volume"].func(state, model, t))
+        sums = self._stats_sums(stats)
+        if prev is None:
+            prev = (float(t), vol, sums)
+        t0, vol0, sums0 = prev
+        dt = max(float(t) - t0, 1e-30)
+        d = [a - b for a, b in zip(sums, sums0)]
+        w = diag.Window(dt=dt, d_volume=vol - vol0, d_smb=d[0], d_bmb=d[1],
+                        d_flow=d[2], d_nonneg=d[3], d_discharge=d[4],
+                        rho_i=model.rho_i)
+        return w, (float(t), vol, sums), t0
 
     # -- scheduling ----------------------------------------------------------
     def next_time(self, t: float) -> float:
@@ -128,7 +171,7 @@ class OutputManager:
             task()
 
     # -- processing ----------------------------------------------------------
-    def process(self, state, t: float, model) -> None:
+    def process(self, state, t: float, model, stats=None) -> None:
         eps = 1e-3
         while self._snap and self._snap[0] <= t + eps:
             ts = self._snap.pop(0)
@@ -137,10 +180,10 @@ class OutputManager:
                 path, state, self.grid, t, config=self.config))
         while self._extra and self._extra[0] <= t + eps:
             self._extra.pop(0)
-            self._write_extra(state, t, model)
+            self._write_extra(state, t, model, stats)
         while self._ts and self._ts[0] <= t + eps:
             self._ts.pop(0)
-            self._write_ts(state, t, model)
+            self._write_ts(state, t, model, stats)
         if self.backup_interval > 0 and \
                 _time.time() - self._last_backup_wall > self.backup_interval:
             self.write_backup(state, t)
@@ -151,16 +194,20 @@ class OutputManager:
             self.backup_file, state, self.grid, t, config=self.config))
         self._last_backup_wall = _time.time()
 
-    def _write_extra(self, state, t, model):
+    def _write_extra(self, state, t, model, stats=None):
         f = self._extra_f
         if f is None:
             return
         # diagnostics are computed (dispatched) on the main thread; the
         # device->host transfer + h5 write happen on the writer thread
         values = diag.compute_spatial(self.extra_vars, state, model, t)
+        _, self._extra_prev, t0 = self._window(self._extra_prev, state, t,
+                                               model, stats)
 
-        def task(values=values, t=t):
+        def task(values=values, t=t, t0=t0):
             n = f.append_time(t)
+            f.write("time_bnds", np.asarray([[t0, t]]), ("time", "nv"),
+                    time_index=n)
             for name, v in values.items():
                 d = diag.SPATIAL[name]
                 arr = np.asarray(v)
@@ -173,20 +220,33 @@ class OutputManager:
 
         self._submit(task)
 
-    def _write_ts(self, state, t, model):
+    def _write_ts(self, state, t, model, stats=None):
         f = self._ts_f
         if f is None:
             return
-        values = diag.compute_scalar(self.ts_vars, state, model, t)
+        inst = [n for n in self.ts_vars if n not in diag.RATE]
+        rates = [n for n in self.ts_vars if n in diag.RATE]
+        values = diag.compute_scalar(inst, state, model, t)
+        window, self._ts_prev, t0 = self._window(self._ts_prev, state, t,
+                                                 model, stats)
+        rate_values = diag.compute_rates(rates, window)
 
-        def task(values=values, t=t):
+        def task(values=values, rate_values=rate_values, t=t, t0=t0):
             n = f.append_time(t)
+            f.write("time_bnds", np.asarray([[t0, t]]), ("time", "nv"),
+                    time_index=n)
             rec = {"time": t}
             for name, v in values.items():
                 d = diag.SCALAR[name]
                 f.write(name, np.asarray(float(v)).reshape(1), ("time",),
                         {"units": d.units, "long_name": d.long_name},
                         time_index=n)
+                rec[name] = float(v)
+            for name, v in rate_values.items():
+                d = diag.RATE[name]
+                f.write(name, np.asarray(float(v)).reshape(1), ("time",),
+                        {"units": d.units, "long_name": d.long_name,
+                         "cell_methods": "time: mean"}, time_index=n)
                 rec[name] = float(v)
             self._ts_records.append(rec)
             f.h5.flush()

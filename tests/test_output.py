@@ -65,6 +65,51 @@ def test_extra_and_ts_series(tmp_path, model_state):
         assert abs(vol[-1] - vol[0]) / vol[0] < 1e-6
 
 
+def test_ts_tendencies_close_the_mass_budget(tmp_path, model_state):
+    """Interval-averaged tendency_* scalars (PISM TSDiagnostic rates): the
+    independently-computed volume tendency must equal the sum of the budget
+    terms from the conservation bookkeeping over every reporting window,
+    and CF time bounds must bracket each window."""
+    sol, grid, cfg, model, state = model_state
+    t0 = sol.t0
+    ts_times = [t0 + k * 40 * SPY for k in range(1, 5)]
+    out = OutputManager(
+        grid=grid, config=cfg,
+        ts_times=ts_times,
+        ts_vars=("ice_volume",
+                 "tendency_of_ice_volume",
+                 "tendency_of_ice_volume_due_to_surface_mass_flux",
+                 "tendency_of_ice_volume_due_to_basal_mass_flux",
+                 "tendency_of_ice_volume_due_to_flow",
+                 "tendency_of_ice_volume_due_to_discharge",
+                 "tendency_of_ice_volume_due_to_conservation_error"),
+        ts_file=str(tmp_path / "ts.nc"),
+    )
+    # nonzero SMB so the budget is not trivially zero
+    model = IceModel(grid=grid, config=cfg, surface=Uniform(smb=0.1 / SPY))
+    state, _ = model.run(state, Time(t0, t0 + 160 * SPY), output=out)
+    out.close()
+
+    with File(str(tmp_path / "ts.nc"), "r") as f:
+        assert f.read_attrs("time")["bounds"] == "time_bnds"
+        bnds = f.read("time_bnds")
+        times = f.read("time")
+        assert bnds.shape == (4, 2)
+        np.testing.assert_allclose(bnds[:, 1], times, rtol=0, atol=1.0)
+        np.testing.assert_allclose(bnds[1:, 0], times[:-1], rtol=0, atol=1.0)
+        assert abs(bnds[0, 0] - t0) < 1.0  # first window starts at run start
+        dV = f.read("tendency_of_ice_volume")
+        budget = sum(f.read("tendency_of_ice_volume_due_to_" + part)
+                     for part in ("surface_mass_flux", "basal_mass_flux",
+                                  "flow", "discharge", "conservation_error"))
+        assert f.read_attrs("tendency_of_ice_volume")["cell_methods"] == \
+            "time: mean"
+        # budget closes to rounding relative to the largest term
+        scale = np.abs(dV).max()
+        assert scale > 0
+        np.testing.assert_allclose(dV, budget, atol=1e-6 * scale)
+
+
 def test_snapshots(tmp_path, model_state):
     sol, grid, cfg, model, state = model_state
     t0 = sol.t0
