@@ -141,6 +141,11 @@ def main(argv=None):
         for name in sorted(dg.SPATIAL):
             d = dg.SPATIAL[name]
             print(f"  {name:<28} [{d.units or '-'}] {d.long_name}")
+        print("interval-averaged spatial rates (-extra_vars, cell_methods="
+              "'time: mean'):")
+        for name in sorted(dg.SPATIAL_RATE):
+            d = dg.SPATIAL_RATE[name]
+            print(f"  {name:<28} [{d.units or '-'}] {d.long_name}")
         print("scalar time-series diagnostics (-ts_file/-ts_times):")
         for name in sorted(dg.SCALAR):
             d = dg.SCALAR[name]

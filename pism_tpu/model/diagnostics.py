@@ -904,3 +904,77 @@ def _dmass_err(w):
 
 def compute_rates(names, window: Window):
     return {n: RATE[n].func(window) for n in names}
+
+
+# --------------------------------------------------------------------------
+# interval-averaged spatial rate diagnostics (2D mass-budget fields)
+# --------------------------------------------------------------------------
+# PISM's -extra_vars budget fields (``tendency_of_ice_amount_due_to_*``,
+# kg m-2 s-1, cell_methods "time: mean") come from per-cell conservation
+# accumulators in GeometryEvolution; here they are carried in
+# ``StepStats.cell`` (time-integrated thickness change per cell, m) and
+# averaged over the reporting window.
+
+class Window2D(NamedTuple):
+    """Per-cell reporting-window deltas (thickness changes in m)."""
+    dt: float
+    d_thickness: object     # H(t) - H(t_prev)
+    d_flow: object
+    d_smb: object
+    d_bmb: object
+    d_nonneg: object
+    d_discharge: object
+    rho_i: float
+
+
+SPATIAL_RATE: Dict[str, Diagnostic] = {}
+
+
+def spatial_rate(name, units, long_name, standard_name=""):
+    def deco(fn):
+        SPATIAL_RATE[name] = Diagnostic(fn, units, long_name, standard_name)
+        return fn
+    return deco
+
+
+@spatial_rate("tendency_of_ice_amount", "kg m-2 s-1",
+              "rate of change of ice amount over the reporting interval")
+def _damount(w):
+    return w.rho_i * w.d_thickness / w.dt
+
+
+@spatial_rate("tendency_of_ice_amount_due_to_flow", "kg m-2 s-1",
+              "average ice-amount rate of change due to flow")
+def _damount_flow(w):
+    return w.rho_i * w.d_flow / w.dt
+
+
+@spatial_rate("tendency_of_ice_amount_due_to_surface_mass_flux", "kg m-2 s-1",
+              "average effective surface mass flux",
+              "land_ice_surface_specific_mass_balance_flux")
+def _damount_smb(w):
+    return w.rho_i * w.d_smb / w.dt
+
+
+@spatial_rate("tendency_of_ice_amount_due_to_basal_mass_flux", "kg m-2 s-1",
+              "average effective basal mass flux (negative = melt)",
+              "land_ice_basal_specific_mass_balance_flux")
+def _damount_bmb(w):
+    return w.rho_i * w.d_bmb / w.dt
+
+
+@spatial_rate("tendency_of_ice_amount_due_to_conservation_error",
+              "kg m-2 s-1", "average non-negativity projection rate")
+def _damount_err(w):
+    return w.rho_i * w.d_nonneg / w.dt
+
+
+@spatial_rate("tendency_of_ice_amount_due_to_discharge", "kg m-2 s-1",
+              "average ice-amount rate of change by calving and front retreat",
+              "land_ice_specific_mass_flux_due_to_calving_and_ice_front_melting")
+def _damount_disch(w):
+    return w.rho_i * w.d_discharge / w.dt
+
+
+def compute_spatial_rates(names, window: Window2D):
+    return {n: SPATIAL_RATE[n].func(window) for n in names}

@@ -38,6 +38,10 @@ class MassTransportResult(NamedTuple):
     Href: Optional[jnp.ndarray] = None  # part-grid area-specific volume [m]
     Qe: Optional[jnp.ndarray] = None    # limited staggered flux (isochrones)
     Qn: Optional[jnp.ndarray] = None
+    # per-cell budget fields (m/s of thickness change) for the spatial
+    # tendency_of_ice_amount_due_to_* diagnostics
+    flow_field: Optional[jnp.ndarray] = None
+    nonneg_field: Optional[jnp.ndarray] = None
 
 
 def advective_flux(u_face_e, v_face_n, H, sh: Shifter):
@@ -127,7 +131,8 @@ def flow_step(geometry: S.Geometry, dt, Qe, Qn, grid, sh: Shifter,
 
     # The limiter guarantees H_new >= -eps; clamp roundoff and account for it.
     clipped = jnp.maximum(H_new, 0.0)
-    nonneg = jnp.sum(clipped - H_new) * dx * dy / jnp.maximum(dt, 1e-30)
+    nonneg_field = (clipped - H_new) / jnp.maximum(dt, 1e-30)
+    nonneg = jnp.sum(nonneg_field) * dx * dy
     return MassTransportResult(
         thickness=clipped,
         flux_divergence=div,
@@ -136,6 +141,8 @@ def flow_step(geometry: S.Geometry, dt, Qe, Qn, grid, sh: Shifter,
         bmb_flux=jnp.zeros(()),
         Href=Href,
         Qe=Qe, Qn=Qn,
+        flow_field=(H_new - H) / jnp.maximum(dt, 1e-30),
+        nonneg_field=nonneg_field,
     )
 
 
@@ -154,9 +161,11 @@ def source_term_step(H, dt, smb, bmb, dx: float, dy: float):
     total = smb - bmb
     frac_smb = jnp.where(jnp.abs(total) > 0, smb / jnp.where(total == 0, 1.0, total), 0.0)
     area = dx * dy
-    smb_applied = jnp.sum(effective * frac_smb) * area
-    bmb_applied = jnp.sum(effective * (1.0 - frac_smb)) * area * -1.0
-    return H_new, smb_applied, bmb_applied
+    smb_field = effective * frac_smb             # m/s, dH convention
+    bmb_field = effective * (1.0 - frac_smb)     # m/s, dH convention (<0 melt)
+    smb_applied = jnp.sum(smb_field) * area
+    bmb_applied = jnp.sum(bmb_field) * area * -1.0
+    return H_new, smb_applied, bmb_applied, smb_field, bmb_field
 
 
 def max_timestep_cfl_2d(u_face_e, v_face_n, dx: float, dy: float):

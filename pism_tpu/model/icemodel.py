@@ -36,6 +36,22 @@ from . import geometry_evolution as ge
 from .stressbalance import StressBalance, StressBalanceResult
 
 
+class CellBudget(NamedTuple):
+    """Per-cell time-integrated thickness changes [m] (dH convention) for
+    the spatial ``tendency_of_ice_amount_due_to_*`` diagnostics (reference
+    ``GeometryEvolution``'s per-cell conservation fields)."""
+    flow: jnp.ndarray
+    smb: jnp.ndarray
+    bmb: jnp.ndarray
+    nonneg: jnp.ndarray
+    discharge: jnp.ndarray
+
+    @staticmethod
+    def zero(shape, dtype=jnp.float64):
+        z = jnp.zeros(shape, dtype)
+        return CellBudget(z, z, z, z, z)
+
+
 class StepStats(NamedTuple):
     """Per-segment accumulated statistics (a pytree carried in the loop)."""
     nsteps: jnp.ndarray
@@ -46,12 +62,14 @@ class StepStats(NamedTuple):
     sum_bmb: jnp.ndarray
     sum_nonneg: jnp.ndarray
     sum_discharge: jnp.ndarray   # volume change by calving/front retreat [m^3]
+    cell: Optional[CellBudget] = None   # per-cell budget (None = not tracked)
 
     @staticmethod
-    def zero(dtype=jnp.float64):
+    def zero(dtype=jnp.float64, shape2=None):
         z = jnp.zeros((), dtype)
+        cell = CellBudget.zero(shape2, dtype) if shape2 is not None else None
         return StepStats(jnp.zeros((), jnp.int64), jnp.full((), jnp.inf, dtype),
-                         jnp.zeros((), dtype), z, z, z, z, z)
+                         jnp.zeros((), dtype), z, z, z, z, z, cell)
 
 
 @dataclass
@@ -207,7 +225,7 @@ class IceModel:
         if self.device_loop:
             return self._advance_device(state, t0, t_end)
         t = jnp.float64(t0)
-        stats = StepStats.zero()
+        stats = StepStats.zero(shape2=self.grid.shape2)
         while float(t) < float(t_end) - 1e-6:
             state, t, stats = self._step_jit(state, t, jnp.float64(t_end), stats)
         return state, t, stats
@@ -354,7 +372,7 @@ class IceModel:
                     shelf_melt = self.ocean(geometry, t)
                     bmb = bmb + jnp.where(S.floating_ice(geometry.cell_type),
                                           shelf_melt, 0.0)
-                H, smb_app, bmb_app = ge.source_term_step(
+                H, smb_app, bmb_app, smb_field, bmb_field = ge.source_term_step(
                     H, dt_sub, smb_in.smb, bmb, grid.dx, grid.dy)
                 if iso_carry is not None:
                     from .isochrones import IsochroneState
@@ -370,7 +388,9 @@ class IceModel:
                     geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
                 div_vol = jnp.sum(res.flux_divergence) * grid.dx * grid.dy
                 return geometry, iso_carry, (smb_app, bmb_app, div_vol,
-                                             res.nonneg_flux)
+                                             res.nonneg_flux, res.flow_field,
+                                             smb_field, bmb_field,
+                                             res.nonneg_field)
 
             if self.skip_max > 1:
                 # PISM's "skip": several cheap mass substeps per expensive
@@ -384,24 +404,30 @@ class IceModel:
                     return geometry, iso_c, tuple(a + v for a, v in zip(acc, vals))
 
                 z = jnp.zeros((), self.dtype)
-                geometry, iso_carry, (smb_app, bmb_app, div_vol, nonneg) = \
+                z2 = jnp.zeros(geometry.ice_thickness.shape, self.dtype)
+                geometry, iso_carry, vals = \
                     jax.lax.fori_loop(0, self.skip_max, body,
-                                      (geometry, iso_carry, (z, z, z, z)))
-                smb_app = smb_app / self.skip_max
-                bmb_app = bmb_app / self.skip_max
-                div_vol = div_vol / self.skip_max
-                nonneg = nonneg / self.skip_max
+                                      (geometry, iso_carry,
+                                       (z, z, z, z, z2, z2, z2, z2)))
+                # substeps each contribute a rate over dt/skip_max; the
+                # average rate over the full step is the sum / skip_max
+                (smb_app, bmb_app, div_vol, nonneg, flow_2d, smb_2d, bmb_2d,
+                 nonneg_2d) = tuple(v / self.skip_max for v in vals)
             else:
-                geometry, iso_carry, (smb_app, bmb_app, div_vol, nonneg) = \
+                geometry, iso_carry, (smb_app, bmb_app, div_vol, nonneg,
+                                      flow_2d, smb_2d, bmb_2d, nonneg_2d) = \
                     mass_substep(geometry, iso_carry, dt_f, sb.qe, sb.qn)
         else:
             smb_app = bmb_app = div_vol = nonneg = jnp.zeros((), self.dtype)
+            flow_2d = smb_2d = bmb_2d = nonneg_2d = \
+                jnp.zeros(geometry.ice_thickness.shape, self.dtype)
 
         if iso_on:
             state = state.replace(iso_layers=iso_carry[0], iso_top=iso_carry[1])
 
         # 8. calving / front retreat --------------------------------------
         discharge_vol = jnp.zeros((), self.dtype)
+        discharge_2d = jnp.zeros(geometry.ice_thickness.shape, self.dtype)
         if self.calving is not None:
             H_pre_calving = geometry.ice_thickness
             hardness_B = None
@@ -417,7 +443,8 @@ class IceModel:
             geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
             # discharge bookkeeping (reference GeometryEvolution: the volume
             # removed by calving/front retreat; negative = mass loss)
-            discharge_vol = jnp.sum(geometry.ice_thickness - H_pre_calving) \
+            discharge_2d = geometry.ice_thickness - H_pre_calving
+            discharge_vol = jnp.sum(discharge_2d) \
                 * jnp.asarray(self.grid.dx * self.grid.dy, self.dtype)
 
         state = state.replace(geometry=geometry, u_ssa=sb.u_ssa, v_ssa=sb.v_ssa)
@@ -451,6 +478,13 @@ class IceModel:
             sum_bmb=stats.sum_bmb + jnp.float64(dt * bmb_app),
             sum_nonneg=stats.sum_nonneg + jnp.float64(dt * nonneg),
             sum_discharge=stats.sum_discharge + jnp.float64(discharge_vol),
+            cell=None if stats.cell is None else CellBudget(
+                flow=stats.cell.flow + jnp.float64(dt) * flow_2d,
+                smb=stats.cell.smb + jnp.float64(dt) * smb_2d,
+                bmb=stats.cell.bmb + jnp.float64(dt) * bmb_2d,
+                nonneg=stats.cell.nonneg + jnp.float64(dt) * nonneg_2d,
+                discharge=stats.cell.discharge + discharge_2d,
+            ),
         )
         return state, t + dt, stats
 
@@ -468,7 +502,7 @@ class IceModel:
                 st_, t, stats = carry
                 return self._step(st_, t, t_end, stats)
 
-            stats0 = StepStats.zero()
+            stats0 = StepStats.zero(shape2=self.grid.shape2)
             return jax.lax.while_loop(cond, body, (state, jnp.float64(t0), stats0))
 
         return advance
@@ -604,4 +638,7 @@ def _merge_stats(a: Optional[StepStats], b: StepStats) -> StepStats:
         sum_bmb=a.sum_bmb + b.sum_bmb,
         sum_nonneg=a.sum_nonneg + b.sum_nonneg,
         sum_discharge=a.sum_discharge + b.sum_discharge,
+        cell=b.cell if a.cell is None else (
+            a.cell if b.cell is None else CellBudget(
+                *(x + y for x, y in zip(a.cell, b.cell)))),
     )

@@ -134,27 +134,50 @@ class OutputManager:
                 float(stats.sum_div_flux), float(stats.sum_nonneg),
                 float(stats.sum_discharge))
 
+    @staticmethod
+    def _sample(state, t, model, stats):
+        """Cumulative sample for window bookkeeping (host copies)."""
+        vol = float(diag.SCALAR["ice_volume"].func(state, model, t))
+        cell = None
+        if stats is not None and stats.cell is not None:
+            cell = tuple(np.asarray(x) for x in stats.cell)
+        return {"t": float(t), "vol": vol,
+                "sums": OutputManager._stats_sums(stats),
+                "cell": cell,
+                "H": np.asarray(state.geometry.ice_thickness)}
+
     def start(self, state, t: float, model) -> None:
         """Record the run-start sample so the first reporting window of the
         rate diagnostics covers [run start, first output time]."""
-        vol = float(diag.SCALAR["ice_volume"].func(state, model, t))
-        first = (float(t), vol, self._stats_sums(None))
+        first = self._sample(state, t, model, None)
         self._ts_prev = first
-        self._extra_prev = first
+        self._extra_prev = dict(first)
 
     def _window(self, prev, state, t, model, stats):
         """Build a diag.Window for [prev, now] and the new prev sample."""
-        vol = float(diag.SCALAR["ice_volume"].func(state, model, t))
-        sums = self._stats_sums(stats)
+        cur = self._sample(state, t, model, stats)
         if prev is None:
-            prev = (float(t), vol, sums)
-        t0, vol0, sums0 = prev
-        dt = max(float(t) - t0, 1e-30)
-        d = [a - b for a, b in zip(sums, sums0)]
-        w = diag.Window(dt=dt, d_volume=vol - vol0, d_smb=d[0], d_bmb=d[1],
-                        d_flow=d[2], d_nonneg=d[3], d_discharge=d[4],
-                        rho_i=model.rho_i)
-        return w, (float(t), vol, sums), t0
+            prev = cur
+        dt = max(cur["t"] - prev["t"], 1e-30)
+        d = [a - b for a, b in zip(cur["sums"], prev["sums"])]
+        w = diag.Window(dt=dt, d_volume=cur["vol"] - prev["vol"], d_smb=d[0],
+                        d_bmb=d[1], d_flow=d[2], d_nonneg=d[3],
+                        d_discharge=d[4], rho_i=model.rho_i)
+        return w, cur, prev
+
+    @staticmethod
+    def _window2d(prev, cur, model):
+        """Per-cell diag.Window2D for [prev, cur]."""
+        dt = max(cur["t"] - prev["t"], 1e-30)
+        shape = cur["H"].shape
+        z = np.zeros(shape)
+        c1 = cur["cell"] if cur["cell"] is not None else (z,) * 5
+        c0 = prev["cell"] if prev["cell"] is not None else (z,) * 5
+        d = [a - b for a, b in zip(c1, c0)]
+        return diag.Window2D(dt=dt, d_thickness=cur["H"] - prev["H"],
+                             d_flow=d[0], d_smb=d[1], d_bmb=d[2],
+                             d_nonneg=d[3], d_discharge=d[4],
+                             rho_i=model.rho_i)
 
     # -- scheduling ----------------------------------------------------------
     def next_time(self, t: float) -> float:
@@ -200,11 +223,18 @@ class OutputManager:
             return
         # diagnostics are computed (dispatched) on the main thread; the
         # device->host transfer + h5 write happen on the writer thread
-        values = diag.compute_spatial(self.extra_vars, state, model, t)
-        _, self._extra_prev, t0 = self._window(self._extra_prev, state, t,
-                                               model, stats)
+        inst = [n for n in self.extra_vars if n not in diag.SPATIAL_RATE]
+        rates = [n for n in self.extra_vars if n in diag.SPATIAL_RATE]
+        values = diag.compute_spatial(inst, state, model, t)
+        _, cur, prev = self._window(self._extra_prev, state, t, model, stats)
+        rate_values = {}
+        if rates:
+            rate_values = diag.compute_spatial_rates(
+                rates, self._window2d(prev, cur, model))
+        self._extra_prev = cur
+        t0 = prev["t"]
 
-        def task(values=values, t=t, t0=t0):
+        def task(values=values, rate_values=rate_values, t=t, t0=t0):
             n = f.append_time(t)
             f.write("time_bnds", np.asarray([[t0, t]]), ("time", "nv"),
                     time_index=n)
@@ -216,6 +246,11 @@ class OutputManager:
                 f.write(name, arr[None], dims,
                         {"units": d.units, "long_name": d.long_name},
                         time_index=n)
+            for name, v in rate_values.items():
+                d = diag.SPATIAL_RATE[name]
+                f.write(name, np.asarray(v)[None], ("time", "y", "x"),
+                        {"units": d.units, "long_name": d.long_name,
+                         "cell_methods": "time: mean"}, time_index=n)
             f.h5.flush()
 
         self._submit(task)
@@ -227,8 +262,9 @@ class OutputManager:
         inst = [n for n in self.ts_vars if n not in diag.RATE]
         rates = [n for n in self.ts_vars if n in diag.RATE]
         values = diag.compute_scalar(inst, state, model, t)
-        window, self._ts_prev, t0 = self._window(self._ts_prev, state, t,
-                                                 model, stats)
+        window, cur, prev = self._window(self._ts_prev, state, t, model, stats)
+        self._ts_prev = cur
+        t0 = prev["t"]
         rate_values = diag.compute_rates(rates, window)
 
         def task(values=values, rate_values=rate_values, t=t, t0=t0):

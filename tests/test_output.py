@@ -110,6 +110,41 @@ def test_ts_tendencies_close_the_mass_budget(tmp_path, model_state):
         np.testing.assert_allclose(dV, budget, atol=1e-6 * scale)
 
 
+def test_extra_spatial_budget_fields(tmp_path, model_state):
+    """Per-cell tendency_of_ice_amount* fields (PISM's -extra budget
+    diagnostics from GeometryEvolution's per-cell accumulators): the total
+    must equal the sum of the parts cell by cell."""
+    sol, grid, cfg, model, state = model_state
+    t0 = sol.t0
+    extra_times = [t0 + k * 50 * SPY for k in range(1, 4)]
+    out = OutputManager(
+        grid=grid, config=cfg,
+        extra_times=extra_times,
+        extra_vars=("thk", "tendency_of_ice_amount",
+                    "tendency_of_ice_amount_due_to_flow",
+                    "tendency_of_ice_amount_due_to_surface_mass_flux",
+                    "tendency_of_ice_amount_due_to_basal_mass_flux",
+                    "tendency_of_ice_amount_due_to_conservation_error",
+                    "tendency_of_ice_amount_due_to_discharge"),
+        extra_file=str(tmp_path / "extra.nc"),
+    )
+    model = IceModel(grid=grid, config=cfg, surface=Uniform(smb=0.05 / SPY))
+    state, _ = model.run(state, Time(t0, t0 + 150 * SPY), output=out)
+    out.close()
+
+    with File(str(tmp_path / "extra.nc"), "r") as f:
+        total = f.read("tendency_of_ice_amount")
+        parts = sum(f.read("tendency_of_ice_amount_due_to_" + p)
+                    for p in ("flow", "surface_mass_flux", "basal_mass_flux",
+                              "conservation_error", "discharge"))
+        assert total.shape == (3, 31, 31)
+        assert f.read_attrs("tendency_of_ice_amount")["cell_methods"] == \
+            "time: mean"
+        scale = np.abs(total).max()
+        assert scale > 0  # nonzero SMB drives a nonzero budget
+        np.testing.assert_allclose(total, parts, atol=1e-6 * scale)
+
+
 def test_snapshots(tmp_path, model_state):
     sol, grid, cfg, model, state = model_state
     t0 = sol.t0
