@@ -784,6 +784,182 @@ def _maxhorvel(state, model, t):
     return jnp.max(jnp.abs(jnp.stack([sb.u_base, sb.v_base])))
 
 
+# -- ISMIP6 standard area fractions (PISM sftgif/sftgrf/sftflf) ------------
+
+@spatial("sftgif", "1", "fraction of grid cell covered with ice",
+         "land_ice_area_fraction")
+def _sftgif(state, model, t):
+    return S.icy(state.geometry.cell_type).astype(
+        state.geometry.ice_thickness.dtype)
+
+
+@spatial("sftgrf", "1", "fraction of grid cell covered with grounded ice",
+         "grounded_ice_sheet_area_fraction")
+def _sftgrf(state, model, t):
+    icy = _sftgif(state, model, t)
+    if state.geometry.cell_grounded_fraction is not None:
+        return icy * state.geometry.cell_grounded_fraction
+    return icy * S.grounded_ice(state.geometry.cell_type).astype(icy.dtype)
+
+
+@spatial("sftflf", "1", "fraction of grid cell covered with floating ice",
+         "floating_ice_shelf_area_fraction")
+def _sftflf(state, model, t):
+    return _sftgif(state, model, t) - _sftgrf(state, model, t)
+
+
+# -- bedrock thermal interface (PISM bedtoptemp / heat_flux_from_bedrock) --
+
+@spatial("bedtoptemp", "K", "temperature at the top of the bedrock column")
+def _bedtoptemp(state, model, t):
+    if state.bedrock_temperature is None:
+        return jnp.zeros(state.geometry.ice_thickness.shape)
+    return state.bedrock_temperature[..., -1]
+
+
+@spatial("heat_flux_from_bedrock", "W m-2",
+         "conductive upward heat flux at the top of the bedrock",
+         "upward_geothermal_heat_flux_at_ground_level")
+def _bedrock_flux(state, model, t):
+    shape = state.geometry.ice_thickness.shape
+    if state.bedrock_temperature is None or model.grid.Mbz < 2:
+        G = model.config.get_number("bootstrapping.defaults.geothermal_flux")
+        return jnp.full(shape, G)
+    k_b = model.config.get_number("energy.bedrock_thermal.conductivity")
+    dzb = model.grid.Lbz / (model.grid.Mbz - 1)
+    T = state.bedrock_temperature
+    return k_b * (T[..., -2] - T[..., -1]) / dzb
+
+
+# -- calving-law stress diagnostic (PISM vonmises_stress) ------------------
+
+@spatial("vonmises_stress", "Pa",
+         "tensile von Mises stress from the SSA strain rates "
+         "(Morlighem et al. 2016)")
+def _vonmises(state, model, t):
+    l1 = _eigen1(state, model, t)
+    l2 = _eigen2(state, model, t)
+    e1, e2 = jnp.maximum(l1, 0.0), jnp.maximum(l2, 0.0)
+    eff = jnp.sqrt(0.5 * (e1 ** 2 + e2 ** 2))
+    B = SPATIAL["hardav"].func(state, model, t)
+    return jnp.sqrt(3.0) * B * eff ** (1.0 / 3.0)
+
+
+# -- bed smoother fields (PISM BedSmoother diagnostics) --------------------
+
+def _smoothed_bed(state, model):
+    from ..ops import bedsmoother as bsm
+    rng = model.stress_balance.bed_smoother_range
+    if rng <= 0.0:
+        return None
+    return bsm.preprocess_bed(state.geometry.bed_elevation, model.grid.dx,
+                              model.grid.dy, rng)
+
+
+@spatial("topgsmooth", "m",
+         "smoothed bed elevation (Schoof 2003 bed roughness scheme)")
+def _topgsmooth(state, model, t):
+    smooth = _smoothed_bed(state, model)
+    return state.geometry.bed_elevation if smooth is None else smooth.bed
+
+
+@spatial("thksmooth", "m",
+         "ice thickness relative to the smoothed bed (grounded cells)")
+def _thksmooth(state, model, t):
+    smooth = _smoothed_bed(state, model)
+    g = state.geometry
+    if smooth is None:
+        return g.ice_thickness
+    grounded = S.grounded_ice(g.cell_type)
+    H_rel = jnp.maximum(g.ice_surface_elevation - smooth.bed, 0.0)
+    return jnp.where(grounded, H_rel, g.ice_thickness)
+
+
+@spatial("schoofs_theta", "1",
+         "multiplier of the SIA diffusivity from bed roughness (in [0,1])")
+def _schoofs_theta(state, model, t):
+    from ..ops import bedsmoother as bsm
+    smooth = _smoothed_bed(state, model)
+    g = state.geometry
+    if smooth is None:
+        return jnp.ones_like(g.ice_thickness)
+    grounded = S.grounded_ice(g.cell_type)
+    H_rel = jnp.maximum(g.ice_surface_elevation - smooth.bed, 0.0)
+    return jnp.where(grounded,
+                     bsm.theta(smooth, H_rel, model.stress_balance.n_sia),
+                     1.0)
+
+
+# -- misc fields -----------------------------------------------------------
+
+@spatial("pressure", "Pa", "ice overburden pressure (3D)")
+def _pressure(state, model, t):
+    H = state.geometry.ice_thickness
+    z = jnp.asarray(model.grid.z)
+    return model.EC.pressure(jnp.maximum(H[..., None] - z, 0.0))
+
+
+@spatial("h_x", "1", "x-component of the ice surface gradient")
+def _h_x(state, model, t):
+    s = state.geometry.ice_surface_elevation
+    return (model.sh(s, 0, 1) - model.sh(s, 0, -1)) / (2.0 * model.grid.dx)
+
+
+@spatial("h_y", "1", "y-component of the ice surface gradient")
+def _h_y(state, model, t):
+    s = state.geometry.ice_surface_elevation
+    return (model.sh(s, 1, 0) - model.sh(s, -1, 0)) / (2.0 * model.grid.dy)
+
+
+# -- additional scalars ----------------------------------------------------
+
+@scalar("grounding_line_flux", "kg s-1",
+        "total ice flux across the grounding line (positive = "
+        "grounded to floating)")
+def _gl_flux(state, model, t):
+    from . import geometry_evolution as ge
+    g = state.geometry
+    sb = model.stress_balance.update(state)
+    qe_adv, qn_adv = ge.advective_flux(sb.u_face_e, sb.v_face_n,
+                                       g.ice_thickness, model.sh)
+    qe = sb.qe + qe_adv
+    qn = sb.qn + qn_adv
+    grounded = S.grounded_ice(g.cell_type)
+    floating = S.floating_ice(g.cell_type)
+    sh = model.sh
+    # east face between (i,j) and (i,j+1): q > 0 flows +x
+    e_gf = grounded & sh(floating, 0, 1)
+    e_fg = floating & sh(grounded, 0, 1)
+    n_gf = grounded & sh(floating, 1, 0)
+    n_fg = floating & sh(grounded, 1, 0)
+    flux = jnp.sum(jnp.where(e_gf, qe, 0.0) - jnp.where(e_fg, qe, 0.0)) \
+        * model.grid.dy \
+        + jnp.sum(jnp.where(n_gf, qn, 0.0) - jnp.where(n_fg, qn, 0.0)) \
+        * model.grid.dx
+    return model.rho_i * flux
+
+
+@scalar("ice_volume_glacierized_grounded", "m3", "volume of grounded ice")
+def _volgg(state, model, t):
+    g = state.geometry
+    H = g.ice_thickness
+    sel = S.icy(g.cell_type) & S.grounded_ice(g.cell_type)
+    return jnp.sum(jnp.where(sel, H, 0.0)) * model.grid.dx * model.grid.dy
+
+
+@scalar("ice_volume_glacierized_floating", "m3", "volume of floating ice")
+def _volgf(state, model, t):
+    g = state.geometry
+    H = g.ice_thickness
+    sel = S.floating_ice(g.cell_type)
+    return jnp.sum(jnp.where(sel, H, 0.0)) * model.grid.dx * model.grid.dy
+
+
+@scalar("ice_mass_glacierized", "kg", "mass of glacierized ice")
+def _massg(state, model, t):
+    return model.rho_i * SCALAR["ice_volume_glacierized"].func(state, model, t)
+
+
 def compute_spatial(names, state, model, t):
     return {n: SPATIAL[n].func(state, model, t) for n in names}
 

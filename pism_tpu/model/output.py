@@ -243,6 +243,10 @@ class OutputManager:
                 arr = np.asarray(v)
                 dims = ("time", "y", "x") if arr.ndim == 2 \
                     else ("time", "y", "x", "z")
+                if arr.ndim == 3 and "z" not in f.h5:
+                    # grids with Mz == 1 don't get a z dim from _setup_dims
+                    f.define_dimension("z", self.grid.Mz, self.grid.z, attrs={
+                        "units": "m", "axis": "Z", "positive": "up"})
                 f.write(name, arr[None], dims,
                         {"units": d.units, "long_name": d.long_name},
                         time_index=n)

@@ -44,8 +44,24 @@ def test_all_scalar_diagnostics_finite(thermo_state):
 
 def test_registry_size():
     # a representative slice of PISM's diagnostic dictionary
-    assert len(diag.SPATIAL) >= 60
-    assert len(diag.SCALAR) >= 20
+    assert len(diag.SPATIAL) >= 75
+    assert len(diag.SCALAR) >= 24
+    assert len(diag.RATE) >= 12
+    assert len(diag.SPATIAL_RATE) >= 6
+
+
+def test_area_fraction_identities(thermo_state):
+    """ISMIP6 fractions: sftgif = sftgrf + sftflf, all in [0, 1];
+    Schoof theta in [0, 1]; grounded EISMINT dome has zero GL flux."""
+    model, state, t = thermo_state
+    v = diag.compute_spatial(
+        ["sftgif", "sftgrf", "sftflf", "schoofs_theta"], state, model, t)
+    gif, grf, flf = (np.asarray(v[k]) for k in ("sftgif", "sftgrf", "sftflf"))
+    np.testing.assert_allclose(gif, grf + flf, atol=1e-12)
+    for a in (gif, grf, flf, np.asarray(v["schoofs_theta"])):
+        assert a.min() >= 0.0 and a.max() <= 1.0 + 1e-12
+    gl = diag.compute_scalar(["grounding_line_flux"], state, model, t)
+    assert float(gl["grounding_line_flux"]) == 0.0
 
 
 def test_vars_dictionary():
