@@ -193,3 +193,37 @@ def test_classic_netcdf_bootstrap(tmp_path):
     H = np.asarray(state.geometry.ice_thickness)
     assert H.shape == grid.shape2 and np.isfinite(H).all()
     assert abs(H.max() - thk.max()) < 40.0   # regrid preserves the dome
+
+
+def test_nccmp_tool(tmp_path):
+    """nccmp-role comparison utility (reference test/nccmp.py): identical
+    files match, perturbed files report the offending variable, missing
+    variables are flagged."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pism_tpu import Config, Grid
+    from pism_tpu.io import checkpoint as ckpt
+    from pism_tpu.io.nc4 import File
+    from pism_tpu.state import ModelState, new_geometry
+    from pism_tpu.util import nccmp
+
+    grid = Grid(Mx=11, My=11, Lx=100e3, Ly=100e3)
+    cfg = Config({})
+    H = jnp.asarray(np.random.default_rng(7).uniform(0, 100, grid.shape2))
+    state = ModelState(geometry=new_geometry(H, jnp.zeros(grid.shape2)))
+    a, b = str(tmp_path / "a.nc"), str(tmp_path / "b.nc")
+    ckpt.save_state(a, state, grid, 0.0, config=cfg)
+    ckpt.save_state(b, state, grid, 0.0, config=cfg)
+    assert nccmp.compare(a, b) == []
+
+    with File(b, "a") as f:
+        thk = f.read("thk")
+        thk[0, 5, 5] += 1e-3
+        f.write("thk", thk)
+    bad = nccmp.compare(a, b)
+    assert [m.name for m in bad] == ["thk"]
+    assert nccmp.compare(a, b, atol=1e-2) == []
+    assert nccmp.compare(a, b, variables=["topg", "nonexistent"])[0].kind \
+        == "missing"
+    assert nccmp.main([a, b, "-t", "1e-2"]) == 0
+    assert nccmp.main([a, b]) == 1
