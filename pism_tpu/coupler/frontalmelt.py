@@ -54,7 +54,11 @@ class DischargeRouting(FrontalMeltModel):
 
     def __call__(self, geometry, t, state=None):
         h = jnp.maximum(geometry.sea_level - geometry.bed_elevation, 0.0)
-        if state is not None and state.hydro_W is not None:
+        if state is not None and state.hydro_Q is not None:
+            # steady hydrology: per-unit-width discharge [m^2/s] spread over
+            # the submerged face height -> water flux speed, per day
+            q_sg = state.hydro_Q / jnp.maximum(h, 1.0) * 86400.0
+        elif state is not None and state.hydro_W is not None:
             # crude discharge proxy: transportable water layer drained per day
             q_sg = state.hydro_W  # [m]
         else:

@@ -36,6 +36,7 @@ _STATE_VARS = {
     "till_phi": ("tillphi", {"units": "degrees"}, 2),
     "hydro_W": ("bwat", {"units": "m"}, 2),
     "hydro_P": ("bwp", {"units": "Pa"}, 2),
+    "hydro_Q": ("bwatflux", {"units": "m2 s-1"}, 2),
     "age": ("age", {"units": "s"}, 3),
     "bed_uplift": ("viscous_bed_displacement", {"units": "m"}, 2),
     "bed_load_reference": ("bed_def_load_reference", {"units": "m"}, 2),

@@ -784,6 +784,14 @@ def _maxhorvel(state, model, t):
     return jnp.max(jnp.abs(jnp.stack([sb.u_base, sb.v_base])))
 
 
+@spatial("bwatflux", "m2 s-1",
+         "steady subglacial discharge per unit width (hydrology.model=steady)")
+def _bwatflux(state, model, t):
+    if state.hydro_Q is None:
+        return jnp.zeros_like(state.geometry.ice_thickness)
+    return state.hydro_Q
+
+
 # -- ISMIP6 standard area fractions (PISM sftgif/sftgrf/sftflf) ------------
 
 @spatial("sftgif", "1", "fraction of grid cell covered with ice",

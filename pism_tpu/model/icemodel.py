@@ -517,8 +517,17 @@ class IceModel:
         H = state.geometry.ice_thickness
         z2 = jnp.zeros_like(H)
         kw = {}
-        if self.hydrology is not None and state.tillwat is None:
-            kw["tillwat"] = z2
+        if self.hydrology is not None:
+            from ..physics.hydrology import Distributed, Routing, Steady
+            if state.tillwat is None:
+                kw["tillwat"] = z2
+            if isinstance(self.hydrology, Routing) and state.hydro_W is None:
+                kw["hydro_W"] = z2
+            if isinstance(self.hydrology, Distributed) and state.hydro_P is None:
+                kw["hydro_P"] = self.rho_i \
+                    * self.config.get_number("constants.standard_gravity") * H
+            if isinstance(self.hydrology, Steady) and state.hydro_Q is None:
+                kw["hydro_Q"] = z2
         if self.energy_model is not None and state.basal_melt_rate is None:
             kw["basal_melt_rate"] = z2
         if self.stress_balance.model not in ("sia", "none"):

@@ -238,6 +238,100 @@ class Distributed(Routing):
         return state.replace(hydro_W=W, hydro_P=P)
 
 
+@dataclass
+class Steady(NullTransport):
+    """PISM ``hydrology::SteadyState`` role (reference
+    ``src/hydrology/SteadyState.cc``): the basal water input is routed
+    *instantaneously* down the hydraulic potential to the ice margin,
+    producing the steady subglacial discharge field that feeds the
+    ``DischargeRouting`` frontal-melt plume. It does not evolve a water
+    layer of its own (the till ODE still runs).
+
+    The reference's serial flow-accumulation pass becomes an all-device
+    fixed point: each cell sends its accumulated flux to its
+    steepest-descent neighbor; iterate Q <- input + sum(upstream Q) until
+    stationary (bounded by the longest flow path, like the iceberg-remover
+    label propagation).
+    """
+
+    max_iters: int = 4096
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.g = self.config.get_number("constants.standard_gravity")
+        self.sh = Shifter(self.grid)
+
+    def step(self, state: S.ModelState, dt) -> S.ModelState:
+        state = NullTransport.step(self, state, dt)
+        sh = self.sh
+        g = state.geometry
+        H = g.ice_thickness
+        icy = S.icy(g.cell_type)
+
+        # water input rate [m^3/s] per cell (till overflow approximation:
+        # all melt routes once the till is saturated; matches Routing)
+        m_b = state.basal_melt_rate if state.basal_melt_rate is not None \
+            else jnp.zeros_like(H)
+        inflow = (self.rho_i / self.rho_w) * m_b
+        overflow = jnp.where(icy & (state.tillwat >= self.W_max), inflow, 0.0)
+        inp = overflow * self.grid.dx * self.grid.dy
+
+        # steepest-descent direction of the hydraulic potential among the
+        # 4 neighbors; 0 = sink (local minimum or margin), 1..4 = E,W,N,S
+        psi = self.rho_w * self.g * g.bed_elevation + self.rho_i * self.g * H
+        big = jnp.asarray(jnp.inf, psi.dtype)
+        # water leaving the icy region exits the system: neighbors outside
+        # the ice are "free" outlets at -inf potential
+        def nbr_psi(dy_, dx_):
+            p = sh(psi, dy_, dx_)
+            return jnp.where(sh(icy, dy_, dx_), p, -big)
+        cand = jnp.stack([nbr_psi(0, 1), nbr_psi(0, -1),
+                          nbr_psi(1, 0), nbr_psi(-1, 0)])
+        best = jnp.argmin(cand, axis=0)
+        downhill = jnp.min(cand, axis=0) < psi
+        direction = jnp.where(icy & downhill, best + 1, 0)
+
+        # neighbor-existence masks: non-periodic shifts clamp at the domain
+        # edge, which would alias a boundary cell as its own upstream
+        # neighbor (a self-loop that never converges)
+        shape = psi.shape
+        ix = jnp.broadcast_to(jnp.arange(shape[1])[None, :], shape)
+        iy = jnp.broadcast_to(jnp.arange(shape[0])[:, None], shape)
+        true_ = jnp.ones(shape, bool)
+        has_e = true_ if self.grid.periodic_x else ix < shape[1] - 1
+        has_w = true_ if self.grid.periodic_x else ix > 0
+        has_n = true_ if self.grid.periodic_y else iy < shape[0] - 1
+        has_s = true_ if self.grid.periodic_y else iy > 0
+
+        def send(Q):
+            """Sum of upstream neighbors' Q draining into each cell."""
+            # a neighbor at +x drains into me if its direction is W (=2), etc.
+            return (jnp.where(has_e & (sh(direction, 0, 1) == 2),
+                              sh(Q, 0, 1), 0.0)
+                    + jnp.where(has_w & (sh(direction, 0, -1) == 1),
+                                sh(Q, 0, -1), 0.0)
+                    + jnp.where(has_n & (sh(direction, 1, 0) == 4),
+                                sh(Q, 1, 0), 0.0)
+                    + jnp.where(has_s & (sh(direction, -1, 0) == 3),
+                                sh(Q, -1, 0), 0.0))
+
+        def cond(carry):
+            Q, Q_prev, it = carry
+            return (it < self.max_iters) & jnp.any(Q != Q_prev)
+
+        def body(carry):
+            Q, _, it = carry
+            return inp + send(Q), Q, it + 1
+
+        Q0 = inp
+        Q, _, _ = jax.lax.while_loop(
+            cond, body, (Q0, jnp.full_like(Q0, -1.0),
+                         jnp.zeros((), jnp.int32)))
+        # per-unit-width discharge [m^2/s] through the cell's outflow face
+        q_sg = Q / self.grid.dx
+        return state.replace(hydro_Q=q_sg)
+
+
 def hydrology_from_config(grid, config):
     name = config.get_string("hydrology.model")
     if name in ("null", ""):
@@ -246,4 +340,6 @@ def hydrology_from_config(grid, config):
         return Routing(grid=grid, config=config)
     if name == "distributed":
         return Distributed(grid=grid, config=config)
+    if name == "steady":
+        return Steady(grid=grid, config=config)
     raise ValueError(f"unknown hydrology model {name!r}")

@@ -181,6 +181,7 @@ class ModelState:
     till_phi: Optional[jnp.ndarray] = None           # till friction angle deg
     hydro_W: Optional[jnp.ndarray] = None            # transportable water m
     hydro_P: Optional[jnp.ndarray] = None            # water pressure Pa
+    hydro_Q: Optional[jnp.ndarray] = None            # steady discharge m^2/s
     age: Optional[jnp.ndarray] = None                # (My, Mx, Mz) s
     bed_uplift: Optional[jnp.ndarray] = None         # viscous bed displacement state
     bed_load_reference: Optional[jnp.ndarray] = None

@@ -79,3 +79,43 @@ def test_routing_steady_mass_balance():
         state = advance(state)
     total2 = float(jnp.sum(state.hydro_W))
     assert abs(total2 - total1) / total1 < 0.02
+
+
+def test_steady_hydrology_flow_accumulation():
+    """hydrology.model=steady (reference hydrology::SteadyState role):
+    instantaneous routing of the water input down the hydraulic potential.
+    On a uniform slab over a tilted bed the discharge grows linearly
+    downstream and the total outflow equals the total input."""
+    import jax
+    from pism_tpu.physics.hydrology import Steady
+
+    grid = Grid(Mx=21, My=5, Lx=10e3, Ly=2.5e3)
+    cfg = Config({"hydrology.model": "steady",
+                  "hydrology.tillwat_decay_rate": 0.0})
+    # bed drops toward +x; uniform 500 m slab on the left 15 columns
+    x = np.linspace(0, 1, grid.Mx)
+    bed = np.tile(100.0 * (1.0 - x), (grid.My, 1))
+    H = np.where(np.arange(grid.Mx) < 15, 500.0, 0.0) * np.ones((grid.My, 1))
+    melt = 1e-9  # m/s ice equivalent, uniform
+    W_max = cfg.get_number("hydrology.tillwat_max")
+    state = ModelState(
+        geometry=new_geometry(jnp.asarray(H), jnp.asarray(bed)),
+        tillwat=jnp.full(grid.shape2, W_max),      # saturated: all melt routes
+        basal_melt_rate=jnp.full(grid.shape2, melt),
+        hydro_Q=jnp.zeros(grid.shape2))
+    hydro = Steady(grid=grid, config=cfg)
+    state = jax.jit(lambda s: hydro.step(s, 86400.0))(state)
+    Q = np.asarray(state.hydro_Q) * grid.dx      # back to m^3/s per cell
+
+    rho_i, rho_w = 910.0, 1000.0
+    inp_cell = (rho_i / rho_w) * melt * grid.dx * grid.dy
+    # interior row: discharge accumulates linearly downstream (+x)
+    row = Q[2, :15]
+    np.testing.assert_allclose(row, inp_cell * np.arange(1, 16), rtol=1e-6)
+    # mass balance: flux carried by the last icy column = all input upstream
+    icy_cells = 15 * grid.My
+    assert np.isclose(Q[:, 14].sum(), inp_cell * icy_cells, rtol=1e-6)
+    # the exiting flux lands in the first ice-free cell (where the
+    # frontal-melt plume reads it) and propagates no further
+    np.testing.assert_allclose(Q[:, 15], inp_cell * 15, rtol=1e-6)
+    assert np.all(Q[:, 16:] == 0.0)
