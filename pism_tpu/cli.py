@@ -184,7 +184,7 @@ def main(argv=None):
             es = eismint2.setup(args.eisII, Mx=args.Mx or 61,
                                 Mz=args.Mz or 61)
             grid, cfg, state, surface = es.grid, es.config, es.state, es.surface
-    elif args.test and args.test.upper() in "ADFGHKLOP":
+    elif args.test and args.test.upper() in tuple("ADFGHKLOP"):
         # pismv-style single-test runs with an error report (runner.py)
         from .verification import runner
         over = Config({})
@@ -304,6 +304,10 @@ def main(argv=None):
               f"max error = {err.max():.3f} m/a, avg = {err.mean():.3f} m/a")
         return 0
     elif args.test:
+        if args.test.upper() not in ("B", "C"):
+            print(f"pism_tpu: unsupported verification test {args.test!r} "
+                  "(supported: A-D, F-M except E/J, O, P, V)", file=sys.stderr)
+            return 2
         from .verification import halfar
         sol = halfar.test_B() if args.test.upper() == "B" else halfar.test_C()
         Mx = args.Mx or 61

@@ -108,6 +108,7 @@ class CalvingModel:
         self.H_threshold = cfg.get_number("calving.thickness_calving.threshold")
         self.eigen_K = cfg.get_number("calving.eigen_calving.K")
         self.vm_sigma_max = cfg.get_number("calving.vonmises_calving.sigma_max")
+        self.n_glen = cfg.get_number("stress_balance.ssa.Glen_exponent")
         self.hh_B_tilde = cfg.get_number("calving.hayhurst_calving.B_tilde")
         self.hh_r = cfg.get_number("calving.hayhurst_calving.exponent_r")
         self.hh_sigma_th = cfg.get_number("calving.hayhurst_calving.sigma_threshold")
@@ -165,7 +166,7 @@ class CalvingModel:
             l1, l2 = self._strain_eigenvalues(u_ssa, v_ssa)
             e1, e2 = jnp.maximum(l1, 0.0), jnp.maximum(l2, 0.0)
             eff = jnp.sqrt(0.5 * (e1 ** 2 + e2 ** 2))
-            sigma = jnp.sqrt(3.0) * hardness_B * eff ** (1.0 / 3.0)
+            sigma = jnp.sqrt(3.0) * hardness_B * eff ** (1.0 / self.n_glen)
             speed = jnp.sqrt(u_ssa ** 2 + v_ssa ** 2)
             rate = rate + speed * sigma / self.vm_sigma_max
         if "hayhurst_calving" in self.methods:

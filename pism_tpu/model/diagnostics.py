@@ -850,7 +850,8 @@ def _vonmises(state, model, t):
     e1, e2 = jnp.maximum(l1, 0.0), jnp.maximum(l2, 0.0)
     eff = jnp.sqrt(0.5 * (e1 ** 2 + e2 ** 2))
     B = SPATIAL["hardav"].func(state, model, t)
-    return jnp.sqrt(3.0) * B * eff ** (1.0 / 3.0)
+    n = model.config.get_number("stress_balance.ssa.Glen_exponent")
+    return jnp.sqrt(3.0) * B * eff ** (1.0 / n)
 
 
 # -- bed smoother fields (PISM BedSmoother diagnostics) --------------------

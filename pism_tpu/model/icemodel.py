@@ -528,6 +528,12 @@ class IceModel:
                     * self.config.get_number("constants.standard_gravity") * H
             if isinstance(self.hydrology, Steady) and state.hydro_Q is None:
                 kw["hydro_Q"] = z2
+            if not isinstance(self.hydrology, Steady) \
+                    and state.hydro_Q is not None:
+                # a checkpointed steady-discharge field from a previous run
+                # would otherwise shadow the live hydrology in the
+                # frontal-melt coupling forever
+                kw["hydro_Q"] = None
         if self.energy_model is not None and state.basal_melt_rate is None:
             kw["basal_melt_rate"] = z2
         if self.stress_balance.model not in ("sia", "none"):

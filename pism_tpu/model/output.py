@@ -107,10 +107,12 @@ class OutputManager:
         self._ts_f = File(self.ts_file, "w") if self.ts_file and self._ts else None
         self._ts_records: List[dict] = []
         self._last_backup_wall = _time.time()
-        # previous reporting-window sample per channel, set by start():
-        # (t, total ice volume, StepStats cumulative tuple)
+        # previous reporting-window sample per channel, set by start()
         self._ts_prev = None
         self._extra_prev = None
+        self._ts_rates = [n for n in self.ts_vars if n in diag.RATE]
+        self._extra_rates = [n for n in self.extra_vars
+                             if n in diag.SPATIAL_RATE]
         if self._extra_f is not None:
             ckpt._setup_dims(self._extra_f, self.grid)
             self._setup_bounds(self._extra_f)
@@ -134,36 +136,39 @@ class OutputManager:
                 float(stats.sum_div_flux), float(stats.sum_nonneg),
                 float(stats.sum_discharge))
 
-    @staticmethod
-    def _sample(state, t, model, stats):
-        """Cumulative sample for window bookkeeping (host copies)."""
-        vol = float(diag.SCALAR["ice_volume"].func(state, model, t))
-        cell = None
-        if stats is not None and stats.cell is not None:
-            cell = tuple(np.asarray(x) for x in stats.cell)
-        return {"t": float(t), "vol": vol,
-                "sums": OutputManager._stats_sums(stats),
-                "cell": cell,
-                "H": np.asarray(state.geometry.ice_thickness)}
+    def _sample(self, state, t, model, stats, scalars=False, cells=False):
+        """Cumulative sample for window bookkeeping. Host copies (a device
+        sync) happen ONLY for the pieces a channel's requested rate
+        diagnostics actually need, so runs with no tendency_* vars keep
+        the async-writer design fully non-blocking."""
+        s = {"t": float(t)}
+        if scalars:
+            s["vol"] = float(diag.SCALAR["ice_volume"].func(state, model, t))
+            s["sums"] = self._stats_sums(stats)
+        if cells:
+            cell = None
+            if stats is not None and stats.cell is not None:
+                cell = tuple(np.asarray(x) for x in stats.cell)
+            s["cell"] = cell
+            s["H"] = np.asarray(state.geometry.ice_thickness)
+        return s
 
     def start(self, state, t: float, model) -> None:
         """Record the run-start sample so the first reporting window of the
         rate diagnostics covers [run start, first output time]."""
-        first = self._sample(state, t, model, None)
-        self._ts_prev = first
-        self._extra_prev = dict(first)
+        self._ts_prev = self._sample(state, t, model, None,
+                                     scalars=bool(self._ts_rates))
+        self._extra_prev = self._sample(state, t, model, None,
+                                        cells=bool(self._extra_rates))
 
-    def _window(self, prev, state, t, model, stats):
-        """Build a diag.Window for [prev, now] and the new prev sample."""
-        cur = self._sample(state, t, model, stats)
-        if prev is None:
-            prev = cur
+    @staticmethod
+    def _window(prev, cur, model):
+        """diag.Window (scalar budget) for [prev, cur]."""
         dt = max(cur["t"] - prev["t"], 1e-30)
         d = [a - b for a, b in zip(cur["sums"], prev["sums"])]
-        w = diag.Window(dt=dt, d_volume=cur["vol"] - prev["vol"], d_smb=d[0],
-                        d_bmb=d[1], d_flow=d[2], d_nonneg=d[3],
-                        d_discharge=d[4], rho_i=model.rho_i)
-        return w, cur, prev
+        return diag.Window(dt=dt, d_volume=cur["vol"] - prev["vol"],
+                           d_smb=d[0], d_bmb=d[1], d_flow=d[2], d_nonneg=d[3],
+                           d_discharge=d[4], rho_i=model.rho_i)
 
     @staticmethod
     def _window2d(prev, cur, model):
@@ -201,11 +206,21 @@ class OutputManager:
             path = self.snapshot_file.format(kyr=ts / 3.15569259747e10, t=ts)
             self._submit(lambda path=path, state=state, t=t: ckpt.save_state(
                 path, state, self.grid, t, config=self.config))
+        # coalesce all due times into ONE record (several requested times
+        # can land inside one segment when spaced below the dt floor; a
+        # second write at the same t would produce a degenerate zero-length
+        # reporting window)
+        due = False
         while self._extra and self._extra[0] <= t + eps:
             self._extra.pop(0)
+            due = True
+        if due:
             self._write_extra(state, t, model, stats)
+        due = False
         while self._ts and self._ts[0] <= t + eps:
             self._ts.pop(0)
+            due = True
+        if due:
             self._write_ts(state, t, model, stats)
         if self.backup_interval > 0 and \
                 _time.time() - self._last_backup_wall > self.backup_interval:
@@ -224,9 +239,10 @@ class OutputManager:
         # diagnostics are computed (dispatched) on the main thread; the
         # device->host transfer + h5 write happen on the writer thread
         inst = [n for n in self.extra_vars if n not in diag.SPATIAL_RATE]
-        rates = [n for n in self.extra_vars if n in diag.SPATIAL_RATE]
+        rates = self._extra_rates
         values = diag.compute_spatial(inst, state, model, t)
-        _, cur, prev = self._window(self._extra_prev, state, t, model, stats)
+        cur = self._sample(state, t, model, stats, cells=bool(rates))
+        prev = self._extra_prev if self._extra_prev is not None else cur
         rate_values = {}
         if rates:
             rate_values = diag.compute_spatial_rates(
@@ -264,12 +280,16 @@ class OutputManager:
         if f is None:
             return
         inst = [n for n in self.ts_vars if n not in diag.RATE]
-        rates = [n for n in self.ts_vars if n in diag.RATE]
+        rates = self._ts_rates
         values = diag.compute_scalar(inst, state, model, t)
-        window, cur, prev = self._window(self._ts_prev, state, t, model, stats)
+        cur = self._sample(state, t, model, stats, scalars=bool(rates))
+        prev = self._ts_prev if self._ts_prev is not None else cur
+        rate_values = {}
+        if rates:
+            rate_values = diag.compute_rates(
+                rates, self._window(prev, cur, model))
         self._ts_prev = cur
         t0 = prev["t"]
-        rate_values = diag.compute_rates(rates, window)
 
         def task(values=values, rate_values=rate_values, t=t, t0=t0):
             n = f.append_time(t)

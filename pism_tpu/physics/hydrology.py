@@ -260,6 +260,8 @@ class Steady(NullTransport):
         super().__post_init__()
         self.g = self.config.get_number("constants.standard_gravity")
         self.sh = Shifter(self.grid)
+        self.max_iters = self.config.get_int(
+            "hydrology.steady_max_iterations")
 
     def step(self, state: S.ModelState, dt) -> S.ModelState:
         state = NullTransport.step(self, state, dt)
@@ -328,7 +330,10 @@ class Steady(NullTransport):
             cond, body, (Q0, jnp.full_like(Q0, -1.0),
                          jnp.zeros((), jnp.int32)))
         # per-unit-width discharge [m^2/s] through the cell's outflow face
-        q_sg = Q / self.grid.dx
+        # (east/west faces span dy, north/south faces span dx)
+        face_len = jnp.where((direction == 1) | (direction == 2),
+                             self.grid.dy, self.grid.dx)
+        q_sg = Q / face_len
         return state.replace(hydro_Q=q_sg)
 
 

@@ -28,8 +28,7 @@ class Mismatch:
 
 
 def compare(path_a: str, path_b: str, variables: Optional[Sequence[str]] = None,
-            atol: float = 0.0, rtol: float = 0.0,
-            ignore_attrs: bool = True) -> List[Mismatch]:
+            atol: float = 0.0, rtol: float = 0.0) -> List[Mismatch]:
     """Compare variables of two NetCDF files; return a list of mismatches
     (empty = files agree within tolerance).
 
@@ -70,6 +69,7 @@ def compare(path_a: str, path_b: str, variables: Optional[Sequence[str]] = None,
                                     f"{nan_a.sum()} vs {nan_b.sum()} NaNs"))
                 continue
             d = np.abs(a - b)
+            d = np.where(a == b, 0.0, d)   # equal Infs: |inf-inf| is NaN
             ok = d <= atol + rtol * np.abs(b)
             ok |= nan_a
             if not ok.all():

@@ -105,17 +105,21 @@ def test_steady_hydrology_flow_accumulation():
         hydro_Q=jnp.zeros(grid.shape2))
     hydro = Steady(grid=grid, config=cfg)
     state = jax.jit(lambda s: hydro.step(s, 86400.0))(state)
-    Q = np.asarray(state.hydro_Q) * grid.dx      # back to m^3/s per cell
+    q = np.asarray(state.hydro_Q)
+    # all icy cells drain east, so q_sg = Q / dy (east-face length);
+    # sink cells (incl. the receiving ice-free cell) report Q / dx
+    Q_icy = q[:, :15] * grid.dy
+    Q_out = q[:, 15] * grid.dx
 
     rho_i, rho_w = 910.0, 1000.0
     inp_cell = (rho_i / rho_w) * melt * grid.dx * grid.dy
     # interior row: discharge accumulates linearly downstream (+x)
-    row = Q[2, :15]
-    np.testing.assert_allclose(row, inp_cell * np.arange(1, 16), rtol=1e-6)
+    np.testing.assert_allclose(Q_icy[2], inp_cell * np.arange(1, 16),
+                               rtol=1e-6)
     # mass balance: flux carried by the last icy column = all input upstream
     icy_cells = 15 * grid.My
-    assert np.isclose(Q[:, 14].sum(), inp_cell * icy_cells, rtol=1e-6)
+    assert np.isclose(Q_icy[:, 14].sum(), inp_cell * icy_cells, rtol=1e-6)
     # the exiting flux lands in the first ice-free cell (where the
     # frontal-melt plume reads it) and propagates no further
-    np.testing.assert_allclose(Q[:, 15], inp_cell * 15, rtol=1e-6)
-    assert np.all(Q[:, 16:] == 0.0)
+    np.testing.assert_allclose(Q_out, inp_cell * 15, rtol=1e-6)
+    assert np.all(q[:, 16:] == 0.0)
