@@ -107,6 +107,19 @@ def build_parser():
     p.add_argument("-no_model_strip", type=float, default=None, metavar="KM",
                    help="regional mode: freeze a strip this wide [km] along "
                         "the domain boundary (PISM -regional)")
+    p.add_argument("-o_size", default="small",
+                   choices=("small", "medium", "big"),
+                   help="output-file size: small = model state only (the "
+                        "restartable checkpoint), medium adds common 2D "
+                        "diagnostics, big adds the 3D fields (PISM -o_size)")
+    p.add_argument("-regrid_file", metavar="FILE", default=None,
+                   help="after -i, replace selected 2D fields with regridded "
+                        "values from FILE (PISM -regrid_file)")
+    p.add_argument("-regrid_vars", default="thk",
+                   help="comma list of variables for -regrid_file")
+    p.add_argument("-profile", metavar="LOGDIR", default=None,
+                   help="write a jax profiler trace of the run to LOGDIR "
+                        "(PISM -profile/-log_view role)")
     p.add_argument("-platform", default=None, help="jax platform (cpu/tpu)")
     p.add_argument("-verbose", type=int, default=2)
     p.add_argument("-list_diagnostics", action="store_true",
@@ -350,6 +363,39 @@ def main(argv=None):
         print("error: need one of -i, -eisII, -test", file=sys.stderr)
         return 1
 
+    if args.regrid_file:
+        # PISM -regrid_file/-regrid_vars: overwrite selected 2D fields with
+        # values regridded from another file (only where that file covers
+        # the domain; outside stays as restored)
+        from .io.bootstrap import read_and_regrid
+        names = [s.strip() for s in args.regrid_vars.split(",") if s.strip()]
+        fields = read_and_regrid(args.regrid_file, grid, variables=names)
+        field_map = {"thk": "ice_thickness", "topg": "bed_elevation"}
+        geom = state.geometry
+        for var, arr in fields.items():
+            if var in field_map:
+                old = getattr(geom, field_map[var])
+                new = jnp.where(jnp.isnan(jnp.asarray(arr)), old,
+                                jnp.asarray(arr, old.dtype))
+                geom = geom.replace(**{field_map[var]: new})
+            else:
+                from .io.checkpoint import _STATE_VARS
+                rev = {v[0]: k for k, v in _STATE_VARS.items()}
+                if var not in rev or _STATE_VARS[rev[var]][2] != 2:
+                    print(f"warning: -regrid_vars {var!r} is not a "
+                          "regriddable 2D state variable; skipped",
+                          file=sys.stderr)
+                    continue
+                old = getattr(state, rev[var])
+                a = jnp.asarray(fields[var])
+                if old is None:
+                    old = jnp.zeros(grid.shape2)
+                new = jnp.where(jnp.isnan(a), old, a.astype(old.dtype))
+                state = state.replace(**{rev[var]: new})
+        state = state.replace(geometry=geom)
+        log.message(2, "regridded %s from %s", ",".join(fields),
+                    args.regrid_file)
+
     if args.config_override:
         # PISM ``-config_override``: merge a user parameter file on top of the
         # defaults (reference src/util/ConfigInterface.cc override handling)
@@ -465,11 +511,20 @@ def main(argv=None):
                 _wall.time() - wall0)
 
     from .util.signals import SignalMonitor
-    with SignalMonitor() as sigs:
+    import contextlib
+    prof = contextlib.nullcontext()
+    if args.profile:
+        from .util.profiling import trace
+        prof = trace(args.profile)
+    with SignalMonitor() as sigs, prof:
         state, stats = model.run(state, run_time, output=out,
                                  callback=report, signals=sigs)
     out.close()
     ckpt.save_state(args.o, state, grid, t_reached, config=cfg)
+    if args.o_size != "small":
+        names = ckpt.O_SIZE_MEDIUM if args.o_size == "medium" \
+            else ckpt.O_SIZE_BIG
+        ckpt.append_diagnostics(args.o, names, state, model, t_reached)
     if args.test and args.test.upper() in ("B", "C"):
         # pismv-style error report at the final time (Halfar similarity)
         from .verification import halfar

@@ -152,3 +152,45 @@ def load_state(path: str, config: Optional[Config] = None):
             kw["iso_top"] = jnp.asarray(int(f.get_global_attr("iso_top")),
                                         jnp.int32)
         return S.ModelState(geometry=geom, **kw), t
+
+
+# -- output-size presets (PISM -o_size; reference output.sizes lists) -------
+
+O_SIZE_MEDIUM = (
+    "velsurf_mag", "velbase_mag", "velbar_mag", "taud_mag", "tauc",
+    "bmelt", "tillwat", "temppabase", "diffusivity",
+    "climatic_mass_balance", "ice_surface_temp", "sftgif", "sftgrf",
+    "sftflf", "flux_mag")
+O_SIZE_BIG = O_SIZE_MEDIUM + (
+    "temp", "temppa", "liqfrac", "uvel", "vvel", "wvel_rel",
+    "strainheating")
+
+
+def append_diagnostics(path: str, names, state, model, t: float):
+    """Append spatial diagnostics to an existing state file (the -o_size
+    medium/big variable sets; PISM writes these into the output file on top
+    of the model state). Diagnostics whose inputs are absent from this run
+    (e.g. 3D temperature with energy.model=none) are skipped."""
+    from ..model import diagnostics as dg
+
+    values = {}
+    for name in names:
+        if name not in dg.SPATIAL:
+            continue
+        try:
+            v = np.asarray(dg.SPATIAL[name].func(state, model, t))
+        except (TypeError, AttributeError):
+            continue    # needs a field this configuration doesn't carry
+        if v.size and np.isnan(v).all():
+            continue    # undefined for this configuration
+        values[name] = v
+    with File(path, "a") as f:
+        for name, v in values.items():
+            d = dg.SPATIAL[name]
+            dims = ("time", "y", "x") if v.ndim == 2 else ("time", "y", "x", "z")
+            if v.ndim == 3 and "z" not in f.h5:
+                f.define_dimension("z", model.grid.Mz, model.grid.z, attrs={
+                    "units": "m", "axis": "Z", "positive": "up"})
+            f.write(name, v[None], dims,
+                    {"units": d.units, "long_name": d.long_name},
+                    time_index=0)

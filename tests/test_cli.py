@@ -81,3 +81,40 @@ def test_cli_list_diagnostics(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "velsurf_mag" in out and "ice_volume" in out
+
+
+def test_cli_o_size_and_regrid(tmp_path):
+    """-o_size medium appends diagnostics to the state file; -regrid_file
+    overwrites a selected field from another file on restart (PISM
+    -o_size / -regrid_file / -regrid_vars)."""
+    from pism_tpu.io import checkpoint as ckpt
+    from pism_tpu.io.nc4 import File
+
+    a = tmp_path / "a.nc"
+    rc = main(["-eisII", "A", "-Mx", "31", "-Mz", "11", "-y", "40",
+               "-o", str(a), "-o_size", "medium", "-max_dt", "5",
+               "-verbose", "1"])
+    assert rc == 0
+    with File(str(a)) as f:
+        names = f.variables()
+        assert "velsurf_mag" in names and "sftgif" in names  # medium extras
+        assert "thk" in names                                 # state intact
+
+    # build a "regrid source": same run with a perturbed thickness
+    b = tmp_path / "b.nc"
+    state, t = ckpt.load_state(str(a))
+    import jax.numpy as jnp
+    g2 = state.geometry.replace(
+        ice_thickness=state.geometry.ice_thickness + 100.0)
+    ckpt.save_state(str(b), state.replace(geometry=g2),
+                    ckpt.load_grid(str(a)), t)
+
+    out = tmp_path / "c.nc"
+    rc = main(["-i", str(a), "-y", "0.1", "-o", str(out),
+               "-regrid_file", str(b), "-regrid_vars", "thk",
+               "-verbose", "1"])
+    assert rc == 0
+    s3, _ = ckpt.load_state(str(out))
+    # regridded (perturbed) thickness was used, not the restart's own
+    assert float(np.asarray(s3.geometry.ice_thickness).max()) > \
+        float(np.asarray(state.geometry.ice_thickness).max()) + 50.0
