@@ -920,6 +920,20 @@ def _h_y(state, model, t):
     return (model.sh(s, 1, 0) - model.sh(s, -1, 0)) / (2.0 * model.grid.dy)
 
 
+@spatial("isochrone_depth", "m",
+         "depth below the ice surface of each tracked isochrone "
+         "(last axis = deposition-time layer boundary)")
+def _isochrone_depth(state, model, t):
+    if state.iso_layers is None:
+        return jnp.zeros(state.geometry.ice_thickness.shape + (1,))
+    # layer k spans [sum(layers[k+1:]), sum(layers[k:])] measured from the
+    # base; the isochrone *above* layer k sits at depth = sum of layers
+    # above it (younger ice is higher)
+    layers = state.iso_layers
+    above = jnp.cumsum(layers[..., ::-1], axis=-1)[..., ::-1] - layers
+    return above
+
+
 # -- additional scalars ----------------------------------------------------
 
 @scalar("grounding_line_flux", "kg s-1",

@@ -257,12 +257,20 @@ class OutputManager:
             for name, v in values.items():
                 d = diag.SPATIAL[name]
                 arr = np.asarray(v)
-                dims = ("time", "y", "x") if arr.ndim == 2 \
-                    else ("time", "y", "x", "z")
-                if arr.ndim == 3 and "z" not in f.h5:
-                    # grids with Mz == 1 don't get a z dim from _setup_dims
-                    f.define_dimension("z", self.grid.Mz, self.grid.z, attrs={
-                        "units": "m", "axis": "Z", "positive": "up"})
+                if arr.ndim == 2:
+                    dims = ("time", "y", "x")
+                elif arr.shape[-1] == self.grid.Mz:
+                    dims = ("time", "y", "x", "z")
+                    if "z" not in f.h5:
+                        # grids with Mz == 1 get no z dim from _setup_dims
+                        f.define_dimension("z", self.grid.Mz, self.grid.z,
+                                           attrs={"units": "m", "axis": "Z",
+                                                  "positive": "up"})
+                else:
+                    # layer-indexed field (e.g. isochrone_depth)
+                    dims = ("time", "y", "x", "nl")
+                    if "nl" not in f.h5:
+                        f.define_dimension("nl", arr.shape[-1])
                 f.write(name, arr[None], dims,
                         {"units": d.units, "long_name": d.long_name},
                         time_index=n)

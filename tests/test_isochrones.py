@@ -77,3 +77,24 @@ def test_depths_monotone(setup):
     active = np.asarray(iso.layers[2, 2]) > 0
     d = depths[active]
     assert np.all(np.diff(d) <= 1e-9)  # younger layers shallower
+
+
+def test_isochrone_depth_diagnostic(setup):
+    """isochrone_depth (PISM 2.1 diagnostic): depth below the surface of
+    each layer's upper boundary — zero for the top active layer, total
+    thickness-above for deeper layers, monotone with layer index."""
+    from types import SimpleNamespace
+    from pism_tpu.model import diagnostics as diag
+    from pism_tpu.state import ModelState, new_geometry
+
+    grid, m, H0, iso = setup
+    state = ModelState(geometry=new_geometry(H0, jnp.zeros(grid.shape2)),
+                       iso_layers=iso.layers, iso_top=iso.top)
+    model = SimpleNamespace(grid=grid)
+    d = np.asarray(diag.SPATIAL["isochrone_depth"].func(state, model, 0.0))
+    assert d.shape == grid.shape2 + (6,)
+    layers = np.asarray(iso.layers)
+    # depth of layer k's top boundary = sum of layers above it
+    np.testing.assert_allclose(d[..., 0], layers[..., 1:].sum(-1), atol=1e-9)
+    assert (np.diff(d, axis=-1) <= 1e-9).all()  # deeper layers: larger depth
+    assert np.all(d[..., -1] == 0.0)
