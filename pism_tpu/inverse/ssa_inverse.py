@@ -47,6 +47,22 @@ def make_differentiable_solve(ssa, state: S.ModelState, design="tau_c",
     """
     by_hardness = design == "hardness"
 
+    # The implicit-function-theorem gradient is exact only at F(u*) = 0;
+    # the production solver's velocity-change hard stop (1e-4, matching the
+    # reference's picard_rtol) leaves residuals far too loose for adjoint
+    # consistency. Clone the solver with the stop off and a tight Newton
+    # tolerance for the inverse forward solves.
+    import dataclasses
+
+    from ..config.config import Config
+    _cfg = Config.from_json(ssa.config.to_json())
+    _cfg.update({
+        "stress_balance.ssa.fd.velocity_change_rtol": 0.0,
+        "stress_balance.ssa.fd.newton_rtol": min(
+            _cfg.get_number("stress_balance.ssa.fd.newton_rtol"), 1.0e-8),
+    })
+    ssa = dataclasses.replace(ssa, config=_cfg)
+
     def _solve_raw(dv):
         if by_hardness:
             return ssa.solve(state, tau_c, hardness=dv)
