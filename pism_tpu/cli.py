@@ -28,11 +28,26 @@ from .util.timecal import Time
 from .util.units import SEC_PER_YEAR
 
 
-def parse_times(spec: str, year_length: float):
-    """PISM-style time list: "a:step:b" or comma list, in model years."""
+_TIME_KEYWORDS = {"yearly": 1.0, "monthly": 1.0 / 12.0,
+                  "daily": 1.0 / 365.0, "hourly": 1.0 / 8760.0}
+
+
+def parse_times(spec: str, year_length: float, start=None, end=None):
+    """PISM-style time list: "a:step:b" (step a number of model years or a
+    keyword yearly/monthly/daily/hourly), a bare keyword (covers the whole
+    run [start, end], in model years), or a comma list of model years."""
     if ":" in spec:
-        a, step, b = (float(s) for s in spec.split(":"))
-        return [t * year_length for t in np.arange(a, b + step / 2, step)]
+        a, step, b = spec.split(":")
+        a, b = float(a), float(b)
+        st = _TIME_KEYWORDS.get(step, None)
+        st = float(step) if st is None else st
+        return [t * year_length for t in np.arange(a, b + st / 2, st)]
+    if spec in _TIME_KEYWORDS:
+        if start is None or end is None:
+            raise ValueError(f"bare {spec!r} needs a known run interval")
+        st = _TIME_KEYWORDS[spec]
+        a = np.ceil(start / st) * st     # align to keyword multiples
+        return [t * year_length for t in np.arange(a, end + st / 2, st)]
     return [float(s) * year_length for s in spec.split(",")]
 
 
@@ -458,7 +473,18 @@ def main(argv=None):
             atm_model = _cf.atmosphere_from_config(cfg, grid=grid)
         if surf_sel:
             cfg.update({"surface.models": surf_sel})
-            surface = _cf.surface_from_config(cfg, atmosphere=atm_model)
+            surf_inputs = {}
+            if args.i and any(m in surf_sel for m in ("debm_simple", "pik")):
+                # latitude-dependent surface models read lat from the
+                # input file (PISM: mandatory lat/lon variables)
+                from .io.bootstrap import read_and_regrid
+                flds = read_and_regrid(args.i, grid,
+                                       variables=["lat", "latitude"])
+                lat = flds.get("lat", flds.get("latitude"))
+                if lat is not None:
+                    surf_inputs["latitude"] = jnp.asarray(lat)
+            surface = _cf.surface_from_config(cfg, inputs=surf_inputs,
+                                              atmosphere=atm_model)
         elif atm_model is not None:
             from .coupler.surface import Simple
             surface = Simple(atmosphere=atm_model)
@@ -485,13 +511,16 @@ def main(argv=None):
 
     out = OutputManager(
         grid=grid, config=cfg,
-        extra_times=parse_times(args.extra_times, yl) if args.extra_times else (),
+        extra_times=parse_times(args.extra_times, yl, ys / yl, ye / yl)
+        if args.extra_times else (),
         extra_vars=tuple(args.extra_vars.split(",")),
         extra_file=args.extra_file,
-        ts_times=parse_times(args.ts_times, yl) if args.ts_times else (),
+        ts_times=parse_times(args.ts_times, yl, ys / yl, ye / yl)
+        if args.ts_times else (),
         ts_vars=tuple(args.ts_vars.split(",")),
         ts_file=args.ts_file,
-        snapshot_times=parse_times(args.save_times, yl) if args.save_times else (),
+        snapshot_times=parse_times(args.save_times, yl, ys / yl, ye / yl)
+        if args.save_times else (),
         snapshot_file=args.save_file or "snapshots_{kyr:.3f}.nc",
         backup_interval=args.backup_interval * 3600.0,
     )

@@ -131,7 +131,9 @@ def surface_from_config(config, inputs: Optional[Mapping] = None,
     """Build the surface chain from ``surface.models``.
 
     Bases: ``simple`` | ``uniform`` | ``given`` (climatic_mass_balance,
-    ice_surface_temp) | ``elevation`` | ``pdd`` | ``pik`` (latitude) |
+    ice_surface_temp) | ``elevation`` | ``pdd`` | ``debm_simple``
+    (latitude [, albedo, paleo_times + eccentricity/obliquity/
+    perihelion_longitude series]) | ``pik`` (latitude) |
     ``ismip6`` (passed pre-built via inputs["ismip6_model"]).
     Modifiers: ``anomaly``, ``delta_T``, ``cache``, ``force_to_thickness``
     (target_thickness).
@@ -163,6 +165,22 @@ def surface_from_config(config, inputs: Optional[Mapping] = None,
     elif base == "pdd":
         from .pdd import TemperatureIndex
         model = TemperatureIndex(atmosphere=need_atm(base), config=config)
+    elif base == "debm_simple":
+        import numpy as _np
+
+        from .debm import DEBMSimple
+        paleo = None
+        if "paleo_times" in inputs:
+            deg = _np.pi / 180.0
+            paleo = (inputs["paleo_times"],
+                     inputs.get("eccentricity"),
+                     _np.asarray(inputs.get("obliquity")) * deg,
+                     _np.asarray(inputs.get("perihelion_longitude")) * deg)
+        model = DEBMSimple(atmosphere=need_atm(base),
+                           latitude=_need(inputs, "latitude", base),
+                           config=config,
+                           albedo_field=inputs.get("albedo"),
+                           paleo_series=paleo)
     elif base == "pik":
         model = _srf.PIK(atmosphere=need_atm(base),
                          latitude=_need(inputs, "latitude", base))
@@ -202,7 +220,8 @@ def ocean_from_config(config, inputs: Optional[Mapping] = None, grid=None):
     ``given`` (shelf_base_mass_flux [, shelf_base_temperature, times]) |
     ``pico`` (theta_ocean, salinity_ocean [, basins]; needs grid).
     Modifiers: ``anomaly``, ``delta_T``, ``delta_SMB``, ``frac_SMB``,
-    ``runoff_SMB``, ``cache``.
+    ``runoff_SMB``, ``frac_MBP``/``delta_MBP`` (melange back pressure,
+    callables t -> fraction / Pa), ``cache``.
     """
     inputs = inputs or {}
     chain = config.get_string("ocean.models")
@@ -249,6 +268,12 @@ def ocean_from_config(config, inputs: Optional[Mapping] = None, grid=None):
         elif mod == "runoff_SMB":
             model = _ocn.RunoffSMB(inner=model,
                                    delta_T=_need(inputs, "delta_T", mod))
+        elif mod == "frac_MBP":
+            model = _ocn.FracMBP(inner=model,
+                                 fraction=_need(inputs, "frac_MBP", mod))
+        elif mod == "delta_MBP":
+            model = _ocn.DeltaMBP(inner=model,
+                                  offset=_need(inputs, "delta_MBP", mod))
         elif mod == "cache":
             model = _ocn.Cache(inner=model, update_interval=config.get_number(
                 "ocean.cache.update_interval", "seconds"))

@@ -32,6 +32,16 @@ class OceanModel:
     def inputs(self, geometry, t) -> OceanInputs:
         raise NotImplementedError
 
+    def water_column_pressure(self, geometry, t):
+        """Average water-column pressure over the submerged front face
+        [Pa], or ``None`` for the hydrostatic default (reference
+        ``ocean::Ocean::average_water_column_pressure``; the melange
+        back-pressure modifiers raise it)."""
+        inner = getattr(self, "inner", None)
+        if inner is not None:
+            return inner.water_column_pressure(geometry, t)
+        return None
+
     @staticmethod
     def _draft(geometry, rho_i=910.0, rho_w=1028.0):
         """Ice draft (depth of shelf base below sea level), >= 0."""
@@ -276,6 +286,68 @@ class RunoffSMB(OceanModel):
         factor = 1.0 + self.melt_factor_B * Q ** self.alpha * dT ** self.beta
         return OceanInputs(o.shelf_base_melt * factor,
                            o.shelf_base_temperature)
+
+
+def hydrostatic_water_column_pressure(geometry, g=9.81, rho_i=910.0,
+                                      rho_w=1028.0):
+    """Default average water-column pressure over the submerged part of a
+    calving front [Pa]: (1/2) rho_w g d^2 / H (so H * (P_ice_avg - P_water)
+    is the Winkelmann et al. 2011 CFBC pressure imbalance)."""
+    H = geometry.ice_thickness
+    d = jnp.minimum(jnp.maximum(geometry.sea_level
+                                - geometry.bed_elevation, 0.0),
+                    (rho_i / rho_w) * H)
+    return 0.5 * g * rho_w * d ** 2 / jnp.maximum(H, 1.0)
+
+
+@dataclass
+class FracMBP(OceanModel):
+    """PISM ``-ocean ...,frac_MBP`` (``ocean::Frac_MBP``): melange back
+    pressure as a fraction lambda of the maximum possible support — the
+    average water-column pressure at the front is raised to
+    (1 - lambda) P_water + lambda P_ice_avg, so lambda = 1 removes the
+    spreading stress at the calving front entirely."""
+
+    inner: OceanModel
+    fraction: Callable                # t -> lambda in [0, 1]
+    g: float = 9.81
+    rho_i: float = 910.0
+    rho_w: float = 1028.0
+
+    def inputs(self, geometry, t) -> OceanInputs:
+        return self.inner.inputs(geometry, t)
+
+    def water_column_pressure(self, geometry, t):
+        Pw = self.inner.water_column_pressure(geometry, t)
+        if Pw is None:
+            Pw = hydrostatic_water_column_pressure(geometry, self.g,
+                                                   self.rho_i, self.rho_w)
+        lam = jnp.clip(self.fraction(t), 0.0, 1.0)
+        P_ice = 0.5 * self.g * self.rho_i * geometry.ice_thickness
+        return (1.0 - lam) * Pw + lam * P_ice
+
+
+@dataclass
+class DeltaMBP(OceanModel):
+    """PISM ``-ocean ...,delta_MBP`` (``ocean::Delta_MBP``): scalar melange
+    back pressure offset [Pa] added to the average water-column pressure
+    at the front."""
+
+    inner: OceanModel
+    offset: Callable                  # t -> Pa
+    g: float = 9.81
+    rho_i: float = 910.0
+    rho_w: float = 1028.0
+
+    def inputs(self, geometry, t) -> OceanInputs:
+        return self.inner.inputs(geometry, t)
+
+    def water_column_pressure(self, geometry, t):
+        Pw = self.inner.water_column_pressure(geometry, t)
+        if Pw is None:
+            Pw = hydrostatic_water_column_pressure(geometry, self.g,
+                                                   self.rho_i, self.rho_w)
+        return Pw + self.offset(t)
 
 
 @dataclass

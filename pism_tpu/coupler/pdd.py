@@ -16,7 +16,7 @@ surviving snow is promoted to firn. The depths are melt-factor bookkeeping
 only — reported SMB = accumulation - runoff, so mass conservation does not
 depend on them (same convention as the reference).
 
-``update(geometry, t, dt, snow, firn)`` integrates the budget over
+``update(geometry, t, dt, carry)`` integrates the budget over
 ``[t, t+dt]`` with a fixed number of sub-intervals (a ``lax.fori_loop``;
 one vectorized pass over the grid per interval), calling the atmosphere
 model at each sub-interval midpoint so time-dependent forcing (delta_T,
@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..util.units import SEC_PER_YEAR
 from .atmosphere import AtmosphereModel
-from .surface import SurfaceInputs, SurfaceModel
+from .surface import SurfaceCarry, SurfaceInputs, SurfaceModel
 
 
 def expected_pdd_rate(T, T_threshold, sigma):
@@ -78,13 +78,11 @@ class TemperatureIndex(SurfaceModel):
         return SEC_PER_YEAR
 
     # -- stateful protocol -----------------------------------------------------
-    def update(self, geometry, t, dt, snow, firn):
+    def update(self, geometry, t, dt, carry):
         shp = geometry.ice_thickness.shape
         dtype = geometry.ice_thickness.dtype
-        if snow is None:
-            snow = jnp.zeros(shp, dtype)
-        if firn is None:
-            firn = jnp.zeros(shp, dtype)
+        snow = carry.snow if carry.snow is not None else jnp.zeros(shp, dtype)
+        firn = carry.firn if carry.firn is not None else jnp.zeros(shp, dtype)
         N = self.n_intervals
         dt_i = dt / N
 
@@ -142,11 +140,13 @@ class TemperatureIndex(SurfaceModel):
         Ta = self.atmosphere(geometry, t).temperature.astype(dtype)
         T_surf = jnp.minimum(Ta, 273.15)
         return (SurfaceInputs(smb=smb_rate.astype(dtype), temperature=T_surf),
-                snow.astype(dtype), firn.astype(dtype))
+                SurfaceCarry(snow=snow.astype(dtype), firn=firn.astype(dtype),
+                             albedo=carry.albedo))
 
     # -- stateless climatology (bootstrapping, diagnostics) ---------------------
     def __call__(self, geometry, t) -> SurfaceInputs:
         t0 = (jnp.floor(t / SEC_PER_YEAR) + self.balance_year_start) \
             * SEC_PER_YEAR
-        out, _, _ = self.update(geometry, t0, SEC_PER_YEAR, None, None)
+        out, _ = self.update(geometry, t0, SEC_PER_YEAR,
+                             SurfaceCarry(None, None, None))
         return out

@@ -20,6 +20,17 @@ class SurfaceInputs(NamedTuple):
     temperature: jnp.ndarray  # ice surface temperature [K]
 
 
+class SurfaceCarry(NamedTuple):
+    """Model-state fields threaded through stateful surface models
+    (checkpointed; reference ``define_model_state``): PDD snow/firn
+    bookkeeping depths and the dEBM-simple albedo.  Slots a model does
+    not use pass through as ``None``."""
+
+    snow: Optional[jnp.ndarray] = None    # m ice equivalent
+    firn: Optional[jnp.ndarray] = None    # m ice equivalent
+    albedo: Optional[jnp.ndarray] = None  # 1
+
+
 class SurfaceModel:
     """Base interface (PISM ``surface::SurfaceModel``).
 
@@ -27,12 +38,13 @@ class SurfaceModel:
 
     - stateless: ``model(geometry, t)`` returns the instantaneous /
       climatological :class:`SurfaceInputs` (every model supports this);
-    - stateful: ``model.update(geometry, t, dt, snow, firn)`` integrates
-      the surface budget over ``[t, t+dt]`` carrying the PDD snow/firn
-      bookkeeping depths (reference ``surface::TemperatureIndex`` model
-      state). Stateless models ignore and pass the carry through; modifier
-      chains forward the carry to their inner model and transform the
-      result via ``_transform``.
+    - stateful: ``model.update(geometry, t, dt, carry)`` integrates
+      the surface budget over ``[t, t+dt]`` threading a
+      :class:`SurfaceCarry` of model-state fields (reference
+      ``surface::TemperatureIndex`` snow/firn depths,
+      ``surface::DEBMSimple`` albedo). Stateless models ignore and pass
+      the carry through; modifier chains forward the carry to their inner
+      model and transform the result via ``_transform``.
     """
 
     def __call__(self, geometry, t) -> SurfaceInputs:
@@ -50,12 +62,17 @@ class SurfaceModel:
         inner = getattr(self, "inner", None)
         return bool(inner is not None and inner.stateful)
 
-    def update(self, geometry, t, dt, snow, firn):
+    def update(self, geometry, t, dt, carry: "SurfaceCarry"):
         inner = getattr(self, "inner", None)
         if inner is not None:
-            s, snow, firn = inner.update(geometry, t, dt, snow, firn)
-            return self._transform(s, geometry, t), snow, firn
-        return self(geometry, t), snow, firn
+            s, carry = inner.update(geometry, t, dt, carry)
+            return self._transform(s, geometry, t), carry
+        return self(geometry, t), carry
+
+    @property
+    def uses_albedo(self) -> bool:
+        inner = getattr(self, "inner", None)
+        return bool(inner is not None and inner.uses_albedo)
 
     def max_timestep(self, t) -> float:
         inner = getattr(self, "inner", None)
@@ -277,12 +294,12 @@ class Cache(SurfaceModel):
         tq = jnp.floor(t / self.update_interval) * self.update_interval
         return self.inner(geometry, tq)
 
-    def update(self, geometry, t, dt, snow, firn):
+    def update(self, geometry, t, dt, carry):
         # a stateful inner model must see every (t, dt) interval exactly
         # once — caching would drop state updates — so forward unquantized
         if self.stateful:
-            return self.inner.update(geometry, t, dt, snow, firn)
-        return self(geometry, t), snow, firn
+            return self.inner.update(geometry, t, dt, carry)
+        return self(geometry, t), carry
 
 
 @dataclass

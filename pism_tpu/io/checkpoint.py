@@ -46,6 +46,8 @@ _STATE_VARS = {
                                   "PDD snow depth (melt bookkeeping)"}, 2),
     "firn_depth": ("firn_depth", {"units": "m", "long_name":
                                   "PDD firn depth (melt bookkeeping)"}, 2),
+    "surface_albedo": ("albedo", {"units": "1", "long_name":
+                                  "dEBM-simple surface albedo"}, 2),
 }
 
 

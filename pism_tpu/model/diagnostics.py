@@ -568,6 +568,77 @@ def _firndepth(state, model, t):
         else _zeros2(state)
 
 
+@spatial("surface_albedo", "1", "dEBM-simple surface albedo")
+def _surfalbedo(state, model, t):
+    return state.surface_albedo if state.surface_albedo is not None \
+        else _zeros2(state)
+
+
+def _debm_model(model):
+    from ..coupler import debm as _debm
+    surf = getattr(model, "surface", None)
+    while surf is not None and not isinstance(surf, _debm.DEBMSimple):
+        surf = getattr(surf, "inner", None)
+    return surf
+
+
+@spatial("insolation", "W m-2",
+         "mean top-of-atmosphere insolation during the dEBM melt period")
+def _insolation(state, model, t):
+    from ..coupler import debm as _debm
+    surf = _debm_model(model)
+    if surf is None:
+        return _zeros2(state)
+    dtype = state.geometry.ice_thickness.dtype
+    decl, dist = surf._orbit(t)
+    lat = jnp.asarray(surf.latitude, dtype) * (jnp.pi / 180.0)
+    h = _debm.hour_angle(surf.phi, lat, jnp.asarray(decl, dtype))
+    return _debm.insolation(surf.S0, jnp.asarray(dist, dtype), h, lat,
+                            jnp.asarray(decl, dtype))
+
+
+def _debm_melt_parts(state, model, t):
+    """Instantaneous dEBM melt components at model time t [m i.e. s-1]."""
+    surf = _debm_model(model)
+    if surf is None:
+        z = _zeros2(state)
+        return z, z, z
+    geom = state.geometry
+    dtype = geom.ice_thickness.dtype
+    atm = surf.atmosphere(geom, t)
+    Ta = atm.temperature.astype(dtype)
+    Tj = atm.temperature_july.astype(dtype)
+    frac = t / SEC_PER_YEAR - jnp.floor(t / SEC_PER_YEAR)
+    T = Ta + (Tj - Ta) * jnp.asarray(jnp.cos(2.0 * jnp.pi * (frac - 0.5)),
+                                     dtype)
+    alb = (state.surface_albedo if state.surface_albedo is not None
+           else jnp.full(geom.ice_thickness.shape, surf.albedo_max, dtype))
+    insol, temp, offset, _ = surf.melt_components(
+        t, T, geom.ice_surface_elevation.astype(dtype), alb)
+    return insol, temp, offset
+
+
+@spatial("debm_insolation_driven_melt_flux", "kg m-2 s-1",
+         "dEBM-simple insolation-driven melt flux")
+def _debm_insol_melt(state, model, t):
+    rho_i = 910.0
+    return _debm_melt_parts(state, model, t)[0] * rho_i
+
+
+@spatial("debm_temperature_driven_melt_flux", "kg m-2 s-1",
+         "dEBM-simple temperature-driven melt flux")
+def _debm_temp_melt(state, model, t):
+    rho_i = 910.0
+    return _debm_melt_parts(state, model, t)[1] * rho_i
+
+
+@spatial("debm_offset_melt_flux", "kg m-2 s-1",
+         "dEBM-simple background (offset) melt flux")
+def _debm_offset_melt(state, model, t):
+    rho_i = 910.0
+    return _debm_melt_parts(state, model, t)[2] * rho_i
+
+
 @spatial("fracture_density", "1", "fracture density phase field")
 def _fracdens(state, model, t):
     return state.fracture_density if state.fracture_density is not None \

@@ -291,15 +291,26 @@ class IceModel:
                 tau_c = jnp.where(jnp.asarray(self.no_model_mask, bool),
                                   jnp.asarray(self.nmm_tauc, tau_c.dtype),
                                   tau_c)
-        sb = self.stress_balance.update(state, tau_c)
+        wcp = None
+        if self.ocean is not None:
+            # melange back-pressure modifiers raise the front water-column
+            # pressure; None = hydrostatic default inside the SSA
+            wcp = self.ocean.water_column_pressure(state.geometry, t)
+        sb = self.stress_balance.update(state, tau_c,
+                                        water_column_pressure=wcp)
         dt = self._compute_dt(sb, t, t_end)
         dt_f = dt.astype(state.geometry.ice_thickness.dtype)
 
         if getattr(self.surface, "stateful", False) \
                 and state.snow_depth is not None:
-            smb_in, snow, firn = self.surface.update(
-                state.geometry, t, dt_f, state.snow_depth, state.firn_depth)
-            state = state.replace(snow_depth=snow, firn_depth=firn)
+            from ..coupler.surface import SurfaceCarry
+            smb_in, carry = self.surface.update(
+                state.geometry, t, dt_f,
+                SurfaceCarry(snow=state.snow_depth, firn=state.firn_depth,
+                             albedo=state.surface_albedo))
+            state = state.replace(snow_depth=carry.snow,
+                                  firn_depth=carry.firn,
+                                  surface_albedo=carry.albedo)
         else:
             smb_in = self.surface(state.geometry, t)
 
@@ -548,6 +559,14 @@ class IceModel:
                 kw["snow_depth"] = z2
             if state.firn_depth is None:
                 kw["firn_depth"] = z2
+            if getattr(self.surface, "uses_albedo", False) \
+                    and state.surface_albedo is None:
+                base = self.surface
+                while not hasattr(base, "initial_albedo") \
+                        and getattr(base, "inner", None) is not None:
+                    base = base.inner
+                kw["surface_albedo"] = jnp.full(
+                    H.shape, getattr(base, "initial_albedo", 0.8), H.dtype)
         if self.isochrones is not None and state.iso_layers is None:
             iso0 = self.isochrones.initialize(H, self._iso_dep_times)
             kw["iso_layers"] = iso0.layers

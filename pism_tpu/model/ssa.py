@@ -142,9 +142,16 @@ class SSAFD:
                 1.0 - (1.0 - eps) * jnp.asarray(phi, B.dtype), eps)
         return B
 
-    def _front_stress(self, geometry):
-        """T_front = 1/2 g (rho_i H^2 - rho_w d^2) per cell [Pa m]."""
+    def _front_stress(self, geometry, water_column_pressure=None):
+        """T_front = H (P_ice_avg - P_water_avg) per cell [Pa m]; with the
+        hydrostatic default this is 1/2 g (rho_i H^2 - rho_w d^2). An
+        ocean-model ``water_column_pressure`` (melange back-pressure
+        modifiers, reference ``ocean::Frac_MBP``/``Delta_MBP``) raises the
+        water-side average and weakens the calving-front spreading."""
         H = geometry.ice_thickness
+        if water_column_pressure is not None:
+            Pw = jnp.asarray(water_column_pressure, H.dtype)
+            return H * (0.5 * self.g * self.rho * H - Pw)
         b = geometry.bed_elevation
         sl = geometry.sea_level
         mu = self.rho / self.rho_w
@@ -154,7 +161,8 @@ class SSAFD:
     # ------------------------------------------------------------------
     def build_problem(self, state: S.ModelState, tau_c=None,
                       differentiable_beta: bool = False,
-                      hardness=None, use_fused: bool = False) -> dict:
+                      hardness=None, use_fused: bool = False,
+                      water_column_pressure=None) -> dict:
         """Assemble the discrete SSA problem: masks, RHS (driving stress +
         calving-front terms), and the nonlinear residual closure. Used by
         :meth:`solve` and by the inverse toolkit (which differentiates the
@@ -197,7 +205,7 @@ class SSAFD:
             bx, by = self.driving_stress(geom, icy)
 
         # calving-front pressure-imbalance terms on front faces
-        Tf = self._front_stress(geom)
+        Tf = self._front_stress(geom, water_column_pressure)
         icy_e = sh(icy, 0, 1)
         icy_w = sh(icy, 0, -1)
         icy_n = sh(icy, 1, 0)
@@ -285,7 +293,8 @@ class SSAFD:
                     icy=icy, tau_c=tau_c)
 
     def solve(self, state: S.ModelState, tau_c=None, u0=None, v0=None,
-              diagnostics: bool = False, hardness=None):
+              diagnostics: bool = False, hardness=None,
+              water_column_pressure=None):
         """Solve for (u, v); fully traced (usable inside jitted step).
 
         With diagnostics=True also returns a dict with the Newton iteration
@@ -339,7 +348,8 @@ class SSAFD:
             and not (grid.periodic_x or grid.periodic_y) \
             and (H.shape[0] + 2) * (H.shape[1] + 2) * 4 * 16 < 96 * 2 ** 20
         P = self.build_problem(state, tau_c, hardness=hardness,
-                               use_fused=fused)
+                               use_fused=fused,
+                               water_column_pressure=water_column_pressure)
         apply_op = P["apply"]
         free, full = P["free"], P["full"]
         residual = P["residual"]
@@ -368,8 +378,10 @@ class SSAFD:
             state64 = state.replace(
                 geometry=geom64, enthalpy=f64c(state.enthalpy),
                 u_ssa=f64c(state.u_ssa), v_ssa=f64c(state.v_ssa))
-            P_hi = self.build_problem(state64, f64c(P["tau_c"]),
-                                      hardness=f64c(hardness))
+            P_hi = self.build_problem(
+                state64, f64c(P["tau_c"]), hardness=f64c(hardness),
+                water_column_pressure=f64c(water_column_pressure)
+                if water_column_pressure is not None else None)
             residual_hi, free_hi = P_hi["residual"], P_hi["free"]
             bx_hi, by_hi = P_hi["bx"], P_hi["by"]
             cdt = jnp.float64

@@ -187,7 +187,8 @@ class StressBalance:
             u_ssa=ubar, v_ssa=vbar, sia3=sia3,
             basal_frictional_heating=friction)
 
-    def update(self, state: S.ModelState, yield_stress=None) -> StressBalanceResult:
+    def update(self, state: S.ModelState, yield_stress=None,
+               water_column_pressure=None) -> StressBalanceResult:
         grid, sh = self.grid, self.sh
         zeros = jnp.zeros(grid.shape2, state.geometry.ice_thickness.dtype)
 
@@ -196,7 +197,9 @@ class StressBalance:
 
         u_ssa, v_ssa = state.u_ssa, state.v_ssa
         if self.model in ("ssa", "ssa+sia") and self.ssa is not None:
-            u_ssa, v_ssa = self.ssa.solve(state, yield_stress)
+            u_ssa, v_ssa = self.ssa.solve(
+                state, yield_stress,
+                water_column_pressure=water_column_pressure)
         elif self.model.startswith("weertman_sliding"):
             u_ssa, v_ssa = self._weertman(state)
         elif self.model.startswith("prescribed_sliding"):

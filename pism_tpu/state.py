@@ -191,6 +191,7 @@ class ModelState:
     iso_top: Optional[jnp.ndarray] = None            # int32 active top layer
     snow_depth: Optional[jnp.ndarray] = None         # PDD snow bookkeeping m i.e.
     firn_depth: Optional[jnp.ndarray] = None         # PDD firn bookkeeping m i.e.
+    surface_albedo: Optional[jnp.ndarray] = None     # dEBM-simple albedo [1]
 
     def replace(self, **kw) -> "ModelState":
         return dataclasses.replace(self, **kw)

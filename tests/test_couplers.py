@@ -223,24 +223,24 @@ def test_pdd_stateful_snow_firn_cycle(flat_geometry):
     assert pdd.stateful
 
     # start at a balance-year boundary with zero depths
+    from pism_tpu.coupler.surface import SurfaceCarry
     t0 = pdd.balance_year_start * SPY
-    snow = firn = jnp.zeros(grid.shape2)
+    carry = SurfaceCarry(jnp.zeros(grid.shape2), jnp.zeros(grid.shape2), None)
     smb_sum = 0.0
     n = 8
     for k in range(n):
-        out, snow, firn = pdd.update(geom, t0 + k * SPY / n, SPY / n,
-                                     snow, firn)
+        out, carry = pdd.update(geom, t0 + k * SPY / n, SPY / n, carry)
         smb_sum += float(out.smb[2, 2]) * SPY / n
         if k == n // 2:
             # mid-winter (balance year starts in fall): snow has accumulated
-            assert float(snow[2, 2]) > 0.05
+            assert float(carry.snow[2, 2]) > 0.05
     # this climate has net accumulation; crossing into the next balance
     # year promotes the surviving snow to firn
-    assert float(firn[2, 2]) == 0.0
-    survived = float(snow[2, 2])
+    assert float(carry.firn[2, 2]) == 0.0
+    survived = float(carry.snow[2, 2])
     assert survived > 0.0
-    out, snow, firn = pdd.update(geom, t0 + SPY, SPY / n, snow, firn)
-    assert float(firn[2, 2]) == pytest.approx(survived, rel=1e-12)
+    out, carry = pdd.update(geom, t0 + SPY, SPY / n, carry)
+    assert float(carry.firn[2, 2]) == pytest.approx(survived, rel=1e-12)
 
     annual = float(pdd(geom, t0).smb[2, 2]) * SPY
     assert smb_sum == pytest.approx(annual, rel=0.05)
@@ -250,7 +250,7 @@ def test_pdd_stateful_snow_firn_cycle(flat_geometry):
 def test_pdd_stateful_through_modifier_chain(flat_geometry):
     """Modifier wrappers forward the snow/firn carry to a stateful inner
     model (surface.update protocol)."""
-    from pism_tpu.coupler.surface import Anomaly
+    from pism_tpu.coupler.surface import Anomaly, SurfaceCarry
 
     grid, geom = flat_geometry
     cfg = Config()
@@ -258,12 +258,11 @@ def test_pdd_stateful_through_modifier_chain(flat_geometry):
     chain = Anomaly(inner=TemperatureIndex(atmosphere=a, config=cfg),
                     temp_anomaly=jnp.full(grid.shape2, 5.0))
     assert chain.stateful
-    out, snow, firn = chain.update(geom, 0.0, SPY, jnp.zeros(grid.shape2),
-                                   jnp.zeros(grid.shape2))
-    assert float(snow[2, 2]) >= 0.0
+    carry0 = SurfaceCarry(jnp.zeros(grid.shape2), jnp.zeros(grid.shape2),
+                          None)
+    out, carry = chain.update(geom, 0.0, SPY, carry0)
+    assert float(carry.snow[2, 2]) >= 0.0
     # anomaly applied on top of the inner result
-    inner_out, _, _ = chain.inner.update(geom, 0.0, SPY,
-                                         jnp.zeros(grid.shape2),
-                                         jnp.zeros(grid.shape2))
+    inner_out, _ = chain.inner.update(geom, 0.0, SPY, carry0)
     np.testing.assert_allclose(np.asarray(out.temperature),
                                np.asarray(inner_out.temperature) + 5.0)

@@ -334,3 +334,56 @@ def test_M_convergence():
         u_ex = tm.velocity(x[sel])
         errs.append(float(np.abs(u[c, sel] / u_ex - 1.0).max()))
     assert errs[1] < 0.7 * errs[0]
+
+
+def test_melange_back_pressure_slows_front():
+    """Melange back pressure (reference ocean::Frac_MBP / Delta_MBP):
+    raising the water-column pressure at the calving front weakens the
+    CFBC spreading stress; with fraction 1 the pressure imbalance vanishes
+    and the unconfined shelf barely spreads beyond its inflow speed."""
+    from pism_tpu.coupler.ocean import (Constant, DeltaMBP, FracMBP,
+                                        hydrostatic_water_column_pressure)
+
+    Mx, My = 31, 11
+    grid = Grid(Mx=Mx, My=My, Lx=75e3, Ly=25e3, periodicity="y")
+    cfg = Config()
+    law = IsothermalGlen(A=1e-25)
+    H = np.full(grid.shape2, 400.0)
+    H[:, -6:] = 0.0                       # open ocean beyond the front
+    geom = new_geometry(jnp.asarray(H), jnp.full(grid.shape2, -2000.0))
+    state = ModelState(geometry=geom)
+    bc = np.zeros(grid.shape2, bool)
+    bc[:, 0] = True
+    u_in = np.zeros(grid.shape2)
+    u_in[:, 0] = 100.0 / SPY
+    ssa = SSAFD(grid=grid, config=cfg, flow_law=law,
+                bc_mask=jnp.asarray(bc), bc_u=jnp.asarray(u_in),
+                bc_v=jnp.zeros(grid.shape2))
+    ocean = Constant(config=cfg)
+
+    def front_speed(wcp):
+        u, v = jax.jit(lambda s: ssa.solve(s, None,
+                                           water_column_pressure=wcp))(state)
+        return float(np.asarray(u)[My // 2, Mx - 7] * SPY)
+
+    base = front_speed(None)
+    # fraction 0 reproduces the hydrostatic default
+    lam0 = FracMBP(inner=ocean, fraction=lambda t: 0.0)
+    same = front_speed(lam0.water_column_pressure(geom, 0.0))
+    assert same == pytest.approx(base, rel=1e-6)
+    # explicit hydrostatic pressure also reproduces the default
+    same2 = front_speed(hydrostatic_water_column_pressure(geom))
+    assert same2 == pytest.approx(base, rel=1e-6)
+    # full melange support kills the spreading
+    lam1 = FracMBP(inner=ocean, fraction=lambda t: 1.0)
+    held = front_speed(lam1.water_column_pressure(geom, 0.0))
+    assert base > 150.0                      # spreads freely by default
+    assert held < 0.25 * base                # nearly no spreading
+    # intermediate support in between, monotone
+    lam05 = FracMBP(inner=ocean, fraction=lambda t: 0.5)
+    mid = front_speed(lam05.water_column_pressure(geom, 0.0))
+    assert held < mid < base
+    # a positive scalar offset also slows the front
+    dmbp = DeltaMBP(inner=ocean, offset=lambda t: 2.0e5)
+    slowed = front_speed(dmbp.water_column_pressure(geom, 0.0))
+    assert held < slowed < base
