@@ -56,19 +56,58 @@ class Uniform(AtmosphereModel):
 
 @dataclass
 class Given(AtmosphereModel):
-    """Prescribed fields (PISM ``-atmosphere given`` with one time slice)."""
+    """Prescribed fields (PISM ``-atmosphere given``): either single time
+    slices or ``(Nt, My, Mx)`` stacks with a ``times`` axis [s].  Following
+    the reference's I/O semantics, air temperature is interpolated
+    piecewise-linearly in time while precipitation (a mass flux with
+    ``cell_methods = "time: mean"``) is piecewise-constant over its
+    intervals.  ``period`` > 0 periodizes the forcing (PISM
+    ``atmosphere.given.periodic``), e.g. a 1-year monthly climatology
+    cycled forever.  With a time axis the model reports the instantaneous
+    temperature (``temperature_july`` left equal to it), so the PDD/dEBM
+    cosine cycle reconstruction drops out and sub-year forcing is seen
+    directly."""
 
     temperature: jnp.ndarray
     precipitation: jnp.ndarray
     temperature_july: Optional[jnp.ndarray] = None
+    times: Optional[jnp.ndarray] = None    # (Nt,) [s], sorted
+    period: float = 0.0                    # [s]; > 0 cycles the series
+
+    def _t(self, t):
+        times = jnp.asarray(self.times)
+        if self.period > 0.0:
+            t0 = times[0]
+            t = t0 + jnp.mod(t - t0, self.period)
+        return t, times
+
+    def _linear(self, field, t, dtype):
+        f = jnp.asarray(field, dtype)
+        if self.times is None or f.ndim == 2:
+            return f
+        tt, times = self._t(t)
+        k = jnp.clip(jnp.searchsorted(times, tt, side="right") - 1,
+                     0, times.shape[0] - 2)
+        w = jnp.clip((tt - times[k]) / jnp.maximum(times[k + 1] - times[k],
+                                                   1e-30), 0.0, 1.0)
+        return (1.0 - w.astype(dtype)) * f[k] + w.astype(dtype) * f[k + 1]
+
+    def _constant(self, field, t, dtype):
+        f = jnp.asarray(field, dtype)
+        if self.times is None or f.ndim == 2:
+            return f
+        tt, times = self._t(t)
+        k = jnp.clip(jnp.searchsorted(times, tt, side="right") - 1,
+                     0, times.shape[0] - 1)
+        return f[k]
 
     def __call__(self, geometry, t) -> AtmosphereInputs:
         dt_ = geometry.ice_thickness.dtype
-        Tj = self.temperature_july if self.temperature_july is not None \
-            else self.temperature
-        return AtmosphereInputs(jnp.asarray(self.temperature, dt_),
-                                jnp.asarray(Tj, dt_),
-                                jnp.asarray(self.precipitation, dt_))
+        Ta = self._linear(self.temperature, t, dt_)
+        Tj = Ta if self.temperature_july is None \
+            else jnp.asarray(self.temperature_july, dt_)
+        return AtmosphereInputs(Ta, Tj,
+                                self._constant(self.precipitation, t, dt_))
 
 
 @dataclass

@@ -69,7 +69,9 @@ def atmosphere_from_config(config, inputs: Optional[Mapping] = None,
         model = _atm.Given(
             temperature=_need(inputs, "air_temp", base),
             precipitation=_need(inputs, "precipitation", base),
-            temperature_july=inputs.get("air_temp_summer"))
+            temperature_july=inputs.get("air_temp_summer"),
+            times=inputs.get("times"),
+            period=config.get_number("atmosphere.given.period", "seconds"))
     elif base == "searise_greenland":
         model = _atm.SeariseGreenland(
             latitude=_need(inputs, "latitude", base),

@@ -65,6 +65,9 @@ class TemperatureIndex(SurfaceModel):
         self.refreeze = cfg.get_number("surface.pdd.refreeze")
         self.refreeze_ice = cfg.get_flag("surface.pdd.refreeze_ice_melt")
         self.sigma = cfg.get_number("surface.pdd.std_dev.value")
+        self.sigma_a = cfg.get_number("surface.pdd.std_dev.param_a")
+        self.sigma_b = cfg.get_number("surface.pdd.std_dev.param_b")
+        self.sigma_param = cfg.get_flag("surface.pdd.std_dev.param_enabled")
         self.T_melt = cfg.get_number("surface.pdd.positive_threshold_temp")
         self.T_all_snow = cfg.get_number("surface.pdd.air_temp_all_precip_as_snow")
         self.T_all_rain = cfg.get_number("surface.pdd.air_temp_all_precip_as_rain")
@@ -111,7 +114,13 @@ class TemperatureIndex(SurfaceModel):
             snowfall = precip * sf * dt_if           # m ice equivalent
             snow = snow + snowfall
             # degree-day supply this interval [K s] -> [K day]
-            pdd = expected_pdd_rate(T, self.T_melt, self.sigma) * dt_if / 86400.0
+            sigma = jnp.asarray(self.sigma, dtype)
+            if self.sigma_param:
+                # Seguinot (2013) linear sigma(T) (reference
+                # surface.pdd.std_dev.param_*)
+                sigma = jnp.maximum(
+                    self.sigma_a * (T - 273.15) + self.sigma_b, 1e-3)
+            pdd = expected_pdd_rate(T, self.T_melt, sigma) * dt_if / 86400.0
             # melt snow, then firn (snow factor), then ice
             snowfirn_cap = self.factor_snow * 86400.0 * pdd
             snow_melt = jnp.minimum(snow, snowfirn_cap)

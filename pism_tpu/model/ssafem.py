@@ -226,9 +226,14 @@ class SSAFEM:
 
     # -- nonlinear solve ------------------------------------------------------
     def solve(self, state: S.ModelState, tau_c=None, u0=None, v0=None,
-              diagnostics: bool = False):
+              diagnostics: bool = False, water_column_pressure=None):
         """Picard continuation warmup + safeguarded Newton on the FEM
-        residual; same float64-island redirect as SSAFD (see SSAFD.solve)."""
+        residual; same float64-island redirect as SSAFD (see SSAFD.solve).
+
+        ``water_column_pressure`` (melange back pressure) is accepted for
+        interface parity but has no effect: SSAFEM does not apply the
+        front-pressure boundary integral (module docstring) — use SSAFD
+        for shelf-front-dominated configurations."""
         out_dtype = state.geometry.ice_thickness.dtype
         if out_dtype != jnp.float64 and self.solve_dtype == "float64":
             f64 = lambda a: None if a is None else jnp.asarray(a, jnp.float64)

@@ -266,3 +266,55 @@ def test_pdd_stateful_through_modifier_chain(flat_geometry):
     inner_out, _ = chain.inner.update(geom, 0.0, SPY, carry0)
     np.testing.assert_allclose(np.asarray(out.temperature),
                                np.asarray(inner_out.temperature) + 5.0)
+
+
+def test_atmosphere_given_time_dependent(flat_geometry):
+    """-atmosphere given with a time axis (reference reads air_temp /
+    precipitation stacks): temperature piecewise-linear in time,
+    precipitation piecewise-constant, optional periodization (monthly
+    climatology cycled forever)."""
+    grid, geom = flat_geometry
+    nt = 4
+    times = np.arange(nt) * SPY / nt            # quarterly, one year
+    T = np.stack([np.full(grid.shape2, 260.0 + 10.0 * k) for k in range(nt)])
+    P = np.stack([np.full(grid.shape2, (k + 1) / SPY) for k in range(nt)])
+    g = atm.Given(temperature=jnp.asarray(T), precipitation=jnp.asarray(P),
+                  times=jnp.asarray(times), period=SPY)
+    # exactly at a sample
+    out = g(geom, times[1])
+    assert float(out.temperature[2, 2]) == pytest.approx(270.0)
+    assert float(out.precipitation[2, 2]) == pytest.approx(2.0 / SPY)
+    # halfway between samples: T linear, P held at the left interval
+    out = g(geom, 0.5 * (times[1] + times[2]))
+    assert float(out.temperature[2, 2]) == pytest.approx(275.0)
+    assert float(out.precipitation[2, 2]) == pytest.approx(2.0 / SPY)
+    # periodized: one full period later, same values
+    out2 = g(geom, 0.5 * (times[1] + times[2]) + SPY)
+    assert float(out2.temperature[2, 2]) == pytest.approx(275.0)
+    # instantaneous protocol: july temp equals the sampled temp, so the
+    # PDD cosine reconstruction contributes nothing
+    np.testing.assert_allclose(np.asarray(out.temperature_july),
+                               np.asarray(out.temperature))
+    # single-slice behavior unchanged
+    g1 = atm.Given(temperature=jnp.full(grid.shape2, 263.15),
+                   precipitation=jnp.full(grid.shape2, 0.3 / SPY))
+    o1 = g1(geom, 123.0)
+    assert float(o1.temperature[2, 2]) == pytest.approx(263.15)
+
+
+def test_pdd_sigma_parameterization(flat_geometry):
+    """surface.pdd.std_dev.param_enabled: sigma = a (T - 273.15) + b
+    (Seguinot 2013) — colder climates get larger variability, so a cold
+    site melts MORE than with the fixed default sigma when the
+    parameterized sigma exceeds it."""
+    grid, geom = flat_geometry
+    a = atm.Uniform(temperature=263.15, temperature_july=272.15,
+                    precipitation=0.3 / SPY)
+    fixed = TemperatureIndex(atmosphere=a, config=Config())
+    # parameterized: at T = 263 K, sigma = -0.15*(-10) + 0.66 = 2.16 K
+    # (SMALLER than the fixed 5 K default -> less melt at sub-freezing T)
+    param = TemperatureIndex(atmosphere=a, config=Config(
+        {"surface.pdd.std_dev.param_enabled": True}))
+    smb_fixed = float(fixed(geom, 0.0).smb[2, 2])
+    smb_param = float(param(geom, 0.0).smb[2, 2])
+    assert smb_param > smb_fixed      # less variability -> less melt
