@@ -470,10 +470,12 @@ def main(argv=None):
         atm_model = None
         if atm_sel:
             cfg.update({"atmosphere.models": atm_sel})
-            atm_model = _cf.atmosphere_from_config(cfg, grid=grid)
+            atm_model = _cf.atmosphere_from_config(
+                cfg, inputs=_cf.inputs_from_files(cfg, grid, "atmosphere"),
+                grid=grid)
         if surf_sel:
             cfg.update({"surface.models": surf_sel})
-            surf_inputs = {}
+            surf_inputs = _cf.inputs_from_files(cfg, grid, "surface")
             if args.i and any(m in surf_sel for m in ("debm_simple", "pik")):
                 # latitude-dependent surface models read lat from the
                 # input file (PISM: mandatory lat/lon variables)
@@ -490,10 +492,13 @@ def main(argv=None):
             surface = Simple(atmosphere=atm_model)
         if ocean_sel:
             cfg.update({"ocean.models": ocean_sel})
-            ocean_model = _cf.ocean_from_config(cfg, grid=grid)
+            ocean_model = _cf.ocean_from_config(
+                cfg, inputs=_cf.inputs_from_files(cfg, grid, "ocean"),
+                grid=grid)
         if sl_sel:
             cfg.update({"sea_level.models": sl_sel})
-            sl_model = _cf.sea_level_from_config(cfg)
+            sl_model = _cf.sea_level_from_config(
+                cfg, inputs=_cf.inputs_from_files(cfg, grid, "sea_level"))
 
     yl = SEC_PER_YEAR
     ys = args.ys * yl if args.ys is not None else t0

@@ -156,7 +156,9 @@ def surface_from_config(config, inputs: Optional[Mapping] = None,
     elif base == "given":
         model = _srf.Given(
             smb_field=_need(inputs, "climatic_mass_balance", base),
-            temperature_field=_need(inputs, "ice_surface_temp", base))
+            temperature_field=_need(inputs, "ice_surface_temp", base),
+            times=inputs.get("times"),
+            period=config.get_number("surface.given.period", "seconds"))
     elif base == "elevation":
         model = _srf.ElevationDependent(
             z_min=config.get_number("surface.elevation_dependent.z_min"),
@@ -237,7 +239,8 @@ def ocean_from_config(config, inputs: Optional[Mapping] = None, grid=None):
         model = _ocn.GivenTH(
             theta_ocean=_need(inputs, "theta_ocean", base),
             salinity_ocean=_need(inputs, "salinity_ocean", base),
-            config=config)
+            config=config, times=inputs.get("times"),
+            period=config.get_number("ocean.th.period", "seconds"))
     elif base == "given":
         model = _ocn.Given(
             melt_rate=_need(inputs, "shelf_base_mass_flux", base),
@@ -306,3 +309,60 @@ def sea_level_from_config(config, inputs: Optional[Mapping] = None):
         else:
             raise ValueError(f"unknown sea level modifier {mod!r}")
     return model
+
+
+# ---------------------------------------------------------------- files
+def inputs_from_files(config, grid, group: str) -> dict:
+    """Build the ``inputs`` mapping for a coupler group from the forcing
+    files named in the config (reference role: every PISM coupler reads
+    its own ``...file`` parameter). Spatial stacks are regridded onto the
+    model grid and converted to internal units
+    (``io.bootstrap.read_forcing_fields``); scalar series become
+    :class:`~pism_tpu.util.forcing.ScalarForcing` callables.
+
+    Used by the CLI so e.g. ``-surface given -config
+    surface.given.file=smb.nc`` works end to end; Python API users can
+    call it directly and override entries."""
+    import jax.numpy as jnp
+
+    from ..io.bootstrap import read_forcing_fields
+    from ..util.forcing import ScalarForcing
+
+    inputs = {}
+
+    def spatial(file_key, variables):
+        path = config.get_string(file_key)
+        if not path:
+            return
+        fields, times = read_forcing_fields(path, grid, variables)
+        for k, v in fields.items():
+            inputs[k] = jnp.asarray(v)
+        if times is not None:
+            inputs["times"] = jnp.asarray(times)
+
+    def scalar(file_key, input_key, variable=None):
+        path = config.get_string(file_key)
+        if path:
+            inputs[input_key] = ScalarForcing.from_file(
+                path, variable or input_key)
+
+    if group == "atmosphere":
+        spatial("atmosphere.given.file",
+                ["air_temp", "precipitation", "air_temp_summer"])
+        scalar("atmosphere.delta_T.file", "delta_T")
+        scalar("atmosphere.frac_P.file", "frac_P")
+        scalar("atmosphere.precip_scaling.file", "scaling_delta_T", "delta_T")
+    elif group == "surface":
+        spatial("surface.given.file",
+                ["climatic_mass_balance", "ice_surface_temp"])
+        scalar("surface.delta_T.file", "delta_T")
+    elif group == "ocean":
+        spatial("ocean.given.file",
+                ["shelf_base_mass_flux", "shelf_base_temperature"])
+        spatial("ocean.th.file", ["theta_ocean", "salinity_ocean"])
+        scalar("ocean.delta_T.file", "delta_T")
+        scalar("ocean.frac_MBP.file", "frac_MBP")
+        scalar("ocean.delta_MBP.file", "delta_MBP")
+    elif group == "sea_level":
+        scalar("sea_level.delta_sl.file", "delta_SL")
+    return inputs

@@ -119,8 +119,10 @@ class GivenTH(OceanModel):
     """
 
     theta_ocean: jnp.ndarray       # K, ambient potential temperature
-    salinity_ocean: jnp.ndarray    # g/kg
+    salinity_ocean: jnp.ndarray    # g/kg (both 2D or (Nt, My, Mx) stacks)
     config: object = None
+    times: Optional[jnp.ndarray] = None    # (Nt,) [s], sorted
+    period: float = 0.0                    # [s]; > 0 cycles the series
 
     #: Holland & Jenkins liquidus: T_f = a S + b + c z  (z < 0 below sl)
     LIQ_A = -0.0575
@@ -139,11 +141,27 @@ class GivenTH(OceanModel):
         self.T_ice = cfg.get_number("ocean.th.ice_temperature")
         self.two_eq = cfg.get_flag("ocean.th.two_equation")
 
+    def _slice(self, field, t, dtype):
+        """Piecewise-linear time interpolation of an (Nt, My, Mx) stack."""
+        f = jnp.asarray(field, dtype)
+        if self.times is None or f.ndim == 2:
+            return f
+        times = jnp.asarray(self.times)
+        tt = jnp.asarray(t)
+        if self.period > 0.0:
+            tt = times[0] + jnp.mod(tt - times[0], self.period)
+        k = jnp.clip(jnp.searchsorted(times, tt, side="right") - 1,
+                     0, times.shape[0] - 2)
+        w = jnp.clip((tt - times[k])
+                     / jnp.maximum(times[k + 1] - times[k], 1e-30),
+                     0.0, 1.0).astype(dtype)
+        return (1.0 - w) * f[k] + w * f[k + 1]
+
     def inputs(self, geometry, t) -> OceanInputs:
         draft = self._draft(geometry, self.rho_i, self.rho_w)
         dtype = geometry.ice_thickness.dtype
-        S_o = jnp.asarray(self.salinity_ocean, dtype)
-        theta = jnp.asarray(self.theta_ocean, dtype)
+        S_o = self._slice(self.salinity_ocean, t, dtype)
+        theta = self._slice(self.theta_ocean, t, dtype)
         a, b = self.LIQ_A, self.LIQ_B
         Tz = b - self.LIQ_C * draft          # liquidus at S = 0, z = -draft
         cw_gT = self.c_w * self.gamma_T

@@ -97,15 +97,44 @@ class Uniform(SurfaceModel):
 
 @dataclass
 class Given(SurfaceModel):
-    """Prescribed (time-constant) fields (PISM ``-surface given`` with a
-    single time slice)."""
+    """Prescribed fields (PISM ``-surface given``): single time slices or
+    ``(Nt, My, Mx)`` stacks with a ``times`` axis [s].  SMB (a mass flux,
+    ``cell_methods = "time: mean"``) is piecewise-constant over its
+    intervals, temperature piecewise-linear; ``period`` > 0 cycles the
+    series (PISM ``surface.given.periodic``)."""
 
     smb_field: jnp.ndarray
     temperature_field: jnp.ndarray
+    times: Optional[jnp.ndarray] = None    # (Nt,) [s], sorted
+    period: float = 0.0                    # [s]; > 0 cycles the series
+
+    def _t(self, t):
+        times = jnp.asarray(self.times)
+        if self.period > 0.0:
+            t0 = times[0]
+            t = t0 + jnp.mod(t - t0, self.period)
+        return t, times
+
+    def _slice(self, field, t, linear):
+        f = jnp.asarray(field)
+        if self.times is None or f.ndim == 2:
+            return f
+        tt, times = self._t(t)
+        if linear:
+            k = jnp.clip(jnp.searchsorted(times, tt, side="right") - 1,
+                         0, times.shape[0] - 2)
+            w = jnp.clip((tt - times[k])
+                         / jnp.maximum(times[k + 1] - times[k], 1e-30),
+                         0.0, 1.0).astype(f.dtype)
+            return (1.0 - w) * f[k] + w * f[k + 1]
+        k = jnp.clip(jnp.searchsorted(times, tt, side="right") - 1,
+                     0, times.shape[0] - 1)
+        return f[k]
 
     def __call__(self, geometry, t) -> SurfaceInputs:
-        return SurfaceInputs(jnp.asarray(self.smb_field),
-                             jnp.asarray(self.temperature_field))
+        return SurfaceInputs(self._slice(self.smb_field, t, linear=False),
+                             self._slice(self.temperature_field, t,
+                                         linear=True))
 
 
 @dataclass

@@ -51,6 +51,79 @@ def read_and_regrid(path: str, grid: Grid, variables=None,
     return out
 
 
+#: internal target units per forcing variable (PISM I/O conventions:
+#: temperatures in K, mass fluxes in m/s ice equivalent, salinity g/kg)
+_FORCING_UNITS = {
+    "air_temp": "K",
+    "ice_surface_temp": "K",
+    "shelf_base_temperature": "K",
+    "theta_ocean": "K",
+    "precipitation": "flux",
+    "climatic_mass_balance": "flux",
+    "shelf_base_mass_flux": "flux",
+}
+
+
+def _convert_forcing(data, units, kind, rho_i):
+    """Convert a raw forcing field to internal units; mass fluxes given as
+    kg m-2 *-1 are divided by the ice density (as PISM's I/O layer does)."""
+    from ..util import units as U
+    units = (units or "").strip()
+    if kind == "K":
+        if not units or units == "K" or units.lower() == "kelvin":
+            return data
+        return U.convert(data, units, "K")
+    if kind == "flux":
+        if not units:
+            return data                       # assume m s-1 ice equivalent
+        u = U.Unit.parse(units)
+        if u.is_convertible(U.Unit.parse("kg m-2 s-1")):
+            return U.convert(data, units, "kg m-2 s-1") / rho_i
+        return U.convert(data, units, "m s-1")
+    return data
+
+
+def read_forcing_fields(path: str, grid: Grid, variables,
+                        time_name: str = "time", rho_i: float = 910.0):
+    """Read forcing fields for the coupler factories: each variable is a
+    single ``(y, x)`` slice or a ``(time, y, x)`` stack, regridded onto the
+    model grid slice by slice and converted to internal units (reference
+    role: ``io_helpers.cc`` regridding inside the ``Given`` couplers).
+
+    Returns ``(fields, times)`` with ``times`` in model seconds (or None
+    when the file has no time axis)."""
+    out = {}
+    times = None
+    with File(path, "r") as f:
+        xs = np.asarray(f.read("x"), float)
+        ys = np.asarray(f.read("y"), float)
+        if f.has_variable(time_name):
+            times = np.asarray(f.read(time_name), float)
+            t_units = dict(f.read_attrs(time_name)).get("units", b"seconds")
+            if isinstance(t_units, bytes):
+                t_units = t_units.decode()
+            if "year" in str(t_units):
+                times = times * 3.15569259747e7
+        for name in variables:
+            if not f.has_variable(name):
+                continue
+            data = np.asarray(f.read(name), float)
+            units = dict(f.read_attrs(name)).get("units", "")
+            if isinstance(units, bytes):
+                units = units.decode()
+            data = _convert_forcing(data, units, _FORCING_UNITS.get(name),
+                                    rho_i)
+            if data.ndim == 3:
+                data = np.stack([
+                    native.regrid_bilinear(d, xs, ys, grid.x, grid.y,
+                                           fill=np.nan) for d in data])
+            else:
+                data = native.regrid_bilinear(data, xs, ys, grid.x, grid.y,
+                                              fill=np.nan)
+            out[name] = data
+    return out, times
+
+
 def bootstrap(path: str, grid: Grid, config) -> ModelState:
     """PISM ``-i file.nc -bootstrap``: regrid 2D inputs, apply heuristics
     for everything else."""
