@@ -639,6 +639,63 @@ def _debm_offset_melt(state, model, t):
     return _debm_melt_parts(state, model, t)[2] * rho_i
 
 
+@spatial("climatic_mass_balance", "kg m-2 s-1",
+         "surface mass balance seen by the ice (climatology at t)",
+         standard_name="land_ice_surface_specific_mass_balance_flux")
+def _cmb(state, model, t):
+    surf = getattr(model, "surface", None)
+    if surf is None:
+        return _zeros2(state)
+    return surf(state.geometry, t).smb * 910.0
+
+
+@spatial("ice_surface_temp", "K", "ice surface temperature seen by the ice")
+def _ist(state, model, t):
+    surf = getattr(model, "surface", None)
+    if surf is None:
+        return _zeros2(state)
+    return surf(state.geometry, t).temperature
+
+
+@spatial("air_temp", "K", "mean-annual near-surface air temperature")
+def _airtemp(state, model, t):
+    atm = _atmosphere_of(model)
+    if atm is None:
+        return _zeros2(state)
+    return atm(state.geometry, t).temperature
+
+
+@spatial("air_temp_snapshot", "K",
+         "instantaneous near-surface air temperature (seasonal cycle at t)")
+def _airtemp_snap(state, model, t):
+    atm = _atmosphere_of(model)
+    if atm is None:
+        return _zeros2(state)
+    a = atm(state.geometry, t)
+    frac = t / SEC_PER_YEAR - jnp.floor(t / SEC_PER_YEAR)
+    c = jnp.cos(2.0 * jnp.pi * (frac - 0.5))
+    return a.temperature + (a.temperature_july - a.temperature) \
+        * jnp.asarray(c, a.temperature.dtype)
+
+
+@spatial("precipitation", "kg m-2 s-1", "precipitation (ice equivalent)")
+def _precip(state, model, t):
+    atm = _atmosphere_of(model)
+    if atm is None:
+        return _zeros2(state)
+    return atm(state.geometry, t).precipitation * 910.0
+
+
+def _atmosphere_of(model):
+    surf = getattr(model, "surface", None)
+    while surf is not None:
+        atm = getattr(surf, "atmosphere", None)
+        if atm is not None:
+            return atm
+        surf = getattr(surf, "inner", None)
+    return None
+
+
 @spatial("fracture_density", "1", "fracture density phase field")
 def _fracdens(state, model, t):
     return state.fracture_density if state.fracture_density is not None \

@@ -88,3 +88,40 @@ def test_vars_dictionary():
     names = [n for n in v.available() if n not in ("thk", "topg")]
     v2 = Vars(state)
     assert v2.get("topg") is not None
+
+
+def test_climate_input_diagnostics():
+    """Climate-input diagnostics (air_temp, precipitation,
+    climatic_mass_balance, ice_surface_temp, air_temp_snapshot) evaluate
+    the coupler chain at t."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pism_tpu import Config, Grid
+    from pism_tpu.coupler import atmosphere as atm
+    from pism_tpu.coupler.surface import Simple
+    from pism_tpu.model.diagnostics import SPATIAL
+    from pism_tpu.model.icemodel import IceModel
+    from pism_tpu.state import ModelState, new_geometry
+
+    SPY = 3.15569259747e7
+    grid = Grid(Mx=7, My=7, Lx=100e3, Ly=100e3)
+    cfg = Config({"stress_balance.model": "sia",
+                  "stress_balance.sia.flow_law": "isothermal_glen",
+                  "energy.model": "none"})
+    a = atm.Uniform(temperature=260.15, temperature_july=272.15,
+                    precipitation=0.4 / SPY)
+    model = IceModel(grid=grid, config=cfg, surface=Simple(atmosphere=a))
+    state = ModelState(geometry=new_geometry(jnp.full(grid.shape2, 500.0),
+                                             jnp.zeros(grid.shape2)))
+    assert float(SPATIAL["air_temp"].func(state, model, 0.0)[3, 3]) \
+        == 260.15
+    # mid-summer snapshot reaches the July value
+    t_july = 0.5 * SPY
+    snap = float(SPATIAL["air_temp_snapshot"].func(state, model, t_july)[3, 3])
+    assert abs(snap - 272.15) < 0.2
+    p = float(SPATIAL["precipitation"].func(state, model, 0.0)[3, 3])
+    assert p == np.float64(0.4 / SPY * 910.0)
+    smb = float(SPATIAL["climatic_mass_balance"].func(state, model, 0.0)[3, 3])
+    assert smb == np.float64(0.4 / SPY * 910.0)   # Simple: SMB = precip
+    ist = float(SPATIAL["ice_surface_temp"].func(state, model, 0.0)[3, 3])
+    assert 250.0 < ist <= 273.15
