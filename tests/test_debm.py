@@ -204,3 +204,42 @@ def test_debm_diagnostics_registry():
     off = np.asarray(SPATIAL["debm_offset_melt_flux"].func(state, model,
                                                          t_summer))
     assert off.min() < 0.0            # background term is a heat loss
+
+
+def test_debm_restart_bit_stable(tmp_path):
+    """Checkpoint/restore carries the dEBM albedo state: a run interrupted
+    and restored matches the uninterrupted run bit for bit (reference
+    regression-test pattern; albedo is model state via define_model_state)."""
+    from pism_tpu import Time
+    from pism_tpu.io import checkpoint as ckpt
+    from pism_tpu.model.icemodel import IceModel
+    from pism_tpu.state import ModelState
+
+    grid = Grid(Mx=11, My=11, Lx=200e3, Ly=200e3)
+    cfg = Config({"stress_balance.model": "sia",
+                  "stress_balance.sia.flow_law": "isothermal_glen",
+                  "energy.model": "none"})
+    m = _model(grid, T_summer=279.15)
+    r = grid.radius
+    H0 = jnp.maximum(1800.0 * (1.0 - (r / 150e3) ** 2), 0.0)
+    model = IceModel(grid=grid, config=cfg, surface=m)
+    state0 = model.prepare_state(
+        ModelState(geometry=new_geometry(H0, jnp.zeros(grid.shape2))))
+
+    t_end = 4 * SPY
+    sA, tA, _ = model.step_once(state0, 0.0, 2 * SPY)
+    assert sA.surface_albedo is not None
+    path = str(tmp_path / "restart_debm.nc")
+    ckpt.save_state(path, sA, grid, tA, config=cfg)
+    sA2, tA2 = ckpt.load_state(path, config=cfg)
+    np.testing.assert_array_equal(np.asarray(sA.surface_albedo),
+                                  np.asarray(sA2.surface_albedo))
+    np.testing.assert_array_equal(np.asarray(sA.snow_depth),
+                                  np.asarray(sA2.snow_depth))
+    done_direct, _, _ = model.step_once(sA, tA, t_end - tA)
+    done_restored, _, _ = model.step_once(sA2, tA2, t_end - tA2)
+    np.testing.assert_array_equal(
+        np.asarray(done_direct.geometry.ice_thickness),
+        np.asarray(done_restored.geometry.ice_thickness))
+    np.testing.assert_array_equal(np.asarray(done_direct.surface_albedo),
+                                  np.asarray(done_restored.surface_albedo))
