@@ -127,6 +127,26 @@ def make_differentiable_solve(ssa, state: S.ModelState, design="tau_c",
     return solve
 
 
+def regularization_term(theta, kind: str, weight: float, eps: float = 1e-4,
+                        prior=None):
+    """Design-variable regularization functionals (reference
+    ``src/inverse/functional/``): ``h1`` = |grad theta|^2 smoothing
+    (IP_H1NormFunctional), ``l2`` = |theta - prior|^2 damping
+    (IP_L2NormFunctional), ``tv`` = eps-regularized total variation
+    sum sqrt(|grad theta|^2 + eps^2) (IPTotalVariationFunctional —
+    edge-preserving: allows sharp till-strength contrasts H1 smears)."""
+    if kind == "l2":
+        d = theta if prior is None else theta - prior
+        return 0.5 * weight * jnp.sum(d ** 2)
+    gx = jnp.roll(theta, -1, 1) - theta
+    gy = jnp.roll(theta, -1, 0) - theta
+    if kind == "h1":
+        return 0.5 * weight * (jnp.sum(gx ** 2) + jnp.sum(gy ** 2))
+    if kind == "tv":
+        return weight * jnp.sum(jnp.sqrt(gx ** 2 + gy ** 2 + eps ** 2))
+    raise ValueError(f"unknown regularization {kind!r} (h1 | l2 | tv)")
+
+
 @dataclass
 class TaucInversion:
     """Gradient-based tau_c inversion from observed surface velocities
@@ -137,7 +157,9 @@ class TaucInversion:
     u_obs: jnp.ndarray
     v_obs: jnp.ndarray
     obs_mask: Optional[jnp.ndarray] = None   # where observations count
-    reg_weight: float = 1.0e-10              # Tikhonov |grad theta|^2 weight
+    reg_weight: float = 1.0e-10              # regularization weight
+    reg_kind: str = "h1"                     # h1 | l2 | tv
+    theta_prior: Optional[jnp.ndarray] = None  # l2 prior, log(tau_c) scale
 
     def misfit(self, tau_c):
         """Dimensionless velocity misfit: mean |u - u_obs|^2 normalized by
@@ -156,13 +178,11 @@ class TaucInversion:
         return J_mis / jnp.maximum(obs2, 1e-30)
 
     def objective(self, theta):
-        """theta = log(tau_c); Tikhonov smoothing regularization."""
+        """theta = log(tau_c); Tikhonov regularization of selected kind."""
         tau_c = jnp.exp(theta)
         J = self.misfit(tau_c)
-        gx = (jnp.roll(theta, -1, 1) - theta)
-        gy = (jnp.roll(theta, -1, 0) - theta)
-        R = 0.5 * self.reg_weight * (jnp.sum(gx ** 2) + jnp.sum(gy ** 2))
-        return J + R
+        return J + regularization_term(theta, self.reg_kind, self.reg_weight,
+                                       prior=self.theta_prior)
 
     def run(self, tau_c0, iterations: int = 30, learning_rate: float = 0.3):
         """Adam on log(tau_c). Returns the inversion trajectory."""
@@ -205,6 +225,8 @@ class HardnessInversion:
     tau_c: Optional[jnp.ndarray] = None      # held fixed during inversion
     obs_mask: Optional[jnp.ndarray] = None
     reg_weight: float = 1.0e-10
+    reg_kind: str = "h1"                     # h1 | l2 | tv
+    theta_prior: Optional[jnp.ndarray] = None
 
     def misfit(self, hardness):
         solve = make_differentiable_solve(self.ssa, self.state,
@@ -224,10 +246,8 @@ class HardnessInversion:
     def objective(self, theta):
         B = jnp.exp(theta)
         J = self.misfit(B)
-        gx = (jnp.roll(theta, -1, 1) - theta)
-        gy = (jnp.roll(theta, -1, 0) - theta)
-        R = 0.5 * self.reg_weight * (jnp.sum(gx ** 2) + jnp.sum(gy ** 2))
-        return J + R
+        return J + regularization_term(theta, self.reg_kind, self.reg_weight,
+                                       prior=self.theta_prior)
 
     def run(self, hardness0, iterations: int = 30, learning_rate: float = 0.1):
         import optax

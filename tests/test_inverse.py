@@ -162,3 +162,32 @@ def test_hardness_twin_recovers_soft_band(shelf_problem):
     B_rec = np.asarray(res.tau_c)
     c = grid.My // 2
     assert B_rec[c, 15] < 0.85 * B_rec[c, 4]
+
+
+def test_regularization_functionals():
+    """IP_*Functional family: H1 penalizes any gradient quadratically, TV
+    linearly (edge-preserving), L2 damps toward the prior."""
+    import numpy as np
+    from pism_tpu.inverse.ssa_inverse import regularization_term
+
+    theta_smooth = jnp.asarray(np.linspace(0, 1, 64).reshape(8, 8))
+    step = np.zeros((8, 8)); step[:, 4:] = 1.0
+    theta_step = jnp.asarray(step)
+    w = 1.0
+    # same total variation; H1 charges the step FAR more than the ramp
+    h1_ramp = float(regularization_term(theta_smooth, "h1", w))
+    h1_step = float(regularization_term(theta_step, "h1", w))
+    tv_ramp = float(regularization_term(theta_smooth, "tv", w))
+    tv_step = float(regularization_term(theta_step, "tv", w))
+    # note jnp.roll wraps: both fields pay a wrap-around edge, equally
+    assert h1_step / max(h1_ramp, 1e-30) > tv_step / max(tv_ramp, 1e-30)
+    # l2 about a prior: zero at the prior, positive away
+    prior = theta_smooth
+    assert float(regularization_term(theta_smooth, "l2", w, prior=prior)) == 0.0
+    assert float(regularization_term(theta_step, "l2", w, prior=prior)) > 0.0
+    # gradients exist and are finite for all kinds
+    for kind in ("h1", "l2", "tv"):
+        g = jax.grad(lambda th: regularization_term(th, kind, w))(theta_step)
+        assert bool(jnp.isfinite(g).all())
+    with pytest.raises(ValueError):
+        regularization_term(theta_step, "nope", w)
