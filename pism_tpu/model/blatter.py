@@ -66,6 +66,9 @@ class BlatterSolver:
     sliding_law: Optional[SlidingLaw] = None
     taud_x: Optional[jnp.ndarray] = None   # prescribed driving stress (tests)
     taud_y: Optional[jnp.ndarray] = None
+    body_force_x: Optional[jnp.ndarray] = None  # 3D per-volume force [Pa/m]
+    body_force_y: Optional[jnp.ndarray] = None  # (manufactured solutions —
+    #   reference BlatterTestXZ role: verification vs exact solutions)
     bc_mask: Optional[jnp.ndarray] = None  # 2D: zero-velocity Dirichlet
     #   columns (stress IS transmitted across their faces, unlike ice-free
     #   cells which are stress-decoupled)
@@ -163,6 +166,10 @@ class BlatterSolver:
         # per-level balance, unlike the depth-integrated SSA)
         bx = jnp.broadcast_to((bx2[..., None] / Hs), grid.shape3)
         by = jnp.broadcast_to((by2[..., None] / Hs), grid.shape3)
+        if self.body_force_x is not None:
+            bx = bx + jnp.asarray(self.body_force_x, jnp.float64)
+        if self.body_force_y is not None:
+            by = by + jnp.asarray(self.body_force_y, jnp.float64)
 
         if tau_c is None:
             tau_c = jnp.zeros_like(H2)
