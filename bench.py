@@ -68,7 +68,7 @@ def bench_eismint_sia(dtype):
     }
 
 
-def bench_hybrid_greenland(dtype):
+def bench_hybrid_greenland(dtype, years=50.0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -121,7 +121,7 @@ def bench_hybrid_greenland(dtype):
     state, t, _ = model.step_once(state, 0.0, 10.0 * SPY)
     jax.block_until_ready(state.geometry.ice_thickness)
 
-    years = 50.0
+    years = float(years)
     tic = time.time()
     nsteps = 0
     t_end = t + years * SPY
@@ -142,13 +142,39 @@ def bench_hybrid_greenland(dtype):
     }
 
 
+def _backend_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the default jax backend in a SUBPROCESS. The axon TPU tunnel
+    can wedge server-side (observed 2026-08-18: every client blocks forever
+    inside backend init in a connection-retry nanosleep loop at ~0% CPU);
+    probing in-process would wedge this process permanently, so probe in a
+    child and fall back to CPU when it never comes up."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('up')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return "up" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    tpu_dead_note = None
+    if not _backend_alive():
+        tpu_dead_note = ("default (TPU) backend failed to initialize within "
+                         "180 s — axon tunnel unavailable; measured on CPU "
+                         "instead (NOT comparable to TPU numbers)")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     dtype = "float32" if on_tpu else "float64"
 
-    hybrid = bench_hybrid_greenland(dtype)
+    hybrid = bench_hybrid_greenland(dtype, years=50.0 if on_tpu else 10.0)
     sia = bench_eismint_sia(dtype)
 
     value = hybrid["model_years_per_hour"]
@@ -168,6 +194,8 @@ def main():
                              "20 km estimate (reference mount empty; see BASELINE.md)",
         },
     }
+    if tpu_dead_note:
+        result["detail"]["error"] = tpu_dead_note
     print(json.dumps(result))
 
 
