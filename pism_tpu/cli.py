@@ -478,11 +478,15 @@ def main(argv=None):
             surf_inputs = _cf.inputs_from_files(cfg, grid, "surface")
             if args.i and any(m in surf_sel for m in ("debm_simple", "pik")):
                 # latitude-dependent surface models read lat from the
-                # input file (PISM: mandatory lat/lon variables)
-                from .io.bootstrap import read_and_regrid
+                # input file (PISM: mandatory lat/lon variables), falling
+                # back to computing it from the projection metadata
+                from .io.bootstrap import (latitude_from_projection,
+                                           read_and_regrid)
                 flds = read_and_regrid(args.i, grid,
                                        variables=["lat", "latitude"])
                 lat = flds.get("lat", flds.get("latitude"))
+                if lat is None:
+                    lat = latitude_from_projection(args.i, grid)
                 if lat is not None:
                     surf_inputs["latitude"] = jnp.asarray(lat)
             surface = _cf.surface_from_config(cfg, inputs=surf_inputs,
