@@ -378,6 +378,17 @@ def main(argv=None):
         print("error: need one of -i, -eisII, -test", file=sys.stderr)
         return 1
 
+    if args.i and not cfg.get_string("grid.projection"):
+        # adopt the input file's grid mapping so outputs keep the
+        # projection (and lat/lon) through restart chains
+        from .io.nc4 import File as _File
+        with _File(args.i, "r") as _f:
+            _p = _f.get_global_attr("proj")
+        if _p is not None:
+            if isinstance(_p, bytes):
+                _p = _p.decode()
+            cfg.update({"grid.projection": str(_p)})
+
     if args.regrid_file:
         # PISM -regrid_file/-regrid_vars: overwrite selected 2D fields with
         # values regridded from another file (only where that file covers
@@ -470,6 +481,14 @@ def main(argv=None):
         atm_model = None
         if atm_sel:
             cfg.update({"atmosphere.models": atm_sel})
+            atm_model = _cf.atmosphere_from_config(
+                cfg, inputs=_cf.inputs_from_files(cfg, grid, "atmosphere"),
+                grid=grid)
+        elif surf_sel and any(m in surf_sel for m in
+                              ("simple", "pdd", "debm_simple", "pik")):
+            # the restored surface chain needs an atmosphere but the
+            # stored atmosphere chain is the default (not recorded in
+            # non_default()): build it from the config as-is
             atm_model = _cf.atmosphere_from_config(
                 cfg, inputs=_cf.inputs_from_files(cfg, grid, "atmosphere"),
                 grid=grid)

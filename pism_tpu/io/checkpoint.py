@@ -102,6 +102,24 @@ def save_state(path: str, state: S.ModelState, grid: Grid, t: float,
             f.set_global_attr("iso_top", int(state.iso_top))
         if config is not None:
             f.set_global_attr("pism_config", config.to_json())
+            proj = config.get_string("grid.projection")
+            if proj:
+                # PISM stores the mapping and mandatory lat/lon in every
+                # output file; recompute them from the PROJ string
+                from ..util import projection as prj
+                try:
+                    ps = prj.from_proj_string(proj)
+                except ValueError:
+                    ps = None
+                f.set_global_attr("proj", proj)
+                if ps is not None:
+                    lon, lat = prj.lonlat_for_grid(grid, ps)
+                    f.write("lat", lat, ("y", "x"),
+                            {"units": "degrees_north",
+                             "standard_name": "latitude"})
+                    f.write("lon", lon, ("y", "x"),
+                            {"units": "degrees_east",
+                             "standard_name": "longitude"})
         f.set_global_attr("source", "pism_tpu")
         f.set_global_attr("grid_json", _grid_json(grid))
 
