@@ -89,3 +89,56 @@ def test_mesh_factorization():
     assert best_factorization(8) == (2, 4)
     assert best_factorization(16) == (4, 4)
     assert best_factorization(7) == (1, 7)
+
+
+@pytest.mark.slow
+def test_full_hybrid_chain_mesh_invariance(devices):
+    """The FULL production chain (SSA+SIA, enthalpy, stateful PDD,
+    calving, iceberg removal) gives the same answer on one device and on
+    a 2x4 mesh — the reference's mpiexec -n 1 vs -n 4 regression on the
+    real model, not just the SIA core. The sharded SSA's psum-ordered
+    reductions differ in rounding, so the comparison is tight-but-not-
+    bitwise on the float64 state."""
+    from pism_tpu.coupler import atmosphere as atm
+    from pism_tpu.coupler.pdd import TemperatureIndex
+
+    Mx, My = 40, 48
+    Lx, Ly = 400e3, 480e3
+    grid = Grid(Mx=Mx, My=My, Lx=Lx, Ly=Ly, Mz=11, Lz=4000.0)
+    cfg = Config({
+        "stress_balance.model": "ssa+sia",
+        "energy.model": "enthalpy",
+        "basal_resistance.pseudo_plastic.enabled": True,
+        "basal_yield_stress.model": "mohr_coulomb",
+        "calving.methods": "thickness_calving",
+        "geometry.remove_icebergs": True,
+        "geometry.part_grid.enabled": True,
+    })
+    X, Y = np.meshgrid(grid.x, grid.y)
+    r2 = (X / (0.7 * Lx)) ** 2 + (Y / (0.7 * Ly)) ** 2
+    bed = 300.0 - 800.0 * r2
+    H = 2000.0 * np.maximum(1.0 - r2, 0.0) ** 1.5 * (bed > -500)
+    lat = 65.0 + (Y + Ly) / (2 * Ly) * 15.0
+    a = atm.SeariseGreenland(
+        latitude=jnp.asarray(lat), longitude=jnp.full(grid.shape2, -40.0),
+        precipitation=jnp.full(grid.shape2, 0.4 / SPY))
+    surface = TemperatureIndex(atmosphere=a, config=cfg)
+    model = IceModel(grid=grid, config=cfg, surface=surface)
+    state = model.prepare_state(ModelState(geometry=new_geometry(
+        jnp.asarray(H), jnp.asarray(bed))))
+
+    s1, t1, st1 = model.step_once(state, 0.0, 2 * SPY)
+
+    mesh = make_mesh(devices, shape=(2, 4))
+    s8, t8, st8 = model.step_once(shard_state(state, mesh), 0.0, 2 * SPY)
+
+    assert t1 == t8 and int(st1.nsteps) == int(st8.nsteps)
+    for name, a1, a8, tol in (
+            ("thk", s1.geometry.ice_thickness, s8.geometry.ice_thickness,
+             2e-4),
+            ("enthalpy", s1.enthalpy, s8.enthalpy, 2e-4),
+            ("u_ssa", s1.u_ssa, s8.u_ssa, 1e-2),
+            ("snow", s1.snow_depth, s8.snow_depth, 1e-5)):
+        a1, a8 = np.asarray(a1), np.asarray(a8)
+        scale = max(np.abs(a1).max(), 1e-30)
+        assert np.max(np.abs(a1 - a8)) / scale < tol, name
