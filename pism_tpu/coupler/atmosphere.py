@@ -143,7 +143,10 @@ class ElevationChange(AtmosphereModel):
     inner: AtmosphereModel
     reference_surface: jnp.ndarray
     lapse_rate: float = 6.0e-3   # K/m (positive: cooler when higher)
-    precip_scale_factor: float = 0.0  # exp scaling per K of warming (0 = off)
+    precip_scale_factor: float = 0.0  # "scale": exp factor per K of warming
+    precip_lapse_rate: float = 0.0    # "shift": m/s ice-eq per m of uplift
+    #   (reference atmosphere.elevation_change.precipitation.method
+    #    scale | shift; both off by default)
 
     def __call__(self, geometry, t) -> AtmosphereInputs:
         a = self.inner(geometry, t)
@@ -153,6 +156,8 @@ class ElevationChange(AtmosphereModel):
         precip = a.precipitation
         if self.precip_scale_factor != 0.0:
             precip = precip * jnp.exp(self.precip_scale_factor * dT)
+        if self.precip_lapse_rate != 0.0:
+            precip = jnp.maximum(precip - self.precip_lapse_rate * dh, 0.0)
         return AtmosphereInputs(a.temperature + dT, a.temperature_july + dT,
                                 precip)
 

@@ -92,11 +92,19 @@ def atmosphere_from_config(config, inputs: Optional[Mapping] = None,
 
     for mod in mods:
         if mod == "elevation_change":
+            method = config.get_string(
+                "atmosphere.elevation_change.precipitation.method")
             model = _atm.ElevationChange(
                 inner=model,
                 reference_surface=_need(inputs, "reference_surface", mod),
                 lapse_rate=config.get_number(
-                    "atmosphere.elevation_change.temperature_lapse_rate"))
+                    "atmosphere.elevation_change.temperature_lapse_rate"),
+                precip_scale_factor=config.get_number(
+                    "atmosphere.precip_exponential_factor_for_temperature")
+                if method == "scale" else 0.0,
+                precip_lapse_rate=config.get_number(
+                    "atmosphere.elevation_change.precipitation.lapse_rate")
+                if method == "shift" else 0.0)
         elif mod == "delta_T":
             model = _atm.DeltaT(inner=model,
                                 offset=_need(inputs, "delta_T", mod))
@@ -206,6 +214,19 @@ def surface_from_config(config, inputs: Optional[Mapping] = None,
         elif mod == "cache":
             model = _srf.Cache(inner=model, update_interval=config.get_number(
                 "surface.cache.update_interval", "seconds"))
+        elif mod == "elevation_change":
+            method = config.get_string("surface.elevation_change.smb.method")
+            model = _srf.ElevationChange(
+                inner=model,
+                reference_surface=_need(inputs, "reference_surface", mod),
+                temp_lapse_rate=config.get_number(
+                    "surface.elevation_change.temperature_lapse_rate"),
+                smb_lapse_rate=config.get_number(
+                    "surface.elevation_change.smb.lapse_rate")
+                if method == "shift" else 0.0,
+                smb_exp_factor=config.get_number(
+                    "surface.elevation_change.smb.exp_factor")
+                if method == "scale" else 0.0)
         elif mod == "force_to_thickness":
             model = _srf.ForceThickness(
                 inner=model,

@@ -308,6 +308,33 @@ class DeltaT(SurfaceModel):
 
 
 @dataclass
+class ElevationChange(SurfaceModel):
+    """PISM ``-surface ...,elevation_change`` (``surface::ElevationChange``):
+    correct an inner model's outputs for surface-elevation change relative
+    to a reference surface — temperature by a lapse rate, SMB either
+    shifted by an SMB lapse rate or scaled exponentially with the implied
+    temperature change (reference ``surface.elevation_change.smb.method``
+    shift | scale)."""
+
+    inner: SurfaceModel
+    reference_surface: jnp.ndarray
+    temp_lapse_rate: float = 6.0e-3   # K/m
+    smb_lapse_rate: float = 0.0       # m/s ice-eq per m of uplift ("shift")
+    smb_exp_factor: float = 0.0       # per K of implied warming ("scale")
+
+    def _transform(self, s: SurfaceInputs, geometry, t) -> SurfaceInputs:
+        dh = geometry.ice_surface_elevation - jnp.asarray(
+            self.reference_surface, geometry.ice_thickness.dtype)
+        dT = -self.temp_lapse_rate * dh
+        smb = s.smb
+        if self.smb_exp_factor != 0.0:
+            smb = smb * jnp.exp(self.smb_exp_factor * dT)
+        if self.smb_lapse_rate != 0.0:
+            smb = smb - self.smb_lapse_rate * dh
+        return SurfaceInputs(smb, jnp.minimum(s.temperature + dT, 273.15))
+
+
+@dataclass
 class Cache(SurfaceModel):
     """PISM ``-surface ...,cache`` (``surface::Cache``): update the inner
     (expensive) model only every ``update_interval`` and reuse the result

@@ -318,3 +318,52 @@ def test_pdd_sigma_parameterization(flat_geometry):
     smb_fixed = float(fixed(geom, 0.0).smb[2, 2])
     smb_param = float(param(geom, 0.0).smb[2, 2])
     assert smb_param > smb_fixed      # less variability -> less melt
+
+
+def test_surface_elevation_change_modifier(flat_geometry):
+    """surface::ElevationChange: temperature lapse-corrected (capped at
+    the melting point), SMB shifted or exponentially scaled by the
+    implied temperature change."""
+    from pism_tpu.coupler.factory import surface_from_config
+    from pism_tpu.coupler.surface import ElevationChange, Uniform
+
+    grid, _ = flat_geometry
+    ref = jnp.zeros(grid.shape2)
+    inner = Uniform(smb=0.5 / SPY, temperature=265.15)
+    geom_hi = new_geometry(jnp.full(grid.shape2, 1000.0),
+                           jnp.zeros(grid.shape2))
+    # shift: SMB drops linearly with uplift
+    m = ElevationChange(inner=inner, reference_surface=ref,
+                        smb_lapse_rate=0.2 / SPY / 1000.0)
+    out = m(geom_hi, 0.0)
+    assert float(out.smb[2, 2]) * SPY == pytest.approx(0.3, rel=1e-6)
+    assert float(out.temperature[2, 2]) == pytest.approx(265.15 - 6.0,
+                                                         abs=1e-6)
+    # scale: dT = -6 K, factor exp(0.07 * dT)
+    m2 = ElevationChange(inner=inner, reference_surface=ref,
+                         smb_exp_factor=0.07)
+    out2 = m2(geom_hi, 0.0)
+    assert float(out2.smb[2, 2]) * SPY \
+        == pytest.approx(0.5 * np.exp(0.07 * -6.0), rel=1e-6)
+    # factory chain
+    cfg = Config({"surface.models": "uniform,elevation_change",
+                  "surface.elevation_change.smb.lapse_rate": 0.2 / SPY / 1e3})
+    chain = surface_from_config(cfg, inputs={"reference_surface": ref})
+    assert isinstance(chain, ElevationChange)
+
+
+def test_atmosphere_elevation_change_precip_shift(flat_geometry):
+    grid, _ = flat_geometry
+    geom_hi = new_geometry(jnp.full(grid.shape2, 1000.0),
+                           jnp.zeros(grid.shape2))
+    inner = atm.Uniform(temperature=260.15, precipitation=0.5 / SPY)
+    m = atm.ElevationChange(inner=inner,
+                            reference_surface=jnp.zeros(grid.shape2),
+                            precip_lapse_rate=0.3 / SPY / 1000.0)
+    out = m(geom_hi, 0.0)
+    assert float(out.precipitation[2, 2]) * SPY == pytest.approx(0.2,
+                                                                 rel=1e-6)
+    # precip floored at zero for extreme uplift
+    geom_vhi = new_geometry(jnp.full(grid.shape2, 3000.0),
+                            jnp.zeros(grid.shape2))
+    assert float(m(geom_vhi, 0.0).precipitation[2, 2]) == 0.0
