@@ -59,7 +59,7 @@ def build_parser():
     p.add_argument("-eisII", metavar="EXP",
                    help="EISMINT II experiment (A-L except E, as upstream)")
     p.add_argument("-test", metavar="LETTER",
-                   help="verification test (A-D, F-M except E/J, O, P, V)")
+                   help="verification test (A-D, F-M except E, O, P, V)")
     p.add_argument("-y", type=float, default=None, help="run length [years]")
     p.add_argument("-ys", type=float, default=None, help="start time [years]")
     p.add_argument("-ye", type=float, default=None, help="end time [years]")
@@ -259,6 +259,22 @@ def main(argv=None):
               f"(exact {float(np.abs(uex).max()) * spy:.2f}); "
               f"max error = {err.max():.3f} m/a, avg = {err.mean():.3f} m/a")
         return 0
+    elif args.test and args.test.upper() == "J":
+        # PISM ``ssa_testj`` role: periodic shelf, one SSA solve against
+        # the full nonlinear manufactured solution with an error report
+        # and a refinement line
+        from .verification.ssa_manufactured import ManufacturedSSA
+
+        m = ManufacturedSSA()
+        spy = 3.15569259747e7
+        Mx = args.Mx or 61
+        err, grid = m.solve_on(Mx)
+        err2, _ = m.solve_on(2 * (Mx - 1) + 1)
+        print(f"test J (manufactured periodic shelf, {Mx} -> "
+              f"{2 * (Mx - 1) + 1} points): max velocity error = "
+              f"{err * spy:.3f} -> {err2 * spy:.3f} m/a "
+              f"(rate {np.log2(err / max(err2, 1e-30)):.2f})")
+        return 0
     elif args.test and args.test.upper() == "M":
         # PISM ``pismv -test M``: annular shelf, radial exact profile
 
@@ -334,7 +350,7 @@ def main(argv=None):
     elif args.test:
         if args.test.upper() not in ("B", "C"):
             print(f"pism_tpu: unsupported verification test {args.test!r} "
-                  "(supported: A-D, F-M except E/J, O, P, V)", file=sys.stderr)
+                  "(supported: A-D, F-M except E, O, P, V)", file=sys.stderr)
             return 2
         from .verification import halfar
         sol = halfar.test_B() if args.test.upper() == "B" else halfar.test_C()
