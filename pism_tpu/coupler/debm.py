@@ -266,7 +266,7 @@ class DEBMSimple(SurfaceModel):
             return jnp.floor(tk / SEC_PER_YEAR - self.balance_year_start)
 
         def interval(k, st):
-            smb, snow, albedo, yr = st
+            smb, melt_a, runoff_a, acc_a, snow, albedo, yr = st
             tk = t + (k + 0.5) * dt_i
             dt_if = jnp.asarray(dt_i, dtype)
             atm = self.atmosphere(geometry, tk)
@@ -296,16 +296,22 @@ class DEBMSimple(SurfaceModel):
             if self.refreeze_ice:
                 refrozen = refrozen + self.refreeze * ice_melt
             smb = smb + snowfall - melt_amt + refrozen
+            melt_a = melt_a + melt_amt
+            runoff_a = runoff_a + melt_amt - refrozen
+            acc_a = acc_a + snowfall
             snow = snow - snow_melt
-            return smb, snow, albedo, yr_k
+            return smb, melt_a, runoff_a, acc_a, snow, albedo, yr_k
 
         smb0 = jnp.zeros(shp, dtype)
         yr0 = balance_year(t - 1e-3 * dt_i)
-        smb, snow, albedo, _ = jax.lax.fori_loop(
-            0, N, interval, (smb0, snow, albedo, yr0))
+        smb, melt_a, runoff_a, acc_a, snow, albedo, _ = jax.lax.fori_loop(
+            0, N, interval, (smb0, smb0, smb0, smb0, snow, albedo, yr0))
         Ta = self.atmosphere(geometry, t).temperature.astype(dtype)
         out = SurfaceInputs(smb=(smb / dt).astype(dtype),
-                            temperature=jnp.minimum(Ta, 273.15))
+                            temperature=jnp.minimum(Ta, 273.15),
+                            melt=(melt_a / dt).astype(dtype),
+                            runoff=(runoff_a / dt).astype(dtype),
+                            accumulation=(acc_a / dt).astype(dtype))
         return out, SurfaceCarry(snow=snow.astype(dtype), firn=carry.firn,
                                  albedo=albedo.astype(dtype))
 

@@ -94,7 +94,7 @@ class TemperatureIndex(SurfaceModel):
             return jnp.floor(tk / SEC_PER_YEAR - self.balance_year_start)
 
         def interval(k, carry):
-            smb, snow, firn, yr = carry
+            smb, melt_a, runoff_a, acc_a, snow, firn, yr = carry
             tk = t + (k + 0.5) * dt_i        # clock stays float64
             dt_if = jnp.asarray(dt_i, dtype)  # field math in the field dtype
             atm = self.atmosphere(geometry, tk)
@@ -132,23 +132,30 @@ class TemperatureIndex(SurfaceModel):
             refrozen = self.refreeze * (snow_melt + firn_melt)
             if self.refreeze_ice:
                 refrozen = refrozen + self.refreeze * ice_melt
-            smb = smb + snowfall - snow_melt - firn_melt - ice_melt + refrozen
+            melt_k = snow_melt + firn_melt + ice_melt
+            smb = smb + snowfall - melt_k + refrozen
+            melt_a = melt_a + melt_k
+            runoff_a = runoff_a + melt_k - refrozen
+            acc_a = acc_a + snowfall
             snow = snow - snow_melt
             firn = firn - firn_melt
-            return smb, snow, firn, yr_k
+            return smb, melt_a, runoff_a, acc_a, snow, firn, yr_k
 
         smb0 = jnp.zeros(shp, dtype)
         # year index just *before* the step start, so a rollover landing
         # exactly on a step boundary still promotes snow -> firn in the
         # step that begins there
         yr0 = balance_year(t - 1e-3 * dt_i)
-        smb, snow, firn, _ = jax.lax.fori_loop(
-            0, N, interval, (smb0, snow, firn, yr0))
+        smb, melt_a, runoff_a, acc_a, snow, firn, _ = jax.lax.fori_loop(
+            0, N, interval, (smb0, smb0, smb0, smb0, snow, firn, yr0))
         smb_rate = smb / dt
         # ice surface temperature: annual mean air temp, capped at melting
         Ta = self.atmosphere(geometry, t).temperature.astype(dtype)
         T_surf = jnp.minimum(Ta, 273.15)
-        return (SurfaceInputs(smb=smb_rate.astype(dtype), temperature=T_surf),
+        return (SurfaceInputs(smb=smb_rate.astype(dtype), temperature=T_surf,
+                              melt=(melt_a / dt).astype(dtype),
+                              runoff=(runoff_a / dt).astype(dtype),
+                              accumulation=(acc_a / dt).astype(dtype)),
                 SurfaceCarry(snow=snow.astype(dtype), firn=firn.astype(dtype),
                              albedo=carry.albedo))
 

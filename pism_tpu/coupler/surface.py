@@ -18,6 +18,12 @@ import jax.numpy as jnp
 class SurfaceInputs(NamedTuple):
     smb: jnp.ndarray        # surface mass balance [m/s ice equivalent]
     temperature: jnp.ndarray  # ice surface temperature [K]
+    # optional budget components from melt-scheme models (PDD/dEBM), for
+    # the surface_*_flux diagnostics and the cryo-hydrologic warming
+    # melt-presence indicator; None from prescribed-SMB models
+    melt: Optional[jnp.ndarray] = None          # m/s ice equivalent
+    runoff: Optional[jnp.ndarray] = None        # m/s (melt - refreeze)
+    accumulation: Optional[jnp.ndarray] = None  # m/s (snowfall)
 
 
 class SurfaceCarry(NamedTuple):
@@ -291,8 +297,10 @@ class Anomaly(SurfaceModel):
 
     def _transform(self, s, geometry, t) -> SurfaceInputs:
         dt_ = s.smb.dtype
-        return SurfaceInputs(s.smb + self._slice(self.smb_anomaly, t, dt_),
-                             s.temperature + self._slice(self.temp_anomaly, t, dt_))
+        return s._replace(
+            smb=s.smb + self._slice(self.smb_anomaly, t, dt_),
+            temperature=s.temperature + self._slice(self.temp_anomaly, t,
+                                                    dt_))
 
 
 @dataclass
@@ -304,7 +312,7 @@ class DeltaT(SurfaceModel):
     offset: Callable            # t -> K
 
     def _transform(self, s, geometry, t) -> SurfaceInputs:
-        return SurfaceInputs(s.smb, s.temperature + self.offset(t))
+        return s._replace(temperature=s.temperature + self.offset(t))
 
 
 @dataclass
@@ -331,7 +339,9 @@ class ElevationChange(SurfaceModel):
             smb = smb * jnp.exp(self.smb_exp_factor * dT)
         if self.smb_lapse_rate != 0.0:
             smb = smb - self.smb_lapse_rate * dh
-        return SurfaceInputs(smb, jnp.minimum(s.temperature + dT, 273.15))
+        return s._replace(smb=smb,
+                          temperature=jnp.minimum(s.temperature + dT,
+                                                  273.15))
 
 
 @dataclass
@@ -376,4 +386,4 @@ class ForceThickness(SurfaceModel):
         Ht = jnp.asarray(self.target_thickness, H.dtype)
         alpha = jnp.where(Ht > 1.0, self.alpha,
                           self.alpha * self.ice_free_alpha_factor)
-        return SurfaceInputs(s.smb - alpha * (H - Ht), s.temperature)
+        return s._replace(smb=s.smb - alpha * (H - Ht))

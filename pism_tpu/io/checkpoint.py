@@ -38,6 +38,8 @@ _STATE_VARS = {
     "hydro_P": ("bwp", {"units": "Pa"}, 2),
     "hydro_Q": ("bwatflux", {"units": "m2 s-1"}, 2),
     "age": ("age", {"units": "s"}, 3),
+    "ch_enthalpy": ("ch_enthalpy", {"units": "J kg-1", "long_name":
+                                    "cryo-hydrologic system enthalpy"}, 3),
     "bed_uplift": ("viscous_bed_displacement", {"units": "m"}, 2),
     "bed_load_reference": ("bed_def_load_reference", {"units": "m"}, 2),
     "bed_reference": ("bed_def_reference", {"units": "m"}, 2),

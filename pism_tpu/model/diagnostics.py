@@ -686,6 +686,37 @@ def _precip(state, model, t):
     return atm(state.geometry, t).precipitation * 910.0
 
 
+def _surface_budget(state, model, t, which):
+    surf = getattr(model, "surface", None)
+    if surf is None:
+        return _zeros2(state)
+    out = surf(state.geometry, t)
+    val = getattr(out, which, None)
+    if val is None:
+        return _zeros2(state)
+    return val * 910.0
+
+
+@spatial("surface_melt_flux", "kg m-2 s-1",
+         "surface melt (PDD/dEBM climatology at t)",
+         standard_name="surface_snow_and_ice_melt_flux")
+def _surf_melt(state, model, t):
+    return _surface_budget(state, model, t, "melt")
+
+
+@spatial("surface_runoff_flux", "kg m-2 s-1",
+         "surface runoff (melt minus refreeze)",
+         standard_name="surface_runoff_flux")
+def _surf_runoff(state, model, t):
+    return _surface_budget(state, model, t, "runoff")
+
+
+@spatial("surface_accumulation_flux", "kg m-2 s-1",
+         "surface accumulation (snowfall)")
+def _surf_accum(state, model, t):
+    return _surface_budget(state, model, t, "accumulation")
+
+
 def _atmosphere_of(model):
     surf = getattr(model, "surface", None)
     while surf is not None:

@@ -39,6 +39,7 @@ from ..util.tridiag import solve_batched
 class EnergyStepResult(NamedTuple):
     enthalpy: jnp.ndarray
     basal_melt_rate: jnp.ndarray
+    ch_enthalpy: Optional[jnp.ndarray] = None  # cryo-hydrologic system
 
 
 @dataclass
@@ -61,6 +62,11 @@ class EnergyModel:
         self.drain_rate = cfg.get_number("energy.drainage_maximum_rate", "s-1")
         self.drain_target = cfg.get_number("energy.drainage_target_water_fraction")
         self.geothermal_default = cfg.get_number("bootstrapping.defaults.geothermal_flux")
+        self.ch_enabled = cfg.get_flag("energy.ch_warming.enabled")
+        self.ch_spacing = cfg.get_number(
+            "energy.ch_warming.average_channel_spacing")
+        self.ch_omega = cfg.get_number(
+            "energy.ch_warming.residual_water_fraction")
         self.sh = Shifter(self.grid)
         z = np.asarray(self.grid.z)
         self.dz = jnp.asarray(np.diff(z))                     # (Mz-1,)
@@ -72,12 +78,20 @@ class EnergyModel:
     # ------------------------------------------------------------------
     def step(self, state: S.ModelState, sia3: SIA3D, surface_T,
              dt, geothermal_flux=None, frictional_heating=None,
-             tillwat=None) -> EnergyStepResult:
+             tillwat=None, ch_enthalpy=None,
+             surface_melt=None) -> EnergyStepResult:
         """Advance enthalpy by dt.
 
         surface_T: (My, Mx) ice surface temperature [K]
         geothermal_flux: (My, Mx) or None -> config default [W/m^2]
         frictional_heating: basal tau_b . u_b [W/m^2] (sliding), optional
+        ch_enthalpy / surface_melt: cryo-hydrologic warming (reference
+        ``energy.ch_warming``, src/energy/CHSystem.cc; Phillips et al.
+        2010): a parallel water-filled-crack enthalpy column. Where the
+        surface is melting the CH columns reset to water-saturated at the
+        pressure-melting point; elsewhere they cool by conduction. The ice
+        columns receive the volumetric heating
+        k_i (T_ch - T_ice) / R^2 (R = average crack spacing), >= 0.
         """
         EC, grid = self.EC, self.grid
         E = state.enthalpy
@@ -145,6 +159,16 @@ class EnergyModel:
         b = 1.0 - a - c
         d = E + dt * (sia3.strain_heating / self.rho + rhs_adv)
 
+        # -- cryo-hydrologic warming source (explicit in the CH state) ------
+        ch_new = None
+        if self.ch_enabled and ch_enthalpy is not None:
+            T_ch = EC.temperature(ch_enthalpy, p3)
+            T_ice = EC.temperature(E, p3)
+            Q_ch = self.k_i * jnp.maximum(T_ch - T_ice, 0.0) \
+                / self.ch_spacing ** 2                       # W/m^3
+            in_ice = (z <= Hc) & icy[..., None]
+            d = d + jnp.where(in_ice, dt * Q_ch / self.rho, 0.0)
+
         # -- air rows (levels above the ice surface): E = E_sfc --------------
         is_air = z > Hc
         a = jnp.where(is_air, 0.0, a)
@@ -182,6 +206,32 @@ class EnergyModel:
         in_ice_mid = 0.5 * ((z[:-1] < Hc) + (z[1:] < Hc))
         drain_flux = jnp.sum(mid_drain * in_ice_mid * dz, axis=-1) / jnp.maximum(dt, 1e-30)
 
+        # -- cryo-hydrologic column evolution --------------------------------
+        if self.ch_enabled and ch_enthalpy is not None:
+            # conduction-only implicit column solve (no advection, no
+            # strain heating) with the same surface/basal rows
+            a_ch = dt * (-kap_below / (dz_l3 * dz_c))
+            c_ch = dt * (-kap_above / (dz_u3 * dz_c))
+            b_ch = 1.0 - a_ch - c_ch
+            d_ch = ch_enthalpy
+            a_ch = jnp.where(is_air, 0.0, a_ch)
+            c_ch = jnp.where(is_air, 0.0, c_ch)
+            b_ch = jnp.where(is_air, 1.0, b_ch)
+            d_ch = jnp.where(is_air, E_sfc[..., None], d_ch)
+            a_ch = a_ch.at[..., 0].set(a0)
+            b_ch = b_ch.at[..., 0].set(b0)
+            c_ch = c_ch.at[..., 0].set(c0)
+            d_ch = d_ch.at[..., 0].set(d0)
+            ch_cooled = solve_batched(a_ch, b_ch, c_ch, d_ch)
+            # melt season: columns flush with water at the pressure-melting
+            # point (+ residual water fraction)
+            E_sat = EC.enthalpy_cts(p3) + self.ch_omega * self.L
+            melting = surface_T >= (EC.T_melting - 1e-3) if surface_melt is None \
+                else surface_melt > 0.0
+            ch_new = jnp.where((melting & icy)[..., None]
+                               & (z <= Hc), E_sat, ch_cooled)
+            ch_new = jnp.where((thin | ~icy)[..., None], E_col_sfc, ch_new)
+
         # -- basal melt budget (grounded) ------------------------------------
         # upward conductive flux in the ice just above the base
         kap0 = kap_m[..., 0]
@@ -195,7 +245,8 @@ class EnergyModel:
             M_b = jnp.where(tillwat > 0.0, M_b, jnp.maximum(M_b, 0.0))
         M_b = jnp.where(icy & ~floating, M_b + drain_flux, 0.0)
 
-        return EnergyStepResult(enthalpy=E_new, basal_melt_rate=M_b)
+        return EnergyStepResult(enthalpy=E_new, basal_melt_rate=M_b,
+                                ch_enthalpy=ch_new)
 
 
 def bootstrap_enthalpy(grid, EC: EnthalpyConverter, thickness, surface_T,

@@ -328,9 +328,13 @@ class IceModel:
                 state, sb.sia3, smb_in.temperature, dt_f,
                 geothermal_flux=G,
                 frictional_heating=sb.basal_frictional_heating,
-                tillwat=state.tillwat)
+                tillwat=state.tillwat,
+                ch_enthalpy=state.ch_enthalpy,
+                surface_melt=getattr(smb_in, "melt", None))
             state = state.replace(enthalpy=eres.enthalpy,
                                   basal_melt_rate=eres.basal_melt_rate)
+            if eres.ch_enthalpy is not None:
+                state = state.replace(ch_enthalpy=eres.ch_enthalpy)
 
         # 4. age transport --------------------------------------------------
         if self.age_model is not None and state.age is not None and sb.sia3 is not None:
@@ -590,6 +594,13 @@ class IceModel:
                 self.grid, self.EC, H, smb.temperature,
                 geothermal=self.config.get_number(
                     "bootstrapping.defaults.geothermal_flux")).astype(H.dtype)
+        if self.energy_model is not None \
+                and getattr(self.energy_model, "ch_enabled", False) \
+                and state.ch_enthalpy is None:
+            # the CH system starts in thermal equilibrium with the ice
+            E0 = kw.get("enthalpy", state.enthalpy)
+            if E0 is not None:
+                kw["ch_enthalpy"] = E0
         return state.replace(**kw) if kw else state
 
     def _check_thickness(self, state: S.ModelState) -> None:

@@ -367,3 +367,28 @@ def test_atmosphere_elevation_change_precip_shift(flat_geometry):
     geom_vhi = new_geometry(jnp.full(grid.shape2, 3000.0),
                             jnp.zeros(grid.shape2))
     assert float(m(geom_vhi, 0.0).precipitation[2, 2]) == 0.0
+
+
+def test_surface_budget_components(flat_geometry):
+    """PDD and dEBM report their budget split (melt/runoff/accumulation)
+    with SMB = accumulation - runoff, threaded through modifier chains
+    (the surface_*_flux diagnostics family)."""
+    from pism_tpu.coupler.surface import DeltaT as SurfDeltaT
+
+    grid, geom = flat_geometry
+    cfg = Config()
+    a = atm.Uniform(temperature=268.15, temperature_july=278.15,
+                    precipitation=0.5 / SPY)
+    pdd = TemperatureIndex(atmosphere=a, config=cfg)
+    out = pdd(geom, 0.0)
+    assert out.melt is not None and out.runoff is not None \
+        and out.accumulation is not None
+    np.testing.assert_allclose(np.asarray(out.smb),
+                               np.asarray(out.accumulation)
+                               - np.asarray(out.runoff), rtol=1e-10)
+    assert float(out.melt[2, 2]) > 0.0
+    assert float(out.runoff[2, 2]) <= float(out.melt[2, 2])
+    # components survive a modifier wrap
+    chain = SurfDeltaT(inner=pdd, offset=lambda t: 0.0)
+    out2 = chain(geom, 0.0)
+    np.testing.assert_allclose(np.asarray(out2.melt), np.asarray(out.melt))

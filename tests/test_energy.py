@@ -182,3 +182,53 @@ def test_eismint2_trough_and_mound_experiments():
     state, t, stats = model.step_once(es.state, 0.0, 5000 * SPY)
     Hi = np.asarray(state.geometry.ice_thickness)
     assert Hi[c, j] > Hi[2, j]
+
+
+def test_cryo_hydrologic_warming():
+    """energy.ch_warming (Phillips et al. 2010 / CHSystem role): where the
+    surface melts, the water-filled CH columns sit at the pressure-melting
+    point and warm the (colder) ice; with the option off nothing changes."""
+    grid = Grid(Mx=5, My=5, Lx=50e3, Ly=50e3, Mz=21, Lz=1500.0,
+                vertical_spacing="equal")
+
+    def run(enabled, years=40.0, melting=True):
+        cfg = Config({"energy.ch_warming.enabled": bool(enabled),
+                      "energy.ch_warming.average_channel_spacing": 20.0})
+        EC = EnthalpyConverter.from_config(cfg)
+        em = EnergyModel(grid=grid, config=cfg, EC=EC)
+        H = jnp.full(grid.shape2, 1000.0)
+        geom = new_geometry(H, jnp.zeros(grid.shape2))
+        T_s = jnp.full(grid.shape2, 263.15)
+        E0 = bootstrap_enthalpy(grid, EC, H, T_s)
+        z3 = grid.shape2 + (grid.Mz,)
+        sia3 = SIA3D(u=jnp.zeros(z3), v=jnp.zeros(z3), w=jnp.zeros(z3),
+                     strain_heating=jnp.zeros(z3),
+                     max_u=jnp.zeros(()), max_v=jnp.zeros(()))
+        state = ModelState(geometry=geom, enthalpy=E0)
+        ch = E0 if enabled else None
+        melt = jnp.full(grid.shape2, (1.0 if melting else 0.0) / SPY)
+        dt = SPY
+        for _ in range(int(years)):
+            res = em.step(state, sia3, T_s, dt, surface_melt=melt,
+                          ch_enthalpy=ch)
+            state = state.replace(enthalpy=res.enthalpy)
+            ch = res.ch_enthalpy
+        return state.enthalpy, ch, EC
+
+    E_off, ch_off, EC = run(False)
+    E_on, ch_on, _ = run(True)
+    assert ch_off is None and ch_on is not None
+    # CH columns saturated at pressure melting mid-column
+    z = np.asarray(grid.z)
+    k_mid = int(np.argmin(np.abs(z - 500.0)))
+    p = EC.pressure(jnp.asarray(500.0))
+    E_cts = float(EC.enthalpy_cts(p))
+    assert float(ch_on[2, 2, k_mid]) >= E_cts - 1.0
+    # ice warmed relative to the CH-off run, but not beyond temperate
+    dE = float(E_on[2, 2, k_mid] - E_off[2, 2, k_mid])
+    assert dE > 500.0           # J/kg: clearly warmed over 40 years
+    assert float(E_on[2, 2, k_mid]) <= E_cts + 1e3
+    # no surface melt -> CH columns cool toward the ice state, little warming
+    E_dry, ch_dry, _ = run(True, melting=False)
+    dE_dry = float(E_dry[2, 2, k_mid] - E_off[2, 2, k_mid])
+    assert abs(dE_dry) < 0.2 * dE
