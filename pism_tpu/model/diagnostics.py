@@ -360,6 +360,44 @@ def _temppa3(state, model, t):
                                             EC.pressure(depth))
 
 
+@spatial("ch_temp", "K", "3D cryo-hydrologic system temperature")
+def _chtemp3(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.ch_enthalpy is None:
+        return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+    EC = model.EC
+    z = jnp.asarray(model.grid.z, H.dtype)
+    depth = jnp.maximum(H[..., None] - z, 0.0)
+    return EC.temperature(state.ch_enthalpy, EC.pressure(depth))
+
+
+@spatial("ch_liqfrac", "1", "3D cryo-hydrologic system liquid water fraction")
+def _chliqfrac3(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.ch_enthalpy is None:
+        return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+    EC = model.EC
+    z = jnp.asarray(model.grid.z, H.dtype)
+    depth = jnp.maximum(H[..., None] - z, 0.0)
+    return EC.water_fraction(state.ch_enthalpy, EC.pressure(depth))
+
+
+@spatial("ch_heat_flux", "W m-3",
+         "3D cryo-hydrologic warming volumetric heat flux into the ice")
+def _chheat3(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.ch_enthalpy is None or state.enthalpy is None:
+        return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+    em = getattr(model, "energy_model", None)
+    if em is None or not getattr(em, "ch_enabled", False):
+        return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+    EC = model.EC
+    z = jnp.asarray(model.grid.z, H.dtype)
+    p = EC.pressure(jnp.maximum(H[..., None] - z, 0.0))
+    dT = EC.temperature(state.ch_enthalpy, p) - EC.temperature(state.enthalpy, p)
+    return em.k_i * jnp.maximum(dT, 0.0) / em.ch_spacing ** 2
+
+
 @spatial("liqfrac", "1", "3D liquid water fraction")
 def _liqfrac3(state, model, t):
     H = state.geometry.ice_thickness
