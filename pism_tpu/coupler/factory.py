@@ -377,6 +377,29 @@ def inputs_from_files(config, grid, group: str) -> dict:
         spatial("surface.given.file",
                 ["climatic_mass_balance", "ice_surface_temp"])
         scalar("surface.delta_T.file", "delta_T")
+        paleo_path = config.get_string("surface.debm_simple.paleo.file")
+        if paleo_path:
+            import numpy as _np
+
+            from ..io.nc4 import File as _File
+            from ..util.units import SEC_PER_YEAR as _SPY
+            with _File(paleo_path, "r") as f:
+                tt = _np.asarray(f.read("time"), float)
+                tu = dict(f.read_attrs("time")).get("units", b"years")
+                if isinstance(tu, bytes):
+                    tu = tu.decode()
+                if "year" in str(tu):
+                    tt = tt * _SPY
+                inputs["paleo_times"] = tt
+                for v in ("eccentricity", "obliquity",
+                          "perihelion_longitude"):
+                    inputs[v] = _np.asarray(f.read(v), float)
+        alb_path = config.get_string("surface.debm_simple.albedo_input.file")
+        if alb_path:
+            fields, _ = read_forcing_fields(alb_path, grid, ["albedo"])
+            if "albedo" in fields:
+                a = fields["albedo"]
+                inputs["albedo"] = jnp.asarray(a[-1] if a.ndim == 3 else a)
     elif group == "ocean":
         spatial("ocean.given.file",
                 ["shelf_base_mass_flux", "shelf_base_temperature"])

@@ -243,3 +243,50 @@ def test_debm_restart_bit_stable(tmp_path):
         np.asarray(done_restored.geometry.ice_thickness))
     np.testing.assert_array_equal(np.asarray(done_direct.surface_albedo),
                                   np.asarray(done_restored.surface_albedo))
+
+
+def test_paleo_and_albedo_files(tmp_path):
+    """surface.debm_simple.paleo.file / albedo_input.file through
+    inputs_from_files -> the factory-built model uses time-dependent
+    orbital parameters and a prescribed albedo."""
+    from pism_tpu.coupler.factory import inputs_from_files, surface_from_config
+    from pism_tpu.io.nc4 import File
+
+    grid = Grid(Mx=7, My=7, Lx=100e3, Ly=100e3)
+    paleo = str(tmp_path / "orbit.nc")
+    with File(paleo, "w") as f:
+        f.define_dimension("time", None, attrs={"units": "years"})
+        for name in ("eccentricity", "obliquity", "perihelion_longitude"):
+            f.define_variable(name, ("time",))
+        for k, (t, e, o, w) in enumerate([(-10000.0, 0.02, 24.0, 90.0),
+                                          (0.0, 0.0167, 23.44, 102.947)]):
+            f.append_time(t)
+            f.write("eccentricity", np.asarray(e), time_index=k)
+            f.write("obliquity", np.asarray(o), time_index=k)
+            f.write("perihelion_longitude", np.asarray(w), time_index=k)
+    albf = str(tmp_path / "alb.nc")
+    with File(albf, "w") as f:
+        f.define_dimension("y", grid.My, np.asarray(grid.y))
+        f.define_dimension("x", grid.Mx, np.asarray(grid.x))
+        f.define_variable("albedo", ("y", "x"), attrs={"units": "1"})
+        f.write("albedo", np.full(grid.shape2, 0.55))
+
+    cfg = Config({"surface.models": "debm_simple",
+                  "surface.debm_simple.paleo.enabled": True,
+                  "surface.debm_simple.paleo.file": paleo,
+                  "surface.debm_simple.albedo_input.file": albf})
+    a = atm.CosineYearlyCycle(
+        temperature_mean_annual=jnp.full(grid.shape2, 260.15),
+        temperature_mean_summer=jnp.full(grid.shape2, 277.15),
+        precipitation=jnp.full(grid.shape2, 0.4 / SPY))
+    inputs = inputs_from_files(cfg, grid, "surface")
+    inputs["latitude"] = jnp.full(grid.shape2, 70.0)
+    m = surface_from_config(cfg, inputs=inputs, atmosphere=a)
+    assert m.paleo_series is not None and m.albedo_field is not None
+    # orbital parameters interpolate in time (radians inside the model)
+    d0, f0 = m._orbit(0.45 * SPY)
+    d1, f1 = m._orbit(-10000.0 * SPY + 0.45 * SPY)
+    assert float(jnp.abs(d0 - d1)) > 1e-4   # different epochs differ
+    geom = new_geometry(jnp.full(grid.shape2, 600.0), jnp.zeros(grid.shape2))
+    out, carry = m.update(geom, 0.0, SPY, SurfaceCarry(None, None, None))
+    assert np.isfinite(float(out.smb[3, 3]))
