@@ -357,6 +357,13 @@ def inputs_from_files(config, grid, group: str) -> dict:
             return
         fields, times = read_forcing_fields(path, grid, variables)
         for k, v in fields.items():
+            import numpy as _np
+            if _np.isnan(v).any():
+                # PISM errors when a forcing file does not cover the model
+                # domain; silently NaN-filled forcing would poison the run
+                raise ValueError(
+                    f"forcing variable {k!r} from {path!r} does not cover "
+                    "the model grid (regrid produced NaNs)")
             inputs[k] = jnp.asarray(v)
         if times is not None:
             inputs["times"] = jnp.asarray(times)
