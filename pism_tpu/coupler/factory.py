@@ -176,7 +176,8 @@ def surface_from_config(config, inputs: Optional[Mapping] = None,
             m_max=config.get_number("surface.elevation_dependent.m_max", "m s-1"))
     elif base == "pdd":
         from .pdd import TemperatureIndex
-        model = TemperatureIndex(atmosphere=need_atm(base), config=config)
+        model = TemperatureIndex(atmosphere=need_atm(base), config=config,
+                                 sigma_field=inputs.get("air_temp_sd"))
     elif base == "debm_simple":
         import numpy as _np
 
@@ -384,6 +385,13 @@ def inputs_from_files(config, grid, group: str) -> dict:
         spatial("surface.given.file",
                 ["climatic_mass_balance", "ice_surface_temp"])
         scalar("surface.delta_T.file", "delta_T")
+        sd_path = config.get_string("surface.pdd.std_dev.file")
+        if sd_path:
+            fields, _ = read_forcing_fields(sd_path, grid, ["air_temp_sd"])
+            if "air_temp_sd" in fields:
+                a = fields["air_temp_sd"]
+                inputs["air_temp_sd"] = jnp.asarray(
+                    a[-1] if a.ndim == 3 else a)
         paleo_path = config.get_string("surface.debm_simple.paleo.file")
         if paleo_path:
             import numpy as _np

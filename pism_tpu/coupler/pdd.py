@@ -52,6 +52,9 @@ class TemperatureIndex(SurfaceModel):
 
     atmosphere: AtmosphereModel
     config: object = None
+    sigma_field: object = None   # optional 2D air_temp_sd field (reference
+    #                              surface.pdd.std_dev.file, ISMIP6-style);
+    #                              overrides the scalar/parameterized sigma
     n_intervals: int = 26   # sub-intervals per update (and per year in
     #                         __call__); the expectation integrand is smooth,
     #                         midpoint quadrature converges fast
@@ -114,12 +117,15 @@ class TemperatureIndex(SurfaceModel):
             snowfall = precip * sf * dt_if           # m ice equivalent
             snow = snow + snowfall
             # degree-day supply this interval [K s] -> [K day]
-            sigma = jnp.asarray(self.sigma, dtype)
-            if self.sigma_param:
-                # Seguinot (2013) linear sigma(T) (reference
-                # surface.pdd.std_dev.param_*)
-                sigma = jnp.maximum(
-                    self.sigma_a * (T - 273.15) + self.sigma_b, 1e-3)
+            if self.sigma_field is not None:
+                sigma = jnp.asarray(self.sigma_field, dtype)
+            else:
+                sigma = jnp.asarray(self.sigma, dtype)
+                if self.sigma_param:
+                    # Seguinot (2013) linear sigma(T) (reference
+                    # surface.pdd.std_dev.param_*)
+                    sigma = jnp.maximum(
+                        self.sigma_a * (T - 273.15) + self.sigma_b, 1e-3)
             pdd = expected_pdd_rate(T, self.T_melt, sigma) * dt_if / 86400.0
             # melt snow, then firn (snow factor), then ice
             snowfirn_cap = self.factor_snow * 86400.0 * pdd

@@ -392,3 +392,28 @@ def test_surface_budget_components(flat_geometry):
     chain = SurfDeltaT(inner=pdd, offset=lambda t: 0.0)
     out2 = chain(geom, 0.0)
     np.testing.assert_allclose(np.asarray(out2.melt), np.asarray(out.melt))
+
+
+def test_pdd_sigma_field_from_file(flat_geometry, tmp_path):
+    """surface.pdd.std_dev.file: a 2D air_temp_sd field overrides the
+    scalar sigma (ISMIP6-style forcing)."""
+    from pism_tpu.coupler.factory import inputs_from_files, surface_from_config
+    from pism_tpu.io.nc4 import File
+
+    grid, geom = flat_geometry
+    path = str(tmp_path / "sd.nc")
+    with File(path, "w") as f:
+        f.define_dimension("y", grid.My, np.asarray(grid.y))
+        f.define_dimension("x", grid.Mx, np.asarray(grid.x))
+        f.define_variable("air_temp_sd", ("y", "x"), attrs={"units": "K"})
+        f.write("air_temp_sd", np.full(grid.shape2, 2.0))
+    cfg = Config({"surface.models": "pdd",
+                  "surface.pdd.std_dev.file": path})
+    a = atm.Uniform(temperature=263.15, temperature_july=272.15,
+                    precipitation=0.3 / SPY)
+    inputs = inputs_from_files(cfg, grid, "surface")
+    assert "air_temp_sd" in inputs
+    pdd2 = surface_from_config(cfg, inputs=inputs, atmosphere=a)
+    pdd5 = TemperatureIndex(atmosphere=a, config=Config())  # sigma 5 K
+    # smaller variability at sub-freezing temps -> less melt -> higher SMB
+    assert float(pdd2(geom, 0.0).smb[2, 2]) > float(pdd5(geom, 0.0).smb[2, 2])
