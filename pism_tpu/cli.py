@@ -122,6 +122,11 @@ def build_parser():
     p.add_argument("-no_model_strip", type=float, default=None, metavar="KM",
                    help="regional mode: freeze a strip this wide [km] along "
                         "the domain boundary (PISM -regional)")
+    p.add_argument("-o_format", default="netcdf4",
+                   choices=("netcdf4", "netcdf3"),
+                   help="output format: netcdf4 (HDF5-based) | netcdf3 "
+                        "(classic CDF-2, readable without HDF5; "
+                        "PISM -o_format)")
     p.add_argument("-o_size", default="small",
                    choices=("small", "medium", "big"),
                    help="output-file size: small = model state only (the "
@@ -593,7 +598,8 @@ def main(argv=None):
         state, stats = model.run(state, run_time, output=out,
                                  callback=report, signals=sigs)
     out.close()
-    ckpt.save_state(args.o, state, grid, t_reached, config=cfg)
+    ckpt.save_state(args.o, state, grid, t_reached, config=cfg,
+                    format=args.o_format)
     if args.o_size != "small":
         names = ckpt.O_SIZE_MEDIUM if args.o_size == "medium" \
             else ckpt.O_SIZE_BIG

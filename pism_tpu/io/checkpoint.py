@@ -70,8 +70,9 @@ def _setup_dims(f: File, grid: Grid):
 
 
 def save_state(path: str, state: S.ModelState, grid: Grid, t: float,
-               config: Optional[Config] = None):
-    with File(path, "w") as f:
+               config: Optional[Config] = None, format: str = "netcdf4"):
+    """``format="netcdf3"`` writes classic CDF-2 (PISM ``-o_format``)."""
+    with File(path, "w", format=format) as f:
         _setup_dims(f, grid)
         n = f.append_time(t)
         g = state.geometry

@@ -31,15 +31,17 @@ class File:
     reference supports the same formats via the NetCDF C library
     (``io::NCFile`` backends)."""
 
-    def __new__(cls, path: str, mode: str = "r"):
+    def __new__(cls, path: str, mode: str = "r", format: str = "netcdf4"):
         if cls is File and mode == "r":
             with open(path, "rb") as fh:
                 magic = fh.read(3)
             if magic == b"CDF":
                 return ClassicFile(path)
+        if cls is File and mode in ("w", "w-", "x") and format == "netcdf3":
+            return ClassicWriteFile(path)
         return super().__new__(cls)
 
-    def __init__(self, path: str, mode: str = "r"):
+    def __init__(self, path: str, mode: str = "r", format: str = "netcdf4"):
         self.h5 = h5py.File(path, mode)
         if mode in ("w", "w-", "x"):
             self.h5.attrs.create("_NCProperties", _NC_PROPS)
@@ -172,11 +174,18 @@ class ClassicFile:
             return 0
         return n
 
+    @staticmethod
+    def _native(arr):
+        """Classic NetCDF data is big-endian; jax only takes native."""
+        if arr.dtype.byteorder == ">":
+            return arr.astype(arr.dtype.newbyteorder("="))
+        return arr
+
     def read(self, name: str) -> np.ndarray:
-        return np.array(self.nc.variables[name].data)
+        return self._native(np.array(self.nc.variables[name].data))
 
     def read_slice(self, name: str, index: int) -> np.ndarray:
-        return np.array(self.nc.variables[name].data[index])
+        return self._native(np.array(self.nc.variables[name].data[index]))
 
     def read_attrs(self, name: str) -> dict:
         return {k: self._decode(v)
@@ -187,6 +196,108 @@ class ClassicFile:
 
     def get_global_attr(self, key: str):
         return self._decode(self.nc._attributes.get(key))
+
+    def has_variable(self, name):
+        return name in self.nc.variables
+
+    def close(self):
+        self.nc.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class ClassicWriteFile:
+    """Classic NetCDF (CDF-2 / 64-bit offset) WRITER through scipy, with
+    the same interface as :class:`File` (reference ``-o_format netcdf3``:
+    output readable by tools without HDF5 support). The unlimited (time)
+    dimension must come first in variable shapes, as in the classic data
+    model."""
+
+    def __init__(self, path: str):
+        from scipy.io import netcdf_file
+        self.nc = netcdf_file(path, "w", version=2)
+        self._unlimited = None
+
+    # -- dimensions ----------------------------------------------------------
+    def define_dimension(self, name, length, values=None, attrs=None):
+        if name in self.nc.dimensions:
+            return
+        self.nc.createDimension(name, length)
+        if length is None:
+            self._unlimited = name
+            v = self.nc.createVariable(name, "d", (name,))
+        else:
+            v = self.nc.createVariable(name, "d", (name,))
+            v[:] = np.asarray(values if values is not None
+                              else np.zeros(length), "d")
+        for k, val in (attrs or {}).items():
+            setattr(v, k, val)
+
+    def dimension_length(self, name):
+        n = self.nc.dimensions[name]
+        if n is None:
+            var = self.nc.variables.get(name)
+            return var.shape[0] if var is not None and var.shape else 0
+        return n
+
+    # -- variables -----------------------------------------------------------
+    def define_variable(self, name, dims, dtype="f8", attrs=None):
+        if name in self.nc.variables:
+            return self.nc.variables[name]
+        tc = np.dtype(dtype).char
+        if tc == "l":
+            tc = "i"      # classic NetCDF-2 has no 64-bit ints
+        if tc in ("?",):
+            tc = "b"
+        v = self.nc.createVariable(name, tc, tuple(dims))
+        for k, val in (attrs or {}).items():
+            if k != "_FillValue":
+                setattr(v, k, val)
+        return v
+
+    def write(self, name, data, dims=None, attrs=None, time_index=None):
+        data = np.asarray(data)
+        if name not in self.nc.variables:
+            if dims is None:
+                raise ValueError(f"new variable {name!r} needs dims")
+            dt = data.dtype
+            if dt == np.int64:
+                dt = np.int32
+            self.define_variable(name, dims, dtype=dt, attrs=attrs)
+        v = self.nc.variables[name]
+        if time_index is None:
+            v[:] = data.astype(v.data.dtype) if v.shape else data
+        else:
+            v[time_index] = np.asarray(data)[0] if data.ndim == len(v.dimensions) \
+                else data
+
+    def append_time(self, t, name="time"):
+        v = self.nc.variables[name]
+        n = v.shape[0] if v.shape else 0
+        v[n] = float(t)
+        return n
+
+    # -- attrs / misc ----------------------------------------------------------
+    def set_global_attr(self, key, value):
+        setattr(self.nc, key, value)
+
+    def get_global_attr(self, key):
+        v = self.nc._attributes.get(key)
+        return v.decode() if isinstance(v, bytes) else v
+
+    def read(self, name):
+        return np.array(self.nc.variables[name].data)
+
+    def read_attrs(self, name):
+        return {k: (v.decode() if isinstance(v, bytes) else v)
+                for k, v in self.nc.variables[name]._attributes.items()}
+
+    def variables(self):
+        return [k for k in self.nc.variables if k not in self.nc.dimensions]
 
     def has_variable(self, name):
         return name in self.nc.variables

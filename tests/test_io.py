@@ -227,3 +227,31 @@ def test_nccmp_tool(tmp_path):
         == "missing"
     assert nccmp.main([a, b, "-t", "1e-2"]) == 0
     assert nccmp.main([a, b]) == 1
+
+
+def test_classic_netcdf3_write_roundtrip(tmp_path):
+    """-o_format netcdf3: the checkpoint written as classic CDF-2 restores
+    bit-exactly through the magic-sniffed scipy reader."""
+    import os
+
+    grid = Grid(Mx=9, My=9, Lx=100e3, Ly=100e3, Mz=5, Lz=2000.0)
+    cfg = Config()
+    H = jnp.asarray(np.linspace(0, 800, 81).reshape(9, 9))
+    state = ModelState(
+        geometry=new_geometry(H, jnp.zeros(grid.shape2)),
+        enthalpy=jnp.asarray(np.random.default_rng(7).normal(
+            9e4, 1e3, (9, 9, 5))),
+        tillwat=jnp.full(grid.shape2, 0.3))
+    path = str(tmp_path / "classic.nc")
+    ckpt.save_state(path, state, grid, 123.0 * 3.15569259747e7, config=cfg,
+                    format="netcdf3")
+    with open(path, "rb") as fh:
+        assert fh.read(3) == b"CDF"     # really classic, not HDF5
+    s2, t2 = ckpt.load_state(path, config=cfg)
+    assert t2 == 123.0 * 3.15569259747e7
+    np.testing.assert_array_equal(np.asarray(state.geometry.ice_thickness),
+                                  np.asarray(s2.geometry.ice_thickness))
+    np.testing.assert_array_equal(np.asarray(state.enthalpy),
+                                  np.asarray(s2.enthalpy))
+    np.testing.assert_array_equal(np.asarray(state.tillwat),
+                                  np.asarray(s2.tillwat))
