@@ -135,6 +135,39 @@ class SeariseGreenland(AtmosphereModel):
 
 
 @dataclass
+class PIK(AtmosphereModel):
+    """PISM ``-atmosphere pik`` (``atmosphere::PIK``): Antarctic air
+    temperature parameterizations from surface elevation and latitude.
+
+    ``parameterization``:
+    - ``martin`` (default): mean-annual temperature from Martin et al.
+      (2011) eq. 1, T_ma = 273.15 + 34.46 - 0.00914 h - 0.68775 |lat|;
+      no seasonal cycle (summer = annual).
+    - ``martin_huybrechts_dewolde``: Martin mean-annual plus the
+      Huybrechts & de Wolde (1999) summer temperature
+      T_s = 273.15 + 16.81 - 0.00692 h - 0.27937 |lat|.
+
+    Precipitation must be supplied (the reference reads it from the
+    input file)."""
+
+    latitude: jnp.ndarray       # degrees (negative south)
+    precipitation: jnp.ndarray  # m/s ice equivalent
+    parameterization: str = "martin"
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        dt_ = geometry.ice_thickness.dtype
+        h = jnp.maximum(geometry.ice_surface_elevation, 0.0)
+        lat = jnp.abs(jnp.asarray(self.latitude, dt_))
+        T_ma = 273.15 + 34.46 - 0.00914 * h - 0.68775 * lat
+        if self.parameterization == "martin_huybrechts_dewolde":
+            T_s = 273.15 + 16.81 - 0.00692 * h - 0.27937 * lat
+        else:
+            T_s = T_ma
+        return AtmosphereInputs(T_ma.astype(dt_), T_s.astype(dt_),
+                                jnp.asarray(self.precipitation, dt_))
+
+
+@dataclass
 class ElevationChange(AtmosphereModel):
     """Lapse-rate modifier (PISM ``atmosphere::ElevationChange``): corrects
     an inner model's temperature for surface-elevation change relative to a

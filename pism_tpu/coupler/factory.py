@@ -44,6 +44,8 @@ def atmosphere_from_config(config, inputs: Optional[Mapping] = None,
 
     Bases: ``uniform`` | ``given`` (air_temp, precipitation) |
     ``searise_greenland`` (latitude, longitude, precipitation) |
+    ``pik`` (latitude, precipitation; Martin et al. 2011 Antarctic
+    parameterization) |
     ``yearly_cycle`` (air_temp_mean_annual, air_temp_mean_summer,
     precipitation [, scaling]) | ``one_station`` (air_temp(t), precipitation(t)).
     Modifiers: ``elevation_change`` (reference_surface), ``delta_T``
@@ -83,6 +85,12 @@ def atmosphere_from_config(config, inputs: Optional[Mapping] = None,
             temperature_mean_summer=_need(inputs, "air_temp_mean_summer", base),
             precipitation=_need(inputs, "precipitation", base),
             scaling=inputs.get("scaling"))
+    elif base == "pik":
+        model = _atm.PIK(
+            latitude=_need(inputs, "latitude", base),
+            precipitation=_need(inputs, "precipitation", base),
+            parameterization=config.get_string(
+                "atmosphere.pik.parameterization"))
     elif base == "one_station":
         model = _atm.WeatherStation(
             temperature=_need(inputs, "air_temp", base),

@@ -417,3 +417,29 @@ def test_pdd_sigma_field_from_file(flat_geometry, tmp_path):
     pdd5 = TemperatureIndex(atmosphere=a, config=Config())  # sigma 5 K
     # smaller variability at sub-freezing temps -> less melt -> higher SMB
     assert float(pdd2(geom, 0.0).smb[2, 2]) > float(pdd5(geom, 0.0).smb[2, 2])
+
+
+def test_atmosphere_pik(flat_geometry):
+    """atmosphere::PIK (Martin et al. 2011): Antarctic T(h, lat)
+    parameterizations, colder when higher/more poleward; the
+    huybrechts_dewolde variant adds a summer cycle."""
+    grid, geom = flat_geometry
+    lat = jnp.full(grid.shape2, -75.0)
+    P = jnp.full(grid.shape2, 0.2 / SPY)
+    a = atm.PIK(latitude=lat, precipitation=P)
+    out = a(geom, 0.0)
+    # h = 1000 m, lat 75S: T_ma = 273.15 + 34.46 - 9.14 - 51.58 = 246.89
+    assert float(out.temperature[2, 2]) == pytest.approx(246.89, abs=0.01)
+    np.testing.assert_allclose(np.asarray(out.temperature_july),
+                               np.asarray(out.temperature))
+    a2 = atm.PIK(latitude=lat, precipitation=P,
+                 parameterization="martin_huybrechts_dewolde")
+    out2 = a2(geom, 0.0)
+    # summer: 273.15 + 16.81 - 6.92 - 20.95 = 262.09
+    assert float(out2.temperature_july[2, 2]) == pytest.approx(262.09,
+                                                               abs=0.01)
+    assert float(out2.temperature_july[2, 2]) > float(out2.temperature[2, 2])
+    # poleward colder
+    a3 = atm.PIK(latitude=jnp.full(grid.shape2, -85.0), precipitation=P)
+    assert float(a3(geom, 0.0).temperature[2, 2]) \
+        < float(out.temperature[2, 2])
