@@ -603,6 +603,28 @@ class IceModel:
                 kw["ch_enthalpy"] = E0
         return state.replace(**kw) if kw else state
 
+    def _check_health(self, state: S.ModelState, t: float) -> None:
+        """Host-side non-finite-state detection at segment boundaries: the
+        reference's SSAFD convergence-failure path dumps the model state to
+        ``SSAFD_failed.nc`` and aborts (``SSAFD::picard_iteration``
+        failure strategies, SURVEY.md §5.3); in the traced loop a broken
+        solve surfaces as NaNs, detected here."""
+        H = state.geometry.ice_thickness
+        bad = bool(jnp.isnan(H).any())
+        if not bad and state.u_ssa is not None:
+            bad = bool(jnp.isnan(state.u_ssa).any())
+        if bad:
+            from ..io import checkpoint as ckpt
+            path = "SSAFD_failed.nc"
+            try:
+                ckpt.save_state(path, state, self.grid, t, config=self.config)
+            except Exception:
+                path = "(state dump failed)"
+            raise RuntimeError(
+                "non-finite model state at t = "
+                f"{t / 3.15569259747e7:.3f} a (solver failure); "
+                f"state dumped to {path}")
+
     def _check_thickness(self, state: S.ModelState) -> None:
         """PISM aborts when the ice thickness reaches the top of the
         computational box (``IceModel::check_maximum_ice_thickness``): the
@@ -650,6 +672,7 @@ class IceModel:
             state, t_dev, stats = self._advance(state, t, t_seg)
             t = float(t_dev)
             self._check_thickness(state)
+            self._check_health(state, t)
             total_stats = _merge_stats(total_stats, stats)
             if output is not None:
                 output.process(state, t, self, stats=total_stats)

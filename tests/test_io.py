@@ -255,3 +255,29 @@ def test_classic_netcdf3_write_roundtrip(tmp_path):
                                   np.asarray(s2.enthalpy))
     np.testing.assert_array_equal(np.asarray(state.tillwat),
                                   np.asarray(s2.tillwat))
+
+
+def test_failure_dump(tmp_path, monkeypatch):
+    """A non-finite state at a segment boundary dumps SSAFD_failed.nc and
+    aborts (reference SSAFD failure-strategy endpoint)."""
+    import pytest
+
+    from pism_tpu import Time
+    from pism_tpu.coupler.surface import Uniform
+    from pism_tpu.model.icemodel import IceModel
+
+    monkeypatch.chdir(tmp_path)
+    grid = Grid(Mx=7, My=7, Lx=100e3, Ly=100e3)
+    cfg = Config({"stress_balance.model": "sia",
+                  "stress_balance.sia.flow_law": "isothermal_glen",
+                  "energy.model": "none"})
+    H = np.full(grid.shape2, 500.0)
+    H[3, 3] = np.nan
+    state = ModelState(geometry=new_geometry(jnp.asarray(H),
+                                             jnp.zeros(grid.shape2)))
+    model = IceModel(grid=grid, config=cfg, surface=Uniform(smb=0.0))
+    with pytest.raises(RuntimeError, match="SSAFD_failed.nc"):
+        model.run(state, Time(0.0, 3.15569259747e7))
+    assert (tmp_path / "SSAFD_failed.nc").exists()
+    s2, _ = ckpt.load_state(str(tmp_path / "SSAFD_failed.nc"), config=cfg)
+    assert bool(np.isnan(np.asarray(s2.geometry.ice_thickness)).any())
