@@ -551,6 +551,11 @@ class IceModel:
                 kw["hydro_Q"] = None
         if self.energy_model is not None and state.basal_melt_rate is None:
             kw["basal_melt_rate"] = z2
+        if state.till_phi is None \
+                and getattr(self.yield_stress, "t2p_enabled", False):
+            # reference -topg_to_phi: friction angle from the INITIAL bed
+            kw["till_phi"] = self.yield_stress.topg_to_phi(
+                state.geometry.bed_elevation)
         if self.stress_balance.model not in ("sia", "none"):
             if state.u_ssa is None:
                 kw["u_ssa"] = z2

@@ -45,6 +45,21 @@ class MohrCoulombYieldStress:
         self.rho_i = cfg.get_number("constants.ice.density")
         self.g = cfg.get_number("constants.standard_gravity")
         self.tau_c_ice_free = cfg.get_number("basal_yield_stress.ice_free_bedrock")
+        self.t2p_enabled = cfg.get_flag(
+            "basal_yield_stress.mohr_coulomb.topg_to_phi.enabled")
+        self.t2p = tuple(cfg.get_number(
+            "basal_yield_stress.mohr_coulomb.topg_to_phi." + k)
+            for k in ("phi_min", "phi_max", "topg_min", "topg_max"))
+
+    def topg_to_phi(self, bed):
+        """Heuristic till friction angle from bed elevation (reference
+        ``-topg_to_phi`` / ``MohrCoulombYieldStress::till_friction_angle``):
+        phi_min below topg_min, linear ramp to phi_max at topg_max —
+        low-lying (marine) beds get weak till."""
+        phi_min, phi_max, b_min, b_max = self.t2p
+        w = jnp.clip((bed - b_min) / jnp.maximum(b_max - b_min, 1e-30),
+                     0.0, 1.0)
+        return phi_min + (phi_max - phi_min) * w
 
     def effective_pressure(self, tillwat, P_overburden):
         """Bueler & van Pelt (2015) eq. 23: N_till from till water amount."""

@@ -88,3 +88,39 @@ def test_averaged_hardness_isothermal(EC):
     H = jnp.full((4, 4), 2000.0)
     B = law.averaged_hardness(H, E, z)
     assert np.allclose(np.asarray(B), law.A ** (-1 / 3.0), rtol=1e-12)
+
+
+def test_topg_to_phi():
+    """-topg_to_phi: till friction angle ramps with bed elevation; seeded
+    into the state at prepare time and checkpointed as tillphi."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pism_tpu import Config, Grid
+    from pism_tpu.coupler.surface import Uniform
+    from pism_tpu.model.icemodel import IceModel
+    from pism_tpu.physics.basal import MohrCoulombYieldStress
+    from pism_tpu.state import ModelState, new_geometry
+
+    cfg = Config({"basal_yield_stress.mohr_coulomb.topg_to_phi.enabled": True})
+    mc = MohrCoulombYieldStress(config=cfg)
+    bed = jnp.asarray([-500.0, -300.0, 200.0, 700.0, 1500.0])
+    phi = np.asarray(mc.topg_to_phi(bed))
+    np.testing.assert_allclose(phi, [15.0, 15.0, 30.0, 45.0, 45.0])
+
+    grid = Grid(Mx=7, My=7, Lx=100e3, Ly=100e3)
+    cfg2 = Config({"stress_balance.model": "ssa+sia",
+                   "stress_balance.sia.flow_law": "isothermal_glen",
+                   "stress_balance.ssa.flow_law": "isothermal_glen",
+                   "energy.model": "none",
+                   "basal_yield_stress.model": "mohr_coulomb",
+                   "basal_yield_stress.mohr_coulomb.topg_to_phi.enabled":
+                       True})
+    bed2 = jnp.asarray(np.linspace(-400, 900, 49).reshape(7, 7))
+    state = ModelState(geometry=new_geometry(jnp.full((7, 7), 800.0), bed2))
+    model = IceModel(grid=grid, config=cfg2, surface=Uniform(smb=0.0))
+    st = model.prepare_state(state)
+    assert st.till_phi is not None
+    p = np.asarray(st.till_phi)
+    assert p.min() == 15.0 and p.max() == 45.0
+    assert np.all(np.diff(p.ravel()) >= 0.0)   # monotone with the bed ramp
