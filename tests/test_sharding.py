@@ -127,18 +127,19 @@ def test_full_hybrid_chain_mesh_invariance(devices):
     state = model.prepare_state(ModelState(geometry=new_geometry(
         jnp.asarray(H), jnp.asarray(bed))))
 
-    s1, t1, st1 = model.step_once(state, 0.0, 2 * SPY)
+    cap = 0.05 * SPY     # below the adaptive dt: exactly one step each
+    s1, t1, st1 = model.step_once(state, 0.0, cap)
 
     mesh = make_mesh(devices, shape=(2, 4))
-    s8, t8, st8 = model.step_once(shard_state(state, mesh), 0.0, 2 * SPY)
+    s8, t8, st8 = model.step_once(shard_state(state, mesh), 0.0, cap)
 
-    assert t1 == t8 and int(st1.nsteps) == int(st8.nsteps)
+    assert t1 == t8 and int(st1.nsteps) == int(st8.nsteps) == 1
     for name, a1, a8, tol in (
             ("thk", s1.geometry.ice_thickness, s8.geometry.ice_thickness,
-             2e-4),
-            ("enthalpy", s1.enthalpy, s8.enthalpy, 2e-4),
-            ("u_ssa", s1.u_ssa, s8.u_ssa, 1e-2),
-            ("snow", s1.snow_depth, s8.snow_depth, 1e-5)):
+             1e-5),
+            ("enthalpy", s1.enthalpy, s8.enthalpy, 1e-5),
+            ("u_ssa", s1.u_ssa, s8.u_ssa, 5e-3),
+            ("snow", s1.snow_depth, s8.snow_depth, 1e-6)):
         a1, a8 = np.asarray(a1), np.asarray(a8)
         scale = max(np.abs(a1).max(), 1e-30)
         assert np.max(np.abs(a1 - a8)) / scale < tol, name
