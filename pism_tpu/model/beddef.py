@@ -120,13 +120,54 @@ class LingleClark:
         return state.replace(geometry=geom,
                              bed_uplift=U_new.astype(U.dtype))
 
-    def initialize(self, state: S.ModelState) -> S.ModelState:
-        """Record the reference (assumed-equilibrium) bed and load."""
+    def initialize(self, state: S.ModelState,
+                   uplift_rate=None) -> S.ModelState:
+        """Record the reference (assumed-equilibrium) bed and load.
+
+        ``uplift_rate`` [m/s] (or the file named by
+        ``bed_deformation.bed_uplift_file``; variable ``dbdt``; reference
+        ``-uplift_file``) bootstraps the viscous plate displacement so the
+        model's initial d(bed)/dt matches the observed uplift: with zero
+        load anomaly the spectral evolution is dU/dt = -alpha U /(2 eta k),
+        inverted per mode for U0. The undeformed reference bed becomes
+        bed - U0 so the current bed is reproduced exactly."""
         g = state.geometry
+        if uplift_rate is None:
+            path = self.config.get_string("bed_deformation.bed_uplift_file")
+            if path:
+                from ..io.bootstrap import read_and_regrid
+                import numpy as _np
+                flds = read_and_regrid(path, self.grid,
+                                       variables=["dbdt", "uplift"])
+                u = flds.get("dbdt", flds.get("uplift"))
+                if u is None:
+                    raise ValueError(
+                        f"{path!r} has no dbdt/uplift variable")
+                uplift_rate = jnp.asarray(_np.nan_to_num(u))
+        U0 = jnp.zeros_like(g.bed_elevation)
+        bed_ref = g.bed_elevation
+        if uplift_rate is not None:
+            up = self._pad(jnp.asarray(uplift_rate,
+                                       g.bed_elevation.dtype))
+            up_hat = jnp.fft.rfft2(up)
+            rdt = up.dtype
+            alpha = (self.rho_r * self.g + self.D * self.k4).astype(rdt)
+            two_eta_k = (2.0 * self.eta
+                         * jnp.maximum(self.k, 1e-12)).astype(rdt)
+            U0_hat = -(two_eta_k * up_hat) / alpha
+            U0_hat = U0_hat.at[0, 0].set(0.0)   # mean displacement free
+            U0 = self._crop(jnp.fft.irfft2(U0_hat, s=(self.Ny, self.Nx)))
+            # the step pins the PADDED-domain k=0 mode to its relaxed value
+            # (0 at zero load anomaly); after crop + re-pad that mode equals
+            # the cropped-region sum, so remove the cropped mean or the
+            # first step snaps it away as a spurious uniform jump
+            U0 = U0 - jnp.mean(U0)
+            U0 = U0.astype(g.bed_elevation.dtype)
+            bed_ref = g.bed_elevation - U0
         return state.replace(
-            bed_reference=g.bed_elevation,
+            bed_reference=bed_ref,
             bed_load_reference=g.ice_thickness,
-            bed_uplift=jnp.zeros_like(g.bed_elevation))
+            bed_uplift=U0)
 
 
 def bed_deformation_from_config(grid, config):

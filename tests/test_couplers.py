@@ -443,3 +443,36 @@ def test_atmosphere_pik(flat_geometry):
     a3 = atm.PIK(latitude=jnp.full(grid.shape2, -85.0), precipitation=P)
     assert float(a3(geom, 0.0).temperature[2, 2]) \
         < float(out.temperature[2, 2])
+
+
+def test_lingle_clark_uplift_initialization():
+    """-uplift_file role: initializing from an observed uplift rate gives a
+    model whose initial d(bed)/dt reproduces that rate, and the current
+    bed is preserved exactly at t = 0."""
+    from pism_tpu.model.beddef import LingleClark
+
+    grid = Grid(Mx=33, My=33, Lx=800e3, Ly=800e3)
+    cfg = Config({"bed_deformation.model": "lc",
+                  "bed_deformation.lc.elastic_model": False})
+    lc = LingleClark(grid=grid, config=cfg)
+    bed0 = jnp.zeros(grid.shape2)
+    geom = new_geometry(jnp.zeros(grid.shape2), bed0)
+    # a smooth observed uplift bump (post-glacial rebound pattern), m/s
+    up = 0.01 / SPY * jnp.exp(-(jnp.asarray(grid.radius) / 250e3) ** 2)
+    state = lc.initialize(ModelState(geometry=geom), uplift_rate=up)
+    # current bed unchanged by the initialization
+    np.testing.assert_allclose(np.asarray(state.geometry.bed_elevation),
+                               np.asarray(bed0), atol=1e-9)
+    assert float(jnp.abs(state.bed_uplift).max()) > 0.0
+    # one short step: measured d(bed)/dt matches the observed rate
+    dt = 20.0 * SPY
+    s2 = lc.step(state, dt)
+    rate = (np.asarray(s2.geometry.bed_elevation)
+            - np.asarray(state.geometry.bed_elevation)) / dt
+    target = np.asarray(up)
+    i = 16
+    assert rate[i, i] == pytest.approx(target[i, i], rel=0.15)
+    # without uplift init the bed would not move at all (zero anomaly)
+    s_plain = lc.initialize(ModelState(geometry=geom))
+    s_plain2 = lc.step(s_plain, dt)
+    assert float(jnp.abs(s_plain2.geometry.bed_elevation).max()) < 1e-9
