@@ -217,7 +217,7 @@ def main(argv=None):
             es = eismint2.setup(args.eisII, Mx=args.Mx or 61,
                                 Mz=args.Mz or 61)
             grid, cfg, state, surface = es.grid, es.config, es.state, es.surface
-    elif args.test and args.test.upper() in tuple("ADFGHKLOP"):
+    elif args.test and args.test.upper() in tuple("ADEFGHKLOP"):
         # pismv-style single-test runs with an error report (runner.py)
         from .verification import runner
         over = Config({})

@@ -39,7 +39,7 @@ class PointwiseIsostasy:
         self.f = cfg.get_number("constants.ice.density") / \
             cfg.get_number("bed_deformation.lithosphere_density")
 
-    def step(self, state: S.ModelState, dt) -> S.ModelState:
+    def step(self, state: S.ModelState, dt, t=None) -> S.ModelState:
         g = state.geometry
         bed_ref = state.bed_reference
         load_ref = state.bed_load_reference  # reference thickness (see initialize)
@@ -84,7 +84,7 @@ class LingleClark:
     def _crop(self, a):
         return a[:self.grid.My, :self.grid.Mx]
 
-    def step(self, state: S.ModelState, dt) -> S.ModelState:
+    def step(self, state: S.ModelState, dt, t=None) -> S.ModelState:
         g = state.geometry
         H_ref = state.bed_load_reference          # reference load thickness
         bed_ref = state.bed_reference      # undeformed bed
@@ -170,6 +170,80 @@ class LingleClark:
             bed_uplift=U0)
 
 
+@dataclass
+class GivenBed:
+    """Prescribed bed deformation (PISM ``bed::Given``, ``-bed_def given``):
+    bed(t) = topg_reference + topg_delta(t), with ``topg_delta`` a
+    time-dependent field stack read from ``bed_deformation.given.file``
+    (linear interpolation in time, end values held outside the record) and
+    the reference bed from ``bed_deformation.given.reference_file``
+    (variable ``topg``; defaults to the bed at initialization)."""
+
+    grid: object
+    config: object
+    topg_delta: object = None     # (Nt, My, Mx) or (My, Mx)
+    times: object = None          # (Nt,) model seconds
+
+    def __post_init__(self):
+        cfg = self.config
+        if self.topg_delta is None:
+            path = cfg.get_string("bed_deformation.given.file")
+            if not path:
+                raise ValueError(
+                    "-bed_def given needs bed_deformation.given.file")
+            from ..io.bootstrap import read_forcing_fields
+            fields, times = read_forcing_fields(path, self.grid,
+                                                ["topg_delta"])
+            if "topg_delta" not in fields:
+                raise ValueError(
+                    f"no variable topg_delta in {path!r}")
+            d = np.asarray(fields["topg_delta"])
+            if np.isnan(d).any():
+                raise ValueError(
+                    f"topg_delta from {path!r} does not cover the model grid")
+            self.topg_delta = jnp.asarray(d)
+            self.times = None if times is None else jnp.asarray(times)
+        self._ref_file = cfg.get_string(
+            "bed_deformation.given.reference_file")
+
+    def _delta_at(self, t):
+        d = self.topg_delta
+        if d.ndim == 2 or self.times is None or self.times.shape[0] == 1:
+            return d if d.ndim == 2 else d[0]
+        tt = self.times
+        t = jnp.clip(t, tt[0], tt[-1])
+        i = jnp.clip(jnp.searchsorted(tt, t, side="right") - 1,
+                     0, tt.shape[0] - 2)
+        w = (t - tt[i]) / jnp.maximum(tt[i + 1] - tt[i], 1e-30)
+        return (1.0 - w) * d[i] + w * d[i + 1]
+
+    def step(self, state: S.ModelState, dt, t=None) -> S.ModelState:
+        g = state.geometry
+        if t is None:
+            t = self.times[0] if self.times is not None else 0.0
+        bed = state.bed_reference + self._delta_at(t)
+        geom = g.replace(bed_elevation=bed.astype(g.bed_elevation.dtype))
+        return state.replace(geometry=geom)
+
+    def initialize(self, state: S.ModelState) -> S.ModelState:
+        bed_ref = state.geometry.bed_elevation
+        if self._ref_file:
+            from ..io.bootstrap import read_forcing_fields
+            fields, _ = read_forcing_fields(self._ref_file, self.grid,
+                                            ["topg"])
+            if "topg" in fields:
+                r = np.asarray(fields["topg"])
+                r = r[-1] if r.ndim == 3 else r
+                if np.isnan(r).any():
+                    raise ValueError(
+                        f"topg from {self._ref_file!r} does not cover the "
+                        "model grid")
+                bed_ref = jnp.asarray(r).astype(bed_ref.dtype)
+        return state.replace(
+            bed_reference=bed_ref,
+            bed_load_reference=state.geometry.ice_thickness)
+
+
 def bed_deformation_from_config(grid, config):
     name = config.get_string("bed_deformation.model")
     if name in ("none", ""):
@@ -178,4 +252,6 @@ def bed_deformation_from_config(grid, config):
         return PointwiseIsostasy(grid=grid, config=config)
     if name == "lc":
         return LingleClark(grid=grid, config=config)
+    if name == "given":
+        return GivenBed(grid=grid, config=config)
     raise ValueError(f"unknown bed deformation model {name!r}")

@@ -480,7 +480,7 @@ class IceModel:
 
         # 9. bed deformation ----------------------------------------------
         if self.bed_deformation is not None:
-            state = self.bed_deformation.step(state, dt_f)
+            state = self.bed_deformation.step(state, dt_f, t=t + dt_f)
             state = state.replace(geometry=S.ensure_consistency(
                 state.geometry, self.rho_i, self.rho_w, self.Hmin))
 

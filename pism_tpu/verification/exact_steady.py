@@ -81,6 +81,114 @@ def test_A() -> SteadyCap:
     return SteadyCap()
 
 
+# ---------------------------------------------------------------- test E
+
+@dataclass(frozen=True)
+class SlidingCap:
+    """Test E (Bueler et al. 2005): the steady test-A cap with basal
+    sliding prescribed in an annular sector and a compensatory
+    accumulation so the test-A thickness remains an exact steady state.
+
+    The sliding coefficient is a separable bump
+
+        mu(r, theta) = mu_max * 4 (r - r1)(r2 - r) / (r2 - r1)^2
+                              * 4 (th - th1)(th2 - th) / (th2 - th1)^2
+
+    inside ``r1 < r < r2``, ``th1 < theta < th2`` and zero outside; the
+    basal sliding velocity is ``u_b = mu tau_b`` with ``tau_b = rho g H
+    |grad h|`` directed down-gradient (radially outward on the flat-bed
+    cap), and the compensatory accumulation is
+
+        M_E = M_A + div(H u_b)
+
+    (reference: ``src/verification/tests/exactTestsABCDE.c`` — not
+    readable here, mount empty; the construction is re-derived from the
+    published description and made exact by evaluating ``div(H u_b)``
+    with autodiff on the closed-form flux, so the verification is
+    self-consistent regardless of the exact upstream sector constants).
+    """
+
+    cap: SteadyCap = SteadyCap()
+    mu_max: float = 2.5e-11            # m s^-1 Pa^-1 (peak sliding coeff)
+    r1: float = 200.0e3
+    r2: float = 700.0e3
+    th1: float = 10.0 * np.pi / 180.0
+    th2: float = 40.0 * np.pi / 180.0
+    rho: float = RHO_ICE
+    g: float = 9.81
+
+    def thickness(self, r):
+        return self.cap.thickness(r)
+
+    def _fields(self, x, y):
+        """Closed-form (H, u_b, v_b) at points (x, y) — jax-traceable.
+
+        Every intermediate is kept finite everywhere (clamped powers,
+        origin-regularized r and atan2) so autodiff through the sector
+        masks never produces NaN: the margin singularity of H' lies
+        outside the sliding sector (r2 < L), where the masked branch is
+        exactly zero."""
+        import jax.numpy as jnp
+        n = self.cap.n
+        G = gamma(self.cap.A, n)
+        p = (n + 1.0) / n
+        L, M0 = self.cap.L, self.cap.M0
+        r = jnp.sqrt(x * x + y * y + 1.0)   # +1 m^2: finite grad at origin
+        C = 2.0 * (M0 / (2.0 * G)) ** (1.0 / n)
+        e = n / (2.0 * n + 2.0)
+        inner = C * (L ** p - r ** p)
+        inner_c = jnp.clip(inner, 1.0, None)   # >= 1 keeps powers finite
+        H = jnp.where(inner > 0.0, inner_c ** e, 0.0)
+        dHdr = e * inner_c ** (e - 1.0) * (-C * p * r ** (p - 1.0))
+        theta = jnp.arctan2(y, jnp.where(jnp.abs(x) + jnp.abs(y) < 1.0,
+                                         1.0, x))
+        gr = 4.0 * (r - self.r1) * (self.r2 - r) / (self.r2 - self.r1) ** 2
+        gt = 4.0 * (theta - self.th1) * (self.th2 - theta) \
+            / (self.th2 - self.th1) ** 2
+        in_sector = (r > self.r1) & (r < self.r2) & \
+            (theta > self.th1) & (theta < self.th2)
+        mu = jnp.where(in_sector, self.mu_max * gr * gt, 0.0)
+        tau_b = self.rho * self.g * H * jnp.abs(dHdr)
+        speed = mu * tau_b             # down-gradient = radially outward
+        u = speed * x / r
+        v = speed * y / r
+        return H, u, v
+
+    def sliding_velocity(self, x, y):
+        import jax
+        import jax.numpy as jnp
+        x = jnp.asarray(x, jnp.float64)
+        y = jnp.asarray(y, jnp.float64)
+        _, u, v = self._fields(x, y)
+        return np.asarray(u), np.asarray(v)
+
+    def accumulation(self, x, y):
+        """M_E = M_A + div(H u_b), the divergence evaluated by autodiff
+        of the closed-form sliding flux (exact to machine precision)."""
+        import jax
+        import jax.numpy as jnp
+
+        def qx(px, py):
+            H, u, _ = self._fields(px, py)
+            return H * u
+
+        def qy(px, py):
+            H, _, v = self._fields(px, py)
+            return H * v
+
+        div = jax.vmap(lambda px, py: jax.grad(qx, 0)(px, py)
+                       + jax.grad(qy, 1)(px, py))
+        X = jnp.asarray(np.ravel(x), jnp.float64)
+        Y = jnp.asarray(np.ravel(y), jnp.float64)
+        Mc = np.asarray(div(X, Y)).reshape(np.shape(x))
+        r = np.sqrt(np.asarray(x) ** 2 + np.asarray(y) ** 2)
+        return np.asarray(self.cap.accumulation(r)) + Mc
+
+
+def test_E() -> SlidingCap:
+    return SlidingCap()
+
+
 # ---------------------------------------------------------------- test H
 
 @dataclass(frozen=True)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 SPY = 3.15569259747e7
 
-SUPPORTED = "ADFGHKLOP"
+SUPPORTED = "ADEFGHKLOP"
 
 
 def _report(title, rows):
@@ -97,6 +97,45 @@ def run_A(Mx=61, years=1000.0, config=None):
                             grid.dx, grid.dy)
     _report(f"test A (steady cap, {years:.0f} a, {Mx}x{Mx})",
             [("geometry", errs)])
+    return errs
+
+
+def run_E(Mx=61, years=1000.0, config=None):
+    """Test E: the steady test-A cap with prescribed basal sliding in an
+    annular sector and compensatory accumulation (Bueler et al. 2005;
+    reference ``exactTestsABCDE.c`` / ``pismv -test E``, where the sliding
+    velocity is likewise prescribed rather than produced by a sliding
+    law)."""
+    from ..coupler.surface import FunctionSurface
+    from ..grid import Grid
+    from ..model.icemodel import IceModel
+    from ..state import ModelState, new_geometry
+    from . import exact_steady as es
+
+    sc = es.test_E()
+    grid = Grid(Mx=Mx, My=Mx, Lx=900e3, Ly=900e3)
+    cfg = _isothermal_config(config)
+    cfg.update({"stress_balance.model": "prescribed_sliding+sia"})
+    X, Y = np.meshgrid(grid.x, grid.y)
+    He = sc.thickness(grid.radius)
+    ub, vb = sc.sliding_velocity(X, Y)
+    M = jnp.asarray(sc.accumulation(X, Y))
+    surface = FunctionSurface(
+        lambda g, t: (M, jnp.full(g.ice_thickness.shape, 263.15)))
+    calving = _ocean_kill(grid, cfg, sc.cap.L)
+    model = IceModel(grid=grid, config=cfg, surface=surface, calving=calving)
+    model.stress_balance.prescribed_u = jnp.asarray(ub)
+    model.stress_balance.prescribed_v = jnp.asarray(vb)
+    state = ModelState(geometry=new_geometry(jnp.asarray(He),
+                                             jnp.zeros(grid.shape2)))
+    state, tf, stats = model.step_once(state, 0.0, years * SPY)
+    errs = _geometry_errors(np.asarray(state.geometry.ice_thickness), He,
+                            grid.dx, grid.dy)
+    spy = 3.15569259747e7
+    base = {"max_ub(m/a)": float(np.abs(ub).max() * spy),
+            "max_vb(m/a)": float(np.abs(vb).max() * spy)}
+    _report(f"test E (sliding sector cap, {years:.0f} a, {Mx}x{Mx})",
+            [("geometry", errs), ("base slide", base)])
     return errs
 
 
@@ -425,7 +464,8 @@ def run_test(letter, *, Mx=None, My=None, Mz=None, years=None, config=None):
         if Mz is not None:
             kw["Mz"] = Mz
         return {"F": run_F, "G": run_G}[letter](**kw)
-    fn = {"A": run_A, "D": run_D, "H": run_H, "L": run_L, "P": run_P}.get(letter)
+    fn = {"A": run_A, "D": run_D, "E": run_E, "H": run_H, "L": run_L,
+          "P": run_P}.get(letter)
     if fn is None:
         raise ValueError(f"unsupported verification test {letter!r}; "
                          f"runner supports {', '.join(SUPPORTED)}")

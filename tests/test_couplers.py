@@ -476,3 +476,49 @@ def test_lingle_clark_uplift_initialization():
     s_plain = lc.initialize(ModelState(geometry=geom))
     s_plain2 = lc.step(s_plain, dt)
     assert float(jnp.abs(s_plain2.geometry.bed_elevation).max()) < 1e-9
+
+
+def test_bed_def_given(tmp_path):
+    """-bed_def given (bed::Given role): bed(t) = reference + topg_delta(t),
+    linearly interpolated in time, end values held outside the record."""
+    from pism_tpu.io.nc4 import File
+    from pism_tpu.model.beddef import GivenBed, bed_deformation_from_config
+
+    grid = Grid(Mx=9, My=9, Lx=100e3, Ly=100e3)
+    path = str(tmp_path / "beddef.nc")
+    times_y = [0.0, 100.0, 200.0]
+    with File(path, "w") as f:
+        f.define_dimension("time", None, attrs={"units": "years"})
+        f.define_dimension("y", grid.My, np.asarray(grid.y))
+        f.define_dimension("x", grid.Mx, np.asarray(grid.x))
+        f.define_variable("topg_delta", ("time", "y", "x"),
+                          attrs={"units": "m"})
+        for k, ty in enumerate(times_y):
+            f.append_time(ty)
+            f.write("topg_delta", np.full(grid.shape2, -10.0 * k),
+                    time_index=k)
+
+    cfg = Config({"bed_deformation.model": "given",
+                  "bed_deformation.given.file": path})
+    bd = bed_deformation_from_config(grid, cfg)
+    assert isinstance(bd, GivenBed)
+
+    bed0 = jnp.full(grid.shape2, 123.0)
+    geom = new_geometry(jnp.zeros(grid.shape2), bed0)
+    state = bd.initialize(ModelState(geometry=geom))
+    # t = 0: delta = 0, bed = reference
+    s = bd.step(state, 1.0, t=0.0)
+    np.testing.assert_allclose(np.asarray(s.geometry.bed_elevation), 123.0)
+    # t = 150 a: halfway between -10 and -20
+    s = bd.step(state, 1.0, t=150.0 * SPY)
+    np.testing.assert_allclose(np.asarray(s.geometry.bed_elevation),
+                               123.0 - 15.0, rtol=1e-6)
+    # beyond the record: held at the last slice
+    s = bd.step(state, 1.0, t=1000.0 * SPY)
+    np.testing.assert_allclose(np.asarray(s.geometry.bed_elevation),
+                               123.0 - 20.0, rtol=1e-6)
+    # jit-compatible with a traced time
+    import jax
+    s = jax.jit(lambda st, t: bd.step(st, 1.0, t=t))(state, 150.0 * SPY)
+    np.testing.assert_allclose(np.asarray(s.geometry.bed_elevation),
+                               123.0 - 15.0, rtol=1e-6)

@@ -164,3 +164,38 @@ def test_L_average_error_converges():
     coarse, fine = run(31), run(61)
     assert fine["avg_H"] < 0.85 * coarse["avg_H"]
     assert fine["rel_volume"] < 0.85 * coarse["rel_volume"]
+
+
+def test_E_sliding_sector_steady():
+    """Test E (Bueler et al. 2005 role): the test-A cap with prescribed
+    sector sliding and autodiff-compensatory accumulation stays as close
+    to the exact profile as plain test A does (the sliding adds no
+    additional drift), and the sliding field itself is nontrivial."""
+    from pism_tpu.verification.runner import run_E, run_A
+
+    errs_E = run_E(Mx=31, years=300.0)
+    errs_A = run_A(Mx=31, years=300.0)
+    # the dominant error is the shared margin discretization; the sector
+    # sliding must not add more than a small fraction on top of test A
+    assert errs_E["avg_H"] < 1.3 * errs_A["avg_H"] + 5.0
+    assert errs_E["dome_H"] < errs_A["dome_H"] + 10.0
+
+    sc = es.test_E()
+    x = np.linspace(-900e3, 900e3, 31)
+    X, Y = np.meshgrid(x, x)
+    ub, vb = sc.sliding_velocity(X, Y)
+    spy = 3.15569259747e7
+    speed = np.hypot(ub, vb) * spy
+    assert speed.max() > 10.0           # sliding really present (m/a)
+    # zero outside the sector
+    r = np.hypot(X, Y)
+    outside = (r < sc.r1) | (r > sc.r2)
+    assert np.abs(speed[outside]).max() == 0.0
+    # compensatory accumulation integrates to ~the sliding flux out of the
+    # sector = 0 net (divergence theorem: flux vanishes on the boundary)
+    M = sc.accumulation(X, Y)
+    Mc = M - np.asarray(es.SteadyCap().accumulation(r))
+    dx = x[1] - x[0]
+    net = Mc.sum() * dx * dx * spy      # m^3/a
+    gross = np.abs(Mc).sum() * dx * dx * spy
+    assert abs(net) < 0.05 * gross
