@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Callable, Dict, NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import state as S
 from ..util.units import SEC_PER_YEAR
@@ -1178,6 +1179,123 @@ def _volgf(state, model, t):
 @scalar("ice_mass_glacierized", "kg", "mass of glacierized ice")
 def _massg(state, model, t):
     return model.rho_i * SCALAR["ice_volume_glacierized"].func(state, model, t)
+
+
+@spatial("tillphi", "degrees", "till friction angle",
+         "till_angle_of_internal_friction")
+def _tillphi(state, model, t):
+    H = state.geometry.ice_thickness
+    if state.till_phi is not None:
+        return state.till_phi
+    if model.yield_stress is not None and \
+            hasattr(model.yield_stress, "phi"):
+        return jnp.full_like(H, model.yield_stress.phi)
+    return jnp.zeros_like(H)
+
+
+@spatial("wvel", "m s-1",
+         "vertical velocity of ice, relative to the geoid (wvel_rel plus "
+         "the basal kinematic contribution u_b . grad b; bed-uplift dbdt "
+         "not included)")
+def _wvel_full(state, model, t):
+    sb = model.stress_balance.update(state)
+    H = state.geometry.ice_thickness
+    if sb.sia3 is None:
+        return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+    b = state.geometry.bed_elevation
+    sh, dx, dy = model.sh, model.grid.dx, model.grid.dy
+    bx = (sh(b, 0, 1) - sh(b, 0, -1)) / (2 * dx)
+    by = (sh(b, 1, 0) - sh(b, -1, 0)) / (2 * dy)
+    w_base = sb.u_base * bx + sb.v_base * by
+    return sb.sia3.w + w_base[..., None]
+
+
+def _deviatoric_stresses(state, model):
+    """SSA-plane deviatoric stress components sigma_xx/yy/xy (PISM
+    ``deviatoric_stresses``): tau_ij = 2 nu e_ij with the effective
+    viscosity nu = B/2 gamma^((1-n)/(2n)),
+    gamma = ux^2 + vy^2 + ux vy + (uy+vx)^2/4."""
+    H = state.geometry.ice_thickness
+    u = state.u_ssa if state.u_ssa is not None else jnp.zeros_like(H)
+    v = state.v_ssa if state.v_ssa is not None else jnp.zeros_like(H)
+    sh, dx, dy = model.sh, model.grid.dx, model.grid.dy
+    ux = (sh(u, 0, 1) - sh(u, 0, -1)) / (2 * dx)
+    uy = (sh(u, 1, 0) - sh(u, -1, 0)) / (2 * dy)
+    vx = (sh(v, 0, 1) - sh(v, 0, -1)) / (2 * dx)
+    vy = (sh(v, 1, 0) - sh(v, -1, 0)) / (2 * dy)
+    gamma = ux ** 2 + vy ** 2 + ux * vy + 0.25 * (uy + vx) ** 2
+    B = SPATIAL["hardav"].func(state, model, None)
+    n = model.config.get_number("stress_balance.ssa.Glen_exponent")
+    nu = 0.5 * B * jnp.maximum(gamma, 1e-30) ** ((1.0 - n) / (2.0 * n))
+    return 2.0 * nu * ux, 2.0 * nu * vy, nu * (uy + vx)
+
+
+@spatial("sigma_xx", "Pa", "xx-component of the deviatoric stress")
+def _sigma_xx(state, model, t):
+    return _deviatoric_stresses(state, model)[0]
+
+
+@spatial("sigma_yy", "Pa", "yy-component of the deviatoric stress")
+def _sigma_yy(state, model, t):
+    return _deviatoric_stresses(state, model)[1]
+
+
+@spatial("sigma_xy", "Pa", "xy-component of the deviatoric stress")
+def _sigma_xy(state, model, t):
+    return _deviatoric_stresses(state, model)[2]
+
+
+def _bwatvel(state, model):
+    """Routing-hydrology water velocity q/W at cell centers (PISM
+    ``bwatvel``); zero unless hydrology is the routing family."""
+    H = state.geometry.ice_thickness
+    hyd = model.hydrology
+    W = state.hydro_W
+    z = (jnp.zeros_like(H), jnp.zeros_like(H))
+    if W is None or hyd is None or not hasattr(hyd, "_face_gradients"):
+        return z
+    b = state.geometry.bed_elevation
+    if state.hydro_P is not None:       # distributed: evolving pressure
+        psi = hyd.rho_w * hyd.g * b + state.hydro_P
+    else:
+        psi = hyd.rho_w * hyd.g * b + hyd.rho_i * hyd.g * H
+    dpx, dpy, gpe, gpn = hyd._face_gradients(psi)
+    sh = hyd.sh
+    We = jnp.where(dpx <= 0.0, W, sh(W, 0, 1))
+    Wn = jnp.where(dpy <= 0.0, W, sh(W, 1, 0))
+    qe = -hyd.k * We ** hyd.alpha * gpe ** (hyd.beta_exp - 2.0) * dpx
+    qn = -hyd.k * Wn ** hyd.alpha * gpn ** (hyd.beta_exp - 2.0) * dpy
+    # face fluxes -> cell-centered velocity
+    qx = 0.5 * (qe + sh(qe, 0, -1))
+    qy = 0.5 * (qn + sh(qn, -1, 0))
+    Ws = jnp.maximum(W, 1e-6)
+    return qx / Ws, qy / Ws
+
+
+@spatial("bwatvel_x", "m s-1", "x-velocity of subglacial transportable water")
+def _bwatvel_x(state, model, t):
+    return _bwatvel(state, model)[0]
+
+
+@spatial("bwatvel_y", "m s-1", "y-velocity of subglacial transportable water")
+def _bwatvel_y(state, model, t):
+    return _bwatvel(state, model)[1]
+
+
+@spatial("rank", "1",
+         "index of the device owning each grid cell (the reference writes "
+         "the MPI rank; useful to visualize the mesh decomposition)")
+def _rank(state, model, t):
+    H = state.geometry.ice_thickness
+    if hasattr(H, "addressable_shards"):
+        try:
+            out = np.zeros(H.shape, np.float64)
+            for shard in H.addressable_shards:
+                out[shard.index] = shard.device.id
+            return jnp.asarray(out, H.dtype)
+        except Exception:
+            pass
+    return jnp.zeros_like(H)
 
 
 def compute_spatial(names, state, model, t):

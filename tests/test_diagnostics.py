@@ -125,3 +125,23 @@ def test_climate_input_diagnostics():
     assert smb == np.float64(0.4 / SPY * 910.0)   # Simple: SMB = precip
     ist = float(SPATIAL["ice_surface_temp"].func(state, model, 0.0)[3, 3])
     assert 250.0 < ist <= 273.15
+
+
+def test_new_parity_diagnostics(thermo_state):
+    """tillphi / wvel / deviatoric stresses / rank round out the PISM
+    registry: wvel = wvel_rel + u_b . grad b (equal on the flat EISMINT
+    bed), deviatoric stresses vanish with no membrane velocity, rank is
+    constant on one device."""
+    model, state, t = thermo_state
+    v = diag.compute_spatial(
+        ["wvel", "wvel_rel", "sigma_xx", "sigma_yy", "sigma_xy", "rank",
+         "tillphi", "bwatvel_x", "bwatvel_y"], state, model, t)
+    # flat bed -> kinematic basal term is zero
+    np.testing.assert_allclose(np.asarray(v["wvel"]),
+                               np.asarray(v["wvel_rel"]), atol=1e-12)
+    # SIA-only run: no SSA velocity -> zero deviatoric stress
+    assert np.abs(np.asarray(v["sigma_xx"])).max() == 0.0
+    assert np.abs(np.asarray(v["sigma_xy"])).max() == 0.0
+    # no routing hydrology attached -> zero water velocity
+    assert np.abs(np.asarray(v["bwatvel_x"])).max() == 0.0
+    assert np.unique(np.asarray(v["rank"])).size == 1
