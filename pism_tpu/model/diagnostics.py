@@ -1298,6 +1298,215 @@ def _rank(state, model, t):
     return jnp.zeros_like(H)
 
 
+@spatial("litho_temp", "K", "lithosphere (bedrock thermal layer) temperature")
+def _litho_temp(state, model, t):
+    """Reference ``src/energy/BTU_Full.cc`` (the bedrock column temperature
+    written/read as model state ``litho_temp``)."""
+    if state.bedrock_temperature is not None:
+        return state.bedrock_temperature
+    H = state.geometry.ice_thickness
+    return jnp.zeros(H.shape + (1,), H.dtype)
+
+
+@spatial("cts", "1",
+         "cts = E/E_s(p); cold ice has cts < 1, temperate ice cts >= 1")
+def _cts(state, model, t):
+    """Reference ``src/energy/EnergyModel.cc`` diagnostic ``cts``."""
+    H = state.geometry.ice_thickness
+    if state.enthalpy is None:
+        return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
+    z = jnp.asarray(model.grid.z, H.dtype)
+    p = model.EC.pressure(jnp.maximum(H[..., None] - z, 0.0))
+    return state.enthalpy / jnp.maximum(model.EC.enthalpy_cts(p), 1.0)
+
+
+@spatial("effective_viscosity", "kPa s", "effective viscosity of ice")
+def _effective_viscosity(state, model, t):
+    """Reference ``src/stressbalance/StressBalance.cc`` (PSB_viscosity /
+    ``effective_viscosity``): nu = B/2 * (gamma + eps)^((1-n)/(2n)) from the
+    3D velocity field, with gamma the first-order strain-rate second
+    invariant (horizontal normal/shear terms + vertical shear u_z, v_z)."""
+    H = state.geometry.ice_thickness
+    Mz = model.grid.Mz
+    sb = model.stress_balance.update(state)
+    if sb.sia3 is None or state.enthalpy is None:
+        return jnp.zeros(H.shape + (Mz,), H.dtype)
+    u, v = sb.sia3.u, sb.sia3.v
+    sh, dx, dy = model.sh, model.grid.dx, model.grid.dy
+    z = jnp.asarray(model.grid.z, H.dtype)
+    ux = (sh(u, 0, 1) - sh(u, 0, -1)) / (2 * dx)
+    uy = (sh(u, 1, 0) - sh(u, -1, 0)) / (2 * dy)
+    vx = (sh(v, 0, 1) - sh(v, 0, -1)) / (2 * dx)
+    vy = (sh(v, 1, 0) - sh(v, -1, 0)) / (2 * dy)
+
+    def ddz(f):
+        # centered difference on the (unequal) z levels, one-sided at ends
+        num = jnp.concatenate(
+            [f[..., 1:2] - f[..., 0:1],
+             f[..., 2:] - f[..., :-2],
+             f[..., -1:] - f[..., -2:-1]], axis=-1)
+        den = jnp.concatenate(
+            [z[1:2] - z[0:1], z[2:] - z[:-2], z[-1:] - z[-2:-1]])
+        return num / den
+
+    uz, vz = ddz(u), ddz(v)
+    gamma = (ux ** 2 + vy ** 2 + ux * vy
+             + 0.25 * (uy + vx) ** 2 + 0.25 * uz ** 2 + 0.25 * vz ** 2)
+    law = model.stress_balance.sia_flow_law
+    n = law.n
+    p = model.EC.pressure(jnp.maximum(H[..., None] - z, 0.0))
+    B = law.hardness(state.enthalpy, p)
+    nu = 0.5 * B * (gamma + 1e-30) ** ((1.0 - n) / (2.0 * n))
+    icy3 = (jnp.maximum(H[..., None] - z, -1.0) >= 0.0) & (H[..., None] > 1.0)
+    return jnp.where(icy3, nu, 0.0) * 1e-3   # Pa s -> kPa s
+
+
+def _calving_front(state, model):
+    from . import calving as _cv
+    mask = state.geometry.cell_type
+    icy = S.icy(mask)
+    ifo = mask == S.MASK_ICE_FREE_OCEAN
+    return _cv.front_mask(icy, ifo, model.sh)
+
+
+def _ssa_uv(state):
+    H = state.geometry.ice_thickness
+    u = state.u_ssa if state.u_ssa is not None else jnp.zeros_like(H)
+    v = state.v_ssa if state.v_ssa is not None else jnp.zeros_like(H)
+    return u, v
+
+
+@spatial("eigen_calving_rate", "m s-1",
+         "horizontal calving rate due to eigen-calving")
+def _eigen_calving_rate(state, model, t):
+    """Reference ``src/frontretreat/calving/EigenCalving.cc`` diagnostic."""
+    H = state.geometry.ice_thickness
+    cm = model.calving
+    if cm is None or "eigen_calving" not in cm.methods:
+        return jnp.zeros_like(H)
+    u, v = _ssa_uv(state)
+    l1, l2 = cm._strain_eigenvalues(u, v)
+    rate = cm.eigen_K * jnp.maximum(l1, 0.0) * jnp.maximum(l2, 0.0)
+    front = _calving_front(state, model)
+    floating = S.floating_ice(state.geometry.cell_type)
+    return jnp.where(front & floating, rate, 0.0)
+
+
+@spatial("vonmises_calving_rate", "m s-1",
+         "horizontal calving rate due to von Mises calving")
+def _vonmises_calving_rate(state, model, t):
+    """Reference ``src/frontretreat/calving/vonMisesCalving.cc``."""
+    H = state.geometry.ice_thickness
+    cm = model.calving
+    ssa = getattr(model, "ssa", None)
+    if cm is None or "vonmises_calving" not in cm.methods or ssa is None:
+        return jnp.zeros_like(H)
+    u, v = _ssa_uv(state)
+    B = ssa._hardness(state)
+    l1, l2 = cm._strain_eigenvalues(u, v)
+    e1, e2 = jnp.maximum(l1, 0.0), jnp.maximum(l2, 0.0)
+    eff = jnp.sqrt(0.5 * (e1 ** 2 + e2 ** 2))
+    sigma = jnp.sqrt(3.0) * B * eff ** (1.0 / cm.n_glen)
+    speed = jnp.sqrt(u ** 2 + v ** 2)
+    rate = speed * sigma / cm.vm_sigma_max
+    front = _calving_front(state, model)
+    floating = S.floating_ice(state.geometry.cell_type)
+    return jnp.where(front & floating, rate, 0.0)
+
+
+@spatial("hayhurst_calving_rate", "m s-1",
+         "horizontal calving rate due to Hayhurst-stress calving")
+def _hayhurst_calving_rate(state, model, t):
+    """Reference ``src/frontretreat/calving/HayhurstCalving.cc``."""
+    H = state.geometry.ice_thickness
+    cm = model.calving
+    if cm is None or "hayhurst_calving" not in cm.methods:
+        return jnp.zeros_like(H)
+    rate = cm.hayhurst_rate(state.geometry)
+    front = _calving_front(state, model)
+    marine = state.geometry.sea_level - state.geometry.bed_elevation > 0.0
+    return jnp.where(front & marine, rate, 0.0)
+
+
+@spatial("frontal_melt_rate", "m s-1", "frontal melt rate")
+def _frontal_melt_rate(state, model, t):
+    """Reference ``src/coupler/frontalmelt/*`` (``frontal_melt_rate``)."""
+    H = state.geometry.ice_thickness
+    fm = getattr(model, "frontal_melt", None)
+    if fm is None:
+        return jnp.zeros_like(H)
+    return jnp.asarray(fm(state.geometry, t, state=state), H.dtype) \
+        * jnp.ones_like(H)
+
+
+@spatial("frontal_melt_retreat_rate", "m s-1",
+         "retreat rate due to frontal melt, applied at marine front cells")
+def _frontal_melt_retreat_rate(state, model, t):
+    """Reference ``src/frontretreat/FrontRetreat.cc`` driven by frontal
+    melt: the melt rate restricted to the front cells it actually erodes."""
+    H = state.geometry.ice_thickness
+    fm = getattr(model, "frontal_melt", None)
+    cm = model.calving
+    if fm is None or cm is None:
+        return jnp.zeros_like(H)
+    rate = jnp.maximum(
+        jnp.asarray(fm(state.geometry, t, state=state), H.dtype), 0.0) \
+        * jnp.ones_like(H)
+    front = _calving_front(state, model)
+    marine = state.geometry.sea_level - state.geometry.bed_elevation > 0.0
+    where = front & marine
+    if not cm.fm_floating:
+        where = where & ~S.floating_ice(state.geometry.cell_type)
+    return jnp.where(where, rate, 0.0)
+
+
+@spatial("total_retreat_rate", "m s-1",
+         "total horizontal retreat rate (all active calving laws + frontal "
+         "melt) at front cells")
+def _total_retreat_rate(state, model, t):
+    """Reference ``src/frontretreat/FrontRetreat.cc`` (sum of retreat-rate
+    contributions the front-retreat machinery applies)."""
+    H = state.geometry.ice_thickness
+    total = (_eigen_calving_rate(state, model, t)
+             + _vonmises_calving_rate(state, model, t)
+             + _hayhurst_calving_rate(state, model, t)
+             + _frontal_melt_retreat_rate(state, model, t))
+    return total
+
+
+@spatial("wallmelt", "m s-1",
+         "melt rate from the dissipation of potential energy of the "
+         "lateral subglacial water flow (ice equivalent)")
+def _wallmelt(state, model, t):
+    """Reference ``src/hydrology/Routing.cc`` (``wallmelt`` diagnostic):
+    dissipation q . (-grad psi) per unit area converted to an ice-equivalent
+    melt rate by rho_i L."""
+    H = state.geometry.ice_thickness
+    hyd = model.hydrology
+    W = state.hydro_W
+    if W is None or hyd is None or not hasattr(hyd, "_face_gradients"):
+        return jnp.zeros_like(H)
+    b = state.geometry.bed_elevation
+    if state.hydro_P is not None:
+        psi = hyd.rho_w * hyd.g * b + state.hydro_P
+    else:
+        psi = hyd.rho_w * hyd.g * b + hyd.rho_i * hyd.g * H
+    dpx, dpy, gpe, gpn = hyd._face_gradients(psi)
+    sh = hyd.sh
+    We = jnp.where(dpx <= 0.0, W, sh(W, 0, 1))
+    Wn = jnp.where(dpy <= 0.0, W, sh(W, 1, 0))
+    qe = -hyd.k * We ** hyd.alpha * gpe ** (hyd.beta_exp - 2.0) * dpx
+    qn = -hyd.k * Wn ** hyd.alpha * gpn ** (hyd.beta_exp - 2.0) * dpy
+    # dissipation = q . (-grad psi) per face, averaged to cell centers
+    diss = 0.5 * (jnp.maximum(-qe * dpx, 0.0)
+                  + jnp.maximum(-sh(qe, 0, -1) * sh(dpx, 0, -1), 0.0)) \
+        + 0.5 * (jnp.maximum(-qn * dpy, 0.0)
+                 + jnp.maximum(-sh(qn, -1, 0) * sh(dpy, -1, 0), 0.0))
+    L = model.EC.L0
+    rho_i = model.EC.rho_i
+    return diss / (rho_i * L)
+
+
 def compute_spatial(names, state, model, t):
     return {n: SPATIAL[n].func(state, model, t) for n in names}
 
@@ -1328,6 +1537,7 @@ class Window(NamedTuple):
     d_nonneg: float      # time-integrated non-negativity (projection) volume
     d_discharge: float   # volume change by calving/front retreat (<= 0 loss)
     rho_i: float         # ice density [kg m-3]
+    d_nsteps: float = 0.0  # adaptive time steps taken in the window
 
 
 RATE: Dict[str, Diagnostic] = {}
@@ -1350,6 +1560,13 @@ def _dvol(w):
       "rate of change of ice mass over the reporting interval")
 def _dmass(w):
     return w.rho_i * w.d_volume / w.dt
+
+
+@rate("dt", "s",
+      "mean length of the adaptive time steps in the reporting interval")
+def _dt_rate(w):
+    """Reference ``src/icemodel/diagnostics.cc`` scalar ts ``dt``."""
+    return w.dt / max(float(w.d_nsteps), 1.0)
 
 
 @rate("tendency_of_ice_volume_due_to_surface_mass_flux", "m3 s-1",

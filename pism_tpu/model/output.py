@@ -131,10 +131,10 @@ class OutputManager:
     @staticmethod
     def _stats_sums(stats):
         if stats is None:
-            return (0.0, 0.0, 0.0, 0.0, 0.0)
+            return (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
         return (float(stats.sum_smb), float(stats.sum_bmb),
                 float(stats.sum_div_flux), float(stats.sum_nonneg),
-                float(stats.sum_discharge))
+                float(stats.sum_discharge), float(stats.nsteps))
 
     def _sample(self, state, t, model, stats, scalars=False, cells=False):
         """Cumulative sample for window bookkeeping. Host copies (a device
@@ -168,7 +168,8 @@ class OutputManager:
         d = [a - b for a, b in zip(cur["sums"], prev["sums"])]
         return diag.Window(dt=dt, d_volume=cur["vol"] - prev["vol"],
                            d_smb=d[0], d_bmb=d[1], d_flow=d[2], d_nonneg=d[3],
-                           d_discharge=d[4], rho_i=model.rho_i)
+                           d_discharge=d[4], rho_i=model.rho_i,
+                           d_nsteps=d[5] if len(d) > 5 else 0.0)
 
     @staticmethod
     def _window2d(prev, cur, model):

@@ -145,3 +145,84 @@ def test_new_parity_diagnostics(thermo_state):
     # no routing hydrology attached -> zero water velocity
     assert np.abs(np.asarray(v["bwatvel_x"])).max() == 0.0
     assert np.unique(np.asarray(v["rank"])).size == 1
+
+
+def test_polythermal_and_viscosity_diagnostics(thermo_state):
+    """cts < 1 in cold ice and consistent with liqfrac > 0 where temperate;
+    effective viscosity is positive inside the ice and zero outside;
+    litho_temp matches the bedrock state when a BTU carries one."""
+    model, state, t = thermo_state
+    v = diag.compute_spatial(
+        ["cts", "liqfrac", "effective_viscosity", "litho_temp", "thk"],
+        state, model, t)
+    cts = np.asarray(v["cts"])
+    liq = np.asarray(v["liqfrac"])
+    H = np.asarray(v["thk"])
+    icy3 = (H[..., None] - np.asarray(model.grid.z)) > 0.0
+    # temperate (liqfrac > 0) exactly where cts >= 1 (within ice)
+    temperate = liq > 1e-12
+    assert np.all(cts[temperate & icy3] >= 1.0 - 1e-9)
+    assert np.all(cts[icy3 & ~temperate] <= 1.0 + 1e-6)
+    nu = np.asarray(v["effective_viscosity"])
+    inside = (H[..., None] - np.asarray(model.grid.z)) > 1.0
+    inside &= (H > 1.0)[..., None]
+    assert np.all(nu[inside] > 0.0)
+    assert np.abs(nu[H == 0.0]).max() == 0.0
+    if state.bedrock_temperature is not None:
+        np.testing.assert_allclose(np.asarray(v["litho_temp"]),
+                                   np.asarray(state.bedrock_temperature))
+
+
+def test_retreat_rate_diagnostics_marine_front():
+    """Calving-rate diagnostics are nonzero only on marine front cells and
+    total_retreat_rate sums the active contributions."""
+    from pism_tpu import Config, Grid
+    from pism_tpu import state as S
+    from pism_tpu.state import new_geometry
+
+    cfg = Config({
+        "calving.methods": "eigen_calving,hayhurst_calving",
+        "calving.eigen_calving.K": 1e17,
+        "stress_balance.model": "ssa",
+        "energy.model": "none",
+        "geometry.remove_icebergs": False,
+    })
+    grid = Grid(Mx=21, My=21, Lx=100e3, Ly=100e3, Mz=5, Lz=1000.0)
+    y, x = np.meshgrid(np.arange(21), np.arange(21), indexing="ij")
+    # a floating block: bed well below sea level, ice in the middle
+    H = np.where((np.abs(x - 10) <= 5) & (np.abs(y - 10) <= 5), 300.0, 0.0)
+    bed = np.full_like(H, -800.0)
+    geom = new_geometry(jnp.asarray(H), jnp.asarray(bed))
+    model = IceModel(grid=grid, config=cfg)
+    # diverging velocity field -> positive strain-rate eigenvalues
+    u = jnp.asarray((x - 10) * 1e-6)
+    v_ = jnp.asarray((y - 10) * 1e-6)
+    state = model.prepare_state(S.ModelState(geometry=geom)).replace(
+        u_ssa=u, v_ssa=v_)
+    vals = diag.compute_spatial(
+        ["eigen_calving_rate", "hayhurst_calving_rate",
+         "vonmises_calving_rate", "total_retreat_rate", "mask"],
+        state, model, 0.0)
+    eig = np.asarray(vals["eigen_calving_rate"])
+    hh = np.asarray(vals["hayhurst_calving_rate"])
+    vm = np.asarray(vals["vonmises_calving_rate"])
+    tot = np.asarray(vals["total_retreat_rate"])
+    assert eig.max() > 0.0
+    # a floating block's freeboard stays below the Hayhurst stress
+    # threshold -> zero rate (the law targets tall grounded cliffs)
+    assert hh.min() >= 0.0
+    # von Mises not in calving.methods -> identically zero
+    assert np.abs(vm).max() == 0.0
+    np.testing.assert_allclose(tot, eig + hh, rtol=1e-12)
+    # rates confined to the front: every nonzero cell is icy with an
+    # ice-free-ocean neighbor
+    icy = np.asarray(S.icy(state.geometry.cell_type))
+    assert np.all(icy[tot > 0.0])
+
+
+def test_dt_rate_diagnostic():
+    w = diag.Window(dt=100.0, d_volume=0.0, d_smb=0.0, d_bmb=0.0,
+                    d_flow=0.0, d_nonneg=0.0, d_discharge=0.0,
+                    rho_i=910.0, d_nsteps=8.0)
+    out = diag.compute_rates(["dt"], w)
+    assert out["dt"] == pytest.approx(12.5)
