@@ -22,6 +22,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import state as S
 from ..config.config import Config
@@ -95,6 +96,10 @@ class IceModel:
     # regional mode (PISM src/regional/): thickness/enthalpy are frozen
     # where no_model_mask is set (outlet-glacier subdomain runs)
     no_model_mask: object = None
+    # target surface elevation for the iterative till-friction-angle
+    # optimization (tillphi_opt; defaults to the .file config or the
+    # initial surface when enabled)
+    tillphi_target: object = None
 
     def __post_init__(self):
         cfg = self.config
@@ -215,6 +220,16 @@ class IceModel:
         self.subgl = cfg.get_flag("geometry.grounded_cell_fraction")
         self.skip_max = cfg.get_int("time_stepping.skip.max") \
             if cfg.get_flag("time_stepping.skip.enabled") else 1
+
+        # iterative till-friction-angle optimization target (tillphi_opt)
+        if getattr(self.yield_stress, "opt_enabled", False) \
+                and self.tillphi_target is None:
+            path = cfg.get_string(
+                "basal_yield_stress.mohr_coulomb.tillphi_opt.file")
+            if path:
+                from ..io.bootstrap import read_and_regrid
+                self.tillphi_target = read_and_regrid(
+                    path, self.grid, ["usurf"])["usurf"]
 
         self.device_loop = cfg.get_flag("runtime.device_loop")
         self._advance_device = jax.jit(self._make_advance())
@@ -556,6 +571,14 @@ class IceModel:
             # reference -topg_to_phi: friction angle from the INITIAL bed
             kw["till_phi"] = self.yield_stress.topg_to_phi(
                 state.geometry.bed_elevation)
+        if getattr(self.yield_stress, "opt_enabled", False):
+            if state.till_phi is None and "till_phi" not in kw:
+                kw["till_phi"] = jnp.full_like(
+                    H, self.yield_stress.phi_default)
+            if self.tillphi_target is None:
+                # no file given: target = the initial (observed) surface
+                self.tillphi_target = np.asarray(
+                    state.geometry.ice_surface_elevation)
         if self.stress_balance.model not in ("sia", "none"):
             if state.u_ssa is None:
                 kw["u_ssa"] = z2
@@ -670,12 +693,22 @@ class IceModel:
         total_stats = None
         if output is not None and hasattr(output, "start"):
             output.start(state, t, self)
+        # iterative tillphi optimization: updates every opt_dt model seconds
+        # at segment boundaries (the reference applies them inside its step
+        # at the same multiples of tillphi_opt.dt)
+        opt_on = getattr(self.yield_stress, "opt_enabled", False)
+        t_opt = t + self.yield_stress.opt_dt if opt_on else np.inf
         while t < time.end - 1e-6:
             t_seg = min(t + segment_seconds, time.end)
             if output is not None:
                 t_seg = min(t_seg, output.next_time(t))
+            t_seg = min(t_seg, t_opt)
             state, t_dev, stats = self._advance(state, t, t_seg)
             t = float(t_dev)
+            if opt_on and t >= t_opt - 1e-6:
+                state = self.yield_stress.optimize_tillphi(
+                    state, self.tillphi_target)
+                t_opt = t + self.yield_stress.opt_dt
             self._check_thickness(state)
             self._check_health(state, t)
             total_stats = _merge_stats(total_stats, stats)

@@ -50,6 +50,14 @@ class MohrCoulombYieldStress:
         self.t2p = tuple(cfg.get_number(
             "basal_yield_stress.mohr_coulomb.topg_to_phi." + k)
             for k in ("phi_min", "phi_max", "topg_min", "topg_max"))
+        self.opt_enabled = cfg.get_flag(
+            "basal_yield_stress.mohr_coulomb.tillphi_opt.enabled")
+        self.opt = {k: cfg.get_number(
+            "basal_yield_stress.mohr_coulomb.tillphi_opt." + k)
+            for k in ("dphi_scale", "dphi_max", "phi_min", "phi_max",
+                      "dh_min")}
+        self.opt_dt = cfg.get_number(
+            "basal_yield_stress.mohr_coulomb.tillphi_opt.dt", "seconds")
 
     def topg_to_phi(self, bed):
         """Heuristic till friction angle from bed elevation (reference
@@ -60,6 +68,32 @@ class MohrCoulombYieldStress:
         w = jnp.clip((bed - b_min) / jnp.maximum(b_max - b_min, 1e-30),
                      0.0, 1.0)
         return phi_min + (phi_max - phi_min) * w
+
+    def optimize_tillphi(self, state: S.ModelState, target_usurf):
+        """One iterative till-friction-angle optimization update (the
+        reference's ``-yield_stress mohr_coulomb`` +
+        ``basal_yield_stress.mohr_coulomb.tillphi_opt``,
+        ``MohrCoulombYieldStress`` tillphi optimization; Albrecht,
+        Winkelmann & Levermann 2022, The Cryosphere).
+
+        Where the modeled grounded surface sits ABOVE the target the till is
+        too strong (the ice slides too little and thickens), so phi is
+        lowered proportionally to the misfit; below the target it is raised.
+        The per-update change is bounded by ``dphi_max``, misfits inside the
+        ``dh_min`` dead band leave phi unchanged, and the result is clipped
+        to [phi_min, phi_max]. Only grounded icy cells are adjusted."""
+        o = self.opt
+        usurf = state.geometry.ice_surface_elevation
+        H = state.geometry.ice_thickness
+        phi = state.till_phi
+        if phi is None:
+            phi = jnp.full_like(H, self.phi_default)
+        dh = usurf - jnp.asarray(target_usurf, usurf.dtype)
+        dphi = jnp.clip(o["dphi_scale"] * dh, -o["dphi_max"], o["dphi_max"])
+        dphi = jnp.where(jnp.abs(dh) < o["dh_min"], 0.0, dphi)
+        new_phi = jnp.clip(phi - dphi, o["phi_min"], o["phi_max"])
+        adjust = S.grounded_ice(state.geometry.cell_type)
+        return state.replace(till_phi=jnp.where(adjust, new_phi, phi))
 
     def effective_pressure(self, tillwat, P_overburden):
         """Bueler & van Pelt (2015) eq. 23: N_till from till water amount."""

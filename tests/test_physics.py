@@ -124,3 +124,99 @@ def test_topg_to_phi():
     p = np.asarray(st.till_phi)
     assert p.min() == 15.0 and p.max() == 45.0
     assert np.all(np.diff(p.ravel()) >= 0.0)   # monotone with the bed ramp
+
+
+def test_tillphi_opt_update_rules():
+    """tillphi_opt single update (Albrecht et al. 2022 role): phi decreases
+    where the grounded surface sits above the target, increases below,
+    respects the dead band, per-update cap and the [phi_min, phi_max]
+    bounds, and leaves non-grounded cells untouched."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pism_tpu import Config, Grid
+    from pism_tpu.physics.basal import MohrCoulombYieldStress
+    from pism_tpu.state import ModelState, new_geometry
+
+    cfg = Config({
+        "basal_yield_stress.mohr_coulomb.tillphi_opt.enabled": True,
+        "basal_yield_stress.mohr_coulomb.tillphi_opt.dphi_scale": 0.01,
+        "basal_yield_stress.mohr_coulomb.tillphi_opt.dphi_max": 2.0,
+        "basal_yield_stress.mohr_coulomb.tillphi_opt.phi_min": 5.0,
+        "basal_yield_stress.mohr_coulomb.tillphi_opt.phi_max": 40.0,
+        "basal_yield_stress.mohr_coulomb.tillphi_opt.dh_min": 1.0,
+    })
+    mc = MohrCoulombYieldStress(config=cfg)
+    assert mc.opt_enabled and mc.opt_dt > 0
+
+    # grounded column of ice; one floating column (deep bed)
+    H = np.full((5, 5), 1000.0)
+    bed = np.zeros((5, 5)); bed[:, 4] = -2000.0
+    geom = new_geometry(jnp.asarray(H), jnp.asarray(bed))
+    phi0 = np.full((5, 5), 30.0)
+    state = ModelState(geometry=geom, till_phi=jnp.asarray(phi0))
+
+    target = np.asarray(geom.ice_surface_elevation).copy()
+    target[0, 0] -= 50.0    # model 50 m too HIGH here  -> phi down by 0.5
+    target[1, 1] += 50.0    # model 50 m too LOW here   -> phi up by 0.5
+    target[2, 2] -= 500.0   # 5.0 deg raw change -> capped at dphi_max = 2
+    target[3, 3] -= 0.5     # inside the dead band -> unchanged
+    target[:, 4] -= 300.0   # floating column -> untouched
+
+    out = np.asarray(mc.optimize_tillphi(state, jnp.asarray(target)).till_phi)
+    assert out[0, 0] == pytest.approx(29.5)
+    assert out[1, 1] == pytest.approx(30.5)
+    assert out[2, 2] == pytest.approx(28.0)   # capped
+    assert out[3, 3] == pytest.approx(30.0)   # dead band
+    np.testing.assert_allclose(out[:, 4], 30.0)  # floating untouched
+
+    # bounds: repeated application saturates at phi_min
+    st = state
+    tgt = np.asarray(geom.ice_surface_elevation) - 1e4
+    for _ in range(30):
+        st = mc.optimize_tillphi(st, jnp.asarray(tgt))
+    assert np.asarray(st.till_phi)[0, 0] == pytest.approx(5.0)
+
+
+def test_tillphi_opt_in_run_loop():
+    """End-to-end: a growing dome above its target surface weakens the
+    grounded till every tillphi_opt.dt; the run loop applies updates at the
+    right times and seeds till_phi with the default."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pism_tpu import Config, Grid, Time
+    from pism_tpu.coupler.surface import Uniform
+    from pism_tpu.model.icemodel import IceModel
+    from pism_tpu.state import ModelState, new_geometry
+
+    SPY = 3.15569259747e7
+    grid = Grid(Mx=11, My=11, Lx=200e3, Ly=200e3)
+    cfg = Config({
+        "stress_balance.model": "ssa+sia",
+        "stress_balance.sia.flow_law": "isothermal_glen",
+        "stress_balance.ssa.flow_law": "isothermal_glen",
+        "energy.model": "none",
+        "basal_yield_stress.mohr_coulomb.tillphi_opt.enabled": True,
+        "basal_yield_stress.mohr_coulomb.tillphi_opt.dt": 100.0,
+        "basal_yield_stress.mohr_coulomb.tillphi_opt.dphi_scale": 0.01,
+        "basal_yield_stress.mohr_coulomb.tillphi_opt.dh_min": 0.5,
+    })
+    # flat bed, modest dome, strong accumulation -> surface rises above the
+    # initial surface (the default target)
+    y, x = np.meshgrid(grid.y, grid.x, indexing="ij")
+    r = np.hypot(x, y)
+    H0 = np.maximum(800.0 * (1 - r / 180e3), 0.0)
+    state = ModelState(geometry=new_geometry(jnp.asarray(H0),
+                                             jnp.zeros(grid.shape2)))
+    model = IceModel(grid=grid, config=cfg,
+                     surface=Uniform(smb=2.0 / SPY))
+    assert model.yield_stress.opt_enabled
+    state, _ = model.run(state, Time(0.0, 300.0 * SPY))
+    phi = np.asarray(state.till_phi)
+    icy = np.asarray(state.geometry.ice_thickness) > 10.0
+    # 2 m/a over >= 100 a beats the dead band everywhere icy -> phi dropped
+    assert (phi[icy] < 30.0).all()
+    assert phi[icy].min() >= 2.0   # stayed above phi_min
+    # ice-free far field untouched
+    assert (phi[~icy] == 30.0).all()
