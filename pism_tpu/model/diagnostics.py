@@ -1656,6 +1656,7 @@ class Window2D(NamedTuple):
     d_nonneg: object
     d_discharge: object
     rho_i: float
+    d_topg: object = None   # topg(t) - topg(t_prev), for dbdt
 
 
 SPATIAL_RATE: Dict[str, Diagnostic] = {}
@@ -1705,6 +1706,17 @@ def _damount_err(w):
               "land_ice_specific_mass_flux_due_to_calving_and_ice_front_melting")
 def _damount_disch(w):
     return w.rho_i * w.d_discharge / w.dt
+
+
+@spatial_rate("dbdt", "m s-1", "bedrock uplift rate",
+              "tendency_of_bedrock_altitude")
+def _dbdt(w):
+    """Reference ``src/earth/BedDef.cc`` diagnostic ``dbdt`` (here the exact
+    mean rate over the reporting window rather than an instantaneous
+    sample)."""
+    if w.d_topg is None:
+        return jnp.zeros_like(jnp.asarray(w.d_thickness))
+    return w.d_topg / w.dt
 
 
 def compute_spatial_rates(names, window: Window2D):

@@ -151,6 +151,7 @@ class OutputManager:
                 cell = tuple(np.asarray(x) for x in stats.cell)
             s["cell"] = cell
             s["H"] = np.asarray(state.geometry.ice_thickness)
+            s["topg"] = np.asarray(state.geometry.bed_elevation)
         return s
 
     def start(self, state, t: float, model) -> None:
@@ -183,7 +184,9 @@ class OutputManager:
         return diag.Window2D(dt=dt, d_thickness=cur["H"] - prev["H"],
                              d_flow=d[0], d_smb=d[1], d_bmb=d[2],
                              d_nonneg=d[3], d_discharge=d[4],
-                             rho_i=model.rho_i)
+                             rho_i=model.rho_i,
+                             d_topg=cur["topg"] - prev["topg"]
+                             if "topg" in cur and "topg" in prev else None)
 
     # -- scheduling ----------------------------------------------------------
     def next_time(self, t: float) -> float:

@@ -206,3 +206,32 @@ def test_signal_handling(tmp_path, model_state):
     from pism_tpu.io import checkpoint as ckpt
     s2, t2 = ckpt.load_state(str(tmp_path / "backup.nc"), config=cfg)
     assert abs(t2 - seen[0]) < 1.0
+
+
+def test_dbdt_spatial_rate(tmp_path, model_state):
+    """dbdt (-extra bedrock uplift rate): with pointwise isostasy under a
+    spreading Halfar dome the bed subsides where thickness grows; the
+    reported rate equals the exact window-mean d(topg)/dt."""
+    sol, grid, cfg, model, state = model_state
+    t0 = sol.t0
+    cfg.update({"bed_deformation.model": "iso"})
+    model = IceModel(grid=grid, config=cfg, surface=Uniform(smb=0.1 / SPY))
+    extra_times = [t0 + k * 50 * SPY for k in range(1, 3)]
+    out = OutputManager(
+        grid=grid, config=cfg, extra_times=extra_times,
+        extra_vars=("thk", "topg", "dbdt"),
+        extra_file=str(tmp_path / "ex_dbdt.nc"),
+    )
+    state, _ = model.run(state, Time(t0, t0 + 100 * SPY), output=out)
+    out.close()
+    with File(str(tmp_path / "ex_dbdt.nc"), "r") as f:
+        dbdt = f.read("dbdt")
+        topg = f.read("topg")
+        tb = f.read("time_bnds")
+    assert dbdt.shape == (2, 31, 31)
+    # uniform positive SMB -> loading -> subsidence under the dome
+    assert dbdt[1].min() < 0.0
+    # window-exact: dbdt of window 2 = (topg2 - topg1)/dt
+    dt = tb[1, 1] - tb[1, 0]
+    np.testing.assert_allclose(dbdt[1], (topg[1] - topg[0]) / dt,
+                               rtol=1e-10, atol=1e-22)
