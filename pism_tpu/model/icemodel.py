@@ -126,7 +126,7 @@ class IceModel:
                                          flow_law=blatter_law)
             if self.yield_stress is None:
                 from ..physics.basal import yield_stress_from_config
-                self.yield_stress = yield_stress_from_config(cfg)
+                self.yield_stress = yield_stress_from_config(cfg, self.grid)
             if self.hydrology is None:
                 from ..physics.hydrology import hydrology_from_config
                 self.hydrology = hydrology_from_config(self.grid, cfg)
@@ -148,7 +148,7 @@ class IceModel:
                         "expected 'fd' or 'fem'")
             if self.yield_stress is None:
                 from ..physics.basal import yield_stress_from_config
-                self.yield_stress = yield_stress_from_config(cfg)
+                self.yield_stress = yield_stress_from_config(cfg, self.grid)
             if self.hydrology is None:
                 from ..physics.hydrology import hydrology_from_config
                 self.hydrology = hydrology_from_config(self.grid, cfg)

@@ -129,12 +129,44 @@ class ConstantYieldStress:
         return jnp.where(S.ocean(state.geometry.cell_type), 0.0, tau_c)
 
 
-def yield_stress_from_config(config):
+@dataclass
+class GivenYieldStress:
+    """Prescribed till yield stress field (the reference reads ``tauc``
+    directly as model state for regional runs and inversion replays; also
+    the mechanism behind the MISMIP3d basal-friction perturbation
+    experiments). ``tau_c``: (My, Mx) array [Pa], or read from
+    ``basal_yield_stress.given.file`` (variable ``tauc``)."""
+
+    config: object
+    tau_c: object = None
+    grid: object = None
+
+    def __post_init__(self):
+        if self.tau_c is None:
+            path = self.config.get_string("basal_yield_stress.given.file")
+            if not path or self.grid is None:
+                raise ValueError(
+                    "-yield_stress given needs a tau_c array or "
+                    "basal_yield_stress.given.file (and a grid)")
+            from ..io.bootstrap import read_and_regrid
+            import numpy as _np
+            self.tau_c = jnp.asarray(_np.nan_to_num(
+                read_and_regrid(path, self.grid, ["tauc"])["tauc"]))
+
+    def compute(self, state: S.ModelState):
+        H = state.geometry.ice_thickness
+        tau_c = jnp.asarray(self.tau_c, H.dtype)
+        return jnp.where(S.ocean(state.geometry.cell_type), 0.0, tau_c)
+
+
+def yield_stress_from_config(config, grid=None):
     name = config.get_string("basal_yield_stress.model")
     if name == "constant":
         return ConstantYieldStress(config)
     if name == "mohr_coulomb":
         return MohrCoulombYieldStress(config)
+    if name == "given":
+        return GivenYieldStress(config, grid=grid)
     raise ValueError(f"unknown basal yield stress model {name!r}")
 
 

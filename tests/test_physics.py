@@ -220,3 +220,46 @@ def test_tillphi_opt_in_run_loop():
     assert phi[icy].min() >= 2.0   # stayed above phi_min
     # ice-free far field untouched
     assert (phi[~icy] == 30.0).all()
+
+
+def test_given_yield_stress():
+    """-yield_stress given: prescribed tauc field (array or file), zeroed
+    over ocean; the factory wires it with the grid for file reads."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pism_tpu import Config, Grid
+    from pism_tpu.io.nc4 import File
+    from pism_tpu.io import checkpoint as ckpt
+    from pism_tpu.physics.basal import (GivenYieldStress,
+                                        yield_stress_from_config)
+    from pism_tpu.state import ModelState, new_geometry
+
+    grid = Grid(Mx=9, My=9, Lx=100e3, Ly=100e3)
+    tau = np.linspace(1e4, 2e5, 81).reshape(9, 9)
+    H = np.full((9, 9), 500.0)
+    bed = np.zeros((9, 9)); bed[:, -2:] = -2000.0; H[:, -1] = 0.0
+    state = ModelState(geometry=new_geometry(jnp.asarray(H), jnp.asarray(bed)))
+
+    ys = GivenYieldStress(Config({}), tau_c=tau)
+    out = np.asarray(ys.compute(state))
+    np.testing.assert_allclose(out[:, :-2], tau[:, :-2])
+    assert (out[:, -1] == 0.0).all()      # ice-free ocean column zeroed
+
+    # file path through the factory
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "tauc.nc")
+        with File(path, "w") as f:
+            ckpt._setup_dims(f, grid)
+            f.append_time(0.0)
+            f.write("tauc", tau[None], dims=("time", "y", "x"),
+                    attrs={"units": "Pa"})
+        cfg = Config({"basal_yield_stress.model": "given",
+                      "basal_yield_stress.given.file": path})
+        ys2 = yield_stress_from_config(cfg, grid)
+        np.testing.assert_allclose(np.asarray(ys2.tau_c), tau)
+
+    # no array and no file -> explicit error
+    with pytest.raises(ValueError):
+        GivenYieldStress(Config({}))
