@@ -59,7 +59,7 @@ def build_parser():
     p.add_argument("-eisII", metavar="EXP",
                    help="EISMINT II experiment (A-L except E, as upstream)")
     p.add_argument("-test", metavar="LETTER",
-                   help="verification test (A-D, F-M except E, O, P, V)")
+                   help="verification test (A-P, V)")
     p.add_argument("-y", type=float, default=None, help="run length [years]")
     p.add_argument("-ys", type=float, default=None, help="start time [years]")
     p.add_argument("-ye", type=float, default=None, help="end time [years]")
@@ -352,10 +352,46 @@ def main(argv=None):
               f"(exact {uex[-1] * spy:.2f}); "
               f"max error = {err.max():.3f} m/a, avg = {err.mean():.3f} m/a")
         return 0
+    elif args.test and args.test.upper() == "N":
+        # PISM ``exactTestN`` role: Bodvardsson/Bueler (2014) steady
+        # plastic-till marine ice stream with a calving front; one SSA
+        # solve on the exact geometry + tau_c, error report
+        from .model.ssa import SSAFD
+        from .physics.rheology import IsothermalGlen
+        from .state import ModelState, new_geometry
+        from .verification.ssa_exact import ExactN
+
+        tn = ExactN()
+        Mx, My = args.Mx or 221, args.My or 5
+        grid = Grid(Mx=Mx, My=My, Lx=440e3, Ly=50e3, periodicity="y")
+        cfg = Config({"stress_balance.ssa.fd.drag_jacobian": "exact"})
+        _apply_config_overrides(cfg, args.config)
+        x = np.asarray(grid.x)
+        H = np.tile(tn.thickness(x)[None, :], (My, 1))
+        tau = np.tile(tn.tau_c(x)[None, :], (My, 1))
+        geom = new_geometry(jnp.asarray(H), jnp.full(grid.shape2, -tn.depth))
+        bc = np.zeros(grid.shape2, bool)
+        bc[:, Mx // 2] = True
+        ssa = SSAFD(grid=grid, config=cfg,
+                    flow_law=IsothermalGlen(A=float(tn.B) ** -3.0),
+                    bc_mask=jnp.asarray(bc),
+                    bc_u=jnp.zeros(grid.shape2), bc_v=jnp.zeros(grid.shape2))
+        u, v, info = ssa.solve(ModelState(geometry=geom), jnp.asarray(tau),
+                               diagnostics=True)
+        spy = 3.15569259747e7
+        uex = tn.velocity(x)
+        sel = np.abs(x) <= tn.xc - 2 * grid.dx
+        err = np.abs(np.asarray(u)[My // 2] - uex)[sel] * spy
+        print(f"test N (SSAFD, plastic till + CFBC, exact drag Jacobian): "
+              f"max u = {np.asarray(u)[My // 2].max() * spy:.1f} m/a "
+              f"(exact {uex.max() * spy:.1f}); interior max error = "
+              f"{err.max():.2f} m/a, avg = {err.mean():.2f} m/a "
+              f"({int(info['newton_iters'])} Newton sweeps)")
+        return 0
     elif args.test:
         if args.test.upper() not in ("B", "C"):
             print(f"pism_tpu: unsupported verification test {args.test!r} "
-                  "(supported: A-D, F-M except E, O, P, V)", file=sys.stderr)
+                  "(supported: A-P, V)", file=sys.stderr)
             return 2
         from .verification import halfar
         sol = halfar.test_B() if args.test.upper() == "B" else halfar.test_C()

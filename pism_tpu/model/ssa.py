@@ -67,6 +67,7 @@ class SSAFD:
         self.rho_w = cfg.get_number("constants.sea_water.density")
         self.g = cfg.get_number("constants.standard_gravity")
         self.picard_warmup = cfg.get_int("stress_balance.ssa.fd.picard_warmup")
+        self.drag_jacobian = cfg.get_string("stress_balance.ssa.fd.drag_jacobian")
         self.newton_rtol = cfg.get_number("stress_balance.ssa.fd.newton_rtol")
         self.newton_max = cfg.get_int("stress_balance.ssa.fd.newton_max_iterations")
         self.ksp_rtol = cfg.get_number("stress_balance.ssa.fd.ksp_rtol")
@@ -349,6 +350,8 @@ class SSAFD:
             and (H.shape[0] + 2) * (H.shape[1] + 2) * 4 * 16 < 96 * 2 ** 20
         P = self.build_problem(state, tau_c, hardness=hardness,
                                use_fused=fused,
+                               differentiable_beta=(self.drag_jacobian
+                                                    == "exact"),
                                water_column_pressure=water_column_pressure)
         apply_op = P["apply"]
         free, full = P["free"], P["full"]

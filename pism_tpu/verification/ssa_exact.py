@@ -229,3 +229,88 @@ class ExactM:
         rg, ug = self._cache
         return np.interp(np.asarray(r, float), rg, ug,
                          left=self.u0, right=ug[-1])
+
+
+@dataclass(frozen=True)
+class ExactN:
+    """Test N — steady, grounded, plastic-till marine ice stream ending in
+    a calving front (PISM ``exactTestN`` role, the Bodvardsson (1955) /
+    Bueler (2014, J. Glaciol. 60(222)) flowline solution; reference
+    ``src/verification/tests/exactTestN.c`` — not read, the mount was
+    empty. Re-derived from scratch below, so the constants differ from
+    the reference's but the construction is the same).
+
+    A symmetric ice stream on a flat bed b = -depth (grounded everywhere,
+    sea level 0) with the Bodvardsson parabolic profile
+
+        H(x) = H0 (1 - (x/L0)^2),   |x| <= xc < L0,
+
+    and linear velocity u(x) = gamma x (so u_x = gamma is constant and
+    the Glen effective viscosity nu = B/2 |u_x|^(1/n-1) is uniform; this
+    is what makes the solution exact for ANY n). The spreading rate is
+    fixed by the calving-front force balance at x = xc with water depth
+    ``depth``:
+
+        2 B H_c gamma^(1/n) = 1/2 g (rho H_c^2 - rho_w depth^2)
+        =>  gamma = [ g (rho H_c^2 - rho_w depth^2) / (4 B H_c) ]^n.
+
+    The flowline SSA momentum balance  d/dx(2 B H |u_x|^(1/n-1) u_x)
+    - tau_b = rho g H ds/dx  with s_x = H_x (flat bed) then pins the
+    plastic till yield stress that balances it exactly:
+
+        tau_c(x) = H_x(x) (2 B gamma^(1/n) - rho g H(x))  >= 0.
+
+    Mass continuity d(uH)/dx = a gives the compensatory surface mass
+    balance  a(x) = gamma H0 (1 - 3 (x/L0)^2)  (accumulation inland,
+    ablation toward the front), reported by :meth:`smb` for steady-state
+    evolution experiments.
+    """
+
+    H0n: float = 1200.0        # m, divide thickness
+    L0: float = 400.0e3        # m, profile half-length (H -> 0 there)
+    xc_frac: float = 0.9       # calving front at xc = xc_frac * L0
+    depth: float = 180.0       # m, water depth (bed at -depth, sl = 0)
+    B: float = 1.9e8           # Pa s^(1/3), uniform hardness
+    rho_i: float = RHO
+    rho_w: float = 1028.0
+    n: float = N_GLEN
+
+    @property
+    def xc(self) -> float:
+        return self.xc_frac * self.L0
+
+    @property
+    def Hc(self) -> float:
+        """Front thickness; must exceed flotation rho_w/rho_i * depth."""
+        return self.H0n * (1.0 - self.xc_frac ** 2)
+
+    @property
+    def gamma(self) -> float:
+        """Uniform spreading rate du/dx [1/s] from the front condition."""
+        num = G * (self.rho_i * self.Hc ** 2 - self.rho_w * self.depth ** 2)
+        return (num / (4.0 * self.B * self.Hc)) ** self.n
+
+    def thickness(self, x) -> np.ndarray:
+        xa = np.abs(np.asarray(x, float))
+        return np.where(xa <= self.xc,
+                        self.H0n * (1.0 - (xa / self.L0) ** 2), 0.0)
+
+    def velocity(self, x) -> np.ndarray:
+        """u(x) [m/s], odd in x (v = 0)."""
+        xa = np.asarray(x, float)
+        return np.where(np.abs(xa) <= self.xc, self.gamma * xa, 0.0)
+
+    def tau_c(self, x) -> np.ndarray:
+        """Plastic till yield stress [Pa] making the solution exact."""
+        xa = np.abs(np.asarray(x, float))
+        H_x = -2.0 * self.H0n * xa / self.L0 ** 2
+        tc = H_x * (2.0 * self.B * self.gamma ** (1.0 / self.n)
+                    - self.rho_i * G * self.thickness(xa))
+        return np.where(xa <= self.xc, np.maximum(tc, 0.0), 0.0)
+
+    def smb(self, x) -> np.ndarray:
+        """Compensatory steady surface mass balance a(x) [m/s]."""
+        xa = np.abs(np.asarray(x, float))
+        return np.where(xa <= self.xc,
+                        self.gamma * self.H0n
+                        * (1.0 - 3.0 * (xa / self.L0) ** 2), 0.0)

@@ -387,3 +387,83 @@ def test_melange_back_pressure_slows_front():
     dmbp = DeltaMBP(inner=ocean, offset=lambda t: 2.0e5)
     slowed = front_speed(dmbp.water_column_pressure(geom, 0.0))
     assert held < slowed < base
+
+
+def _solve_test_N(Mx):
+    """Bodvardsson plastic-till marine ice stream (test N role): exact
+    parabolic thickness + exact tau_c prescribed, u = 0 pinned at the
+    divide, calving front inside the domain. Drag dominates the membrane
+    term here, so the solver needs the exact plastic-drag Jacobian (the
+    frozen-beta Picard linearization contracts at ~(1 - membrane/tau_c)
+    per sweep and stalls)."""
+    from pism_tpu.verification.ssa_exact import ExactN
+
+    tn = ExactN()
+    My = 5
+    grid = Grid(Mx=Mx, My=My, Lx=440e3, Ly=50e3, periodicity="y")
+    x = np.asarray(grid.x)
+    H = np.tile(tn.thickness(x)[None, :], (My, 1))
+    tau = np.tile(tn.tau_c(x)[None, :], (My, 1))
+    geom = new_geometry(jnp.asarray(H), jnp.full(grid.shape2, -tn.depth))
+    bc = np.zeros(grid.shape2, bool)
+    bc[:, Mx // 2] = True
+    cfg = Config({"stress_balance.ssa.fd.drag_jacobian": "exact"})
+    ssa = SSAFD(grid=grid, config=cfg,
+                flow_law=IsothermalGlen(A=float(tn.B) ** -3.0),
+                bc_mask=jnp.asarray(bc),
+                bc_u=jnp.zeros(grid.shape2), bc_v=jnp.zeros(grid.shape2))
+    u, v, info = ssa.solve(ModelState(geometry=geom), jnp.asarray(tau),
+                           diagnostics=True)
+    return tn, grid, x, np.asarray(u), np.asarray(v), info
+
+
+def test_N_exact_stream():
+    tn, grid, x, u, v, info = _solve_test_N(111)
+    # exact-Jacobian Newton converges in a handful of sweeps (the Picard
+    # linearization needs hundreds here)
+    assert int(info["newton_iters"]) < 20
+    uex = tn.velocity(x)
+    sel = np.abs(x) <= tn.xc - 2 * grid.dx
+    rel = np.abs(u[2] - uex)[sel].max() / uex.max()
+    assert rel < 0.08
+    assert np.abs(v).max() * SPY < 1.0
+    # odd symmetry about the divide
+    np.testing.assert_allclose(u[2], -u[2, ::-1], atol=1e-4 * uex.max())
+
+
+def test_N_convergence():
+    errs = []
+    for Mx in (111, 221):
+        tn, grid, x, u, v, _ = _solve_test_N(Mx)
+        uex = tn.velocity(x)
+        sel = np.abs(x) <= tn.xc - 2 * grid.dx
+        errs.append(np.abs(u[2] - uex)[sel].mean())
+    assert errs[1] < 0.65 * errs[0]
+
+
+def test_exact_solution_is_discrete_solution_N():
+    """The exact (H, u, tau_c) triple satisfies the discrete SSA residual
+    to near round-off — validates the derivation independently of the
+    nonlinear solver."""
+    from pism_tpu.verification.ssa_exact import ExactN
+
+    tn = ExactN()
+    Mx, My = 111, 5
+    grid = Grid(Mx=Mx, My=My, Lx=440e3, Ly=50e3, periodicity="y")
+    x = np.asarray(grid.x)
+    H = np.tile(tn.thickness(x)[None, :], (My, 1))
+    tau = np.tile(tn.tau_c(x)[None, :], (My, 1))
+    geom = new_geometry(jnp.asarray(H), jnp.full(grid.shape2, -tn.depth))
+    bc = np.zeros(grid.shape2, bool)
+    bc[:, Mx // 2] = True
+    ssa = SSAFD(grid=grid, config=Config(),
+                flow_law=IsothermalGlen(A=float(tn.B) ** -3.0),
+                bc_mask=jnp.asarray(bc),
+                bc_u=jnp.zeros(grid.shape2), bc_v=jnp.zeros(grid.shape2))
+    P = ssa.build_problem(ModelState(geometry=geom), jnp.asarray(tau))
+    uex = jnp.asarray(np.tile(tn.velocity(x)[None, :], (My, 1)))
+    ru, rv = P["residual"]((uex, jnp.zeros_like(uex)))
+    # residual ~1e-3 Pa on the interior (front cells feel the staircase
+    # front) vs a ~2.4e4 Pa driving-stress scale
+    interior = np.abs(x) <= tn.xc - 2 * grid.dx
+    assert np.abs(np.asarray(ru)[2][interior]).max() < 0.05
