@@ -79,6 +79,19 @@ class TemperatureIndex(SurfaceModel):
         self.rho_i = cfg.get_number("constants.ice.density")
         self.rho_w = cfg.get_number("constants.fresh_water.density")
 
+    def effective_sigma(self, T):
+        """Daily air-temperature variability sigma [K] at air temperature T:
+        prescribed 2D field (``surface.pdd.std_dev.file``) > Seguinot (2013)
+        linear sigma(T) parameterization > scalar default."""
+        dtype = jnp.asarray(T).dtype
+        if self.sigma_field is not None:
+            return jnp.asarray(self.sigma_field, dtype)
+        sigma = jnp.asarray(self.sigma, dtype)
+        if self.sigma_param:
+            sigma = jnp.maximum(
+                self.sigma_a * (T - 273.15) + self.sigma_b, 1e-3)
+        return jnp.broadcast_to(sigma, jnp.asarray(T).shape)
+
     def max_timestep(self, t) -> float:
         # keep the yearly cycle resolved by the fixed sub-interval count
         return SEC_PER_YEAR
@@ -117,15 +130,7 @@ class TemperatureIndex(SurfaceModel):
             snowfall = precip * sf * dt_if           # m ice equivalent
             snow = snow + snowfall
             # degree-day supply this interval [K s] -> [K day]
-            if self.sigma_field is not None:
-                sigma = jnp.asarray(self.sigma_field, dtype)
-            else:
-                sigma = jnp.asarray(self.sigma, dtype)
-                if self.sigma_param:
-                    # Seguinot (2013) linear sigma(T) (reference
-                    # surface.pdd.std_dev.param_*)
-                    sigma = jnp.maximum(
-                        self.sigma_a * (T - 273.15) + self.sigma_b, 1e-3)
+            sigma = self.effective_sigma(T)
             pdd = expected_pdd_rate(T, self.T_melt, sigma) * dt_if / 86400.0
             # melt snow, then firn (snow factor), then ice
             snowfirn_cap = self.factor_snow * 86400.0 * pdd

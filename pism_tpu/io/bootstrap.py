@@ -29,6 +29,7 @@ DEFAULT_VARS = {
     "topg": "topg",
     "tillwat": "tillwat",
     "ice_surface_temp": "ice_surface_temp",
+    "bheatflx": "bheatflx",
 }
 
 
@@ -175,6 +176,12 @@ def bootstrap(path: str, grid: Grid, config) -> ModelState:
     kw = {}
     if "tillwat" in fields:
         kw["tillwat"] = jnp.asarray(np.nan_to_num(fields["tillwat"], nan=0.0))
+    G_default = config.get_number("bootstrapping.defaults.geothermal_flux")
+    if "bheatflx" in fields:
+        # 2D geothermal flux map (PISM reads ``bheatflx`` at bootstrap and
+        # carries it as model state)
+        kw["geothermal_flux"] = jnp.asarray(
+            np.nan_to_num(fields["bheatflx"], nan=G_default))
 
     if config.get_string("energy.model") in ("enthalpy", "cold") and grid.Mz > 1:
         T_sfc = fields.get(
@@ -186,7 +193,7 @@ def bootstrap(path: str, grid: Grid, config) -> ModelState:
         EC = EnthalpyConverter.from_config(config)
         kw["enthalpy"] = bootstrap_enthalpy(
             grid, EC, geom.ice_thickness, jnp.asarray(T_sfc),
-            geothermal=config.get_number("bootstrapping.defaults.geothermal_flux"),
+            geothermal=kw.get("geothermal_flux", G_default),
             k_i=config.get_number("constants.ice.thermal_conductivity"))
         kw["basal_melt_rate"] = jnp.zeros(grid.shape2)
 

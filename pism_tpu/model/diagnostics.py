@@ -786,6 +786,74 @@ def _dbdt_total(state, model, t):
     return state.geometry.bed_elevation - state.bed_reference
 
 
+@spatial("shelfbtemp", "K", "ice temperature at the ice-shelf base")
+def _shelfbtemp(state, model, t):
+    if model.ocean is None:
+        return _zeros2(state)
+    return model.ocean.inputs(state.geometry, t).shelf_base_temperature
+
+
+@spatial("bheatflx", "W m-2", "upward geothermal flux at the bedrock "
+         "thermal layer base")
+def _bheatflx(state, model, t):
+    if state.geothermal_flux is not None:
+        return state.geothermal_flux
+    return jnp.full_like(state.geometry.ice_thickness,
+                         getattr(model, "geothermal", 0.0))
+
+
+@spatial("uflux", "m2 s-1", "x-component of vertically-integrated "
+         "horizontal ice flux")
+def _uflux(state, model, t):
+    return _ubar(state, model, t) * state.geometry.ice_thickness
+
+
+@spatial("vflux", "m2 s-1", "y-component of vertically-integrated "
+         "horizontal ice flux")
+def _vflux(state, model, t):
+    return _vbar(state, model, t) * state.geometry.ice_thickness
+
+
+def _pdd_of(model):
+    """The TemperatureIndex instance in the surface chain, or None."""
+    m = getattr(model, "surface", None)
+    while m is not None:
+        if hasattr(m, "effective_sigma"):
+            return m
+        m = getattr(m, "inner", None)
+    return None
+
+
+@spatial("air_temp_sd", "K", "standard deviation of near-surface air "
+         "temperature (PDD daily variability)")
+def _air_temp_sd(state, model, t):
+    pdd = _pdd_of(model)
+    if pdd is None:
+        return _zeros2(state)
+    atm = _atmosphere_of(model)
+    T = atm(state.geometry, t).temperature if atm is not None \
+        else jnp.full_like(state.geometry.ice_thickness, 273.15)
+    return pdd.effective_sigma(T)
+
+
+@spatial("nuH", "Pa s m", "effective viscosity times thickness "
+         "(SSA regularized vertically-integrated viscosity; cell-centered "
+         "average of the staggered field the solver uses)")
+def _nuH(state, model, t):
+    ssa = getattr(model, "ssa", None)
+    if ssa is None or state.u_ssa is None or not hasattr(ssa, "_hardness"):
+        return _zeros2(state)
+    from ..ops import ssa as ssa_ops
+    H = state.geometry.ice_thickness
+    B = ssa._hardness(state)
+    nuH = ssa_ops.compute_nuH(state.u_ssa, state.v_ssa, B, H,
+                              model.grid.dx, model.grid.dy, model.sh,
+                              n_glen=ssa.n_glen, eps_reg2=ssa.eps_reg2)
+    # staggered e/n faces -> cell centers
+    sh = model.sh
+    return 0.25 * (nuH.e + sh(nuH.e, 0, -1) + nuH.n + sh(nuH.n, -1, 0))
+
+
 # --------------------------------------------------------------------------
 # scalar time series (PISM ts_ names)
 # --------------------------------------------------------------------------
@@ -1657,6 +1725,8 @@ class Window2D(NamedTuple):
     d_discharge: object
     rho_i: float
     d_topg: object = None   # topg(t) - topg(t_prev), for dbdt
+    d_water: object = None  # (bwat+tillwat)(t) - previous, m, for
+    #                         tendency_of_subglacial_water_mass
 
 
 SPATIAL_RATE: Dict[str, Diagnostic] = {}
@@ -1717,6 +1787,18 @@ def _dbdt(w):
     if w.d_topg is None:
         return jnp.zeros_like(jnp.asarray(w.d_thickness))
     return w.d_topg / w.dt
+
+
+@spatial_rate("tendency_of_subglacial_water_mass", "kg m-2 s-1",
+              "rate of change of the total subglacial water amount "
+              "(transportable + till) over the reporting interval")
+def _dwater(w):
+    """Reference ``src/hydrology/Hydrology.cc`` mass-accounting diagnostic
+    (there split into due_to_* terms from per-step accumulators; here the
+    exact net window rate from water-amount snapshots)."""
+    if w.d_water is None:
+        return jnp.zeros_like(jnp.asarray(w.d_thickness))
+    return 1000.0 * w.d_water / w.dt
 
 
 def compute_spatial_rates(names, window: Window2D):

@@ -258,7 +258,10 @@ def bootstrap_enthalpy(grid, EC: EnthalpyConverter, thickness, surface_T,
     z = jnp.asarray(grid.z)
     Hc = H[..., None]
     depth = jnp.maximum(Hc - z, 0.0)
-    T = jnp.asarray(surface_T)[..., None] + geothermal / k_i * depth
+    G = jnp.asarray(geothermal)
+    if G.ndim == 2:          # 2D bheatflx map
+        G = G[..., None]
+    T = jnp.asarray(surface_T)[..., None] + G / k_i * depth
     p = EC.pressure(depth)
     Tm = EC.melting_temperature(p)
     T = jnp.minimum(T, Tm)

@@ -331,8 +331,13 @@ class IceModel:
 
         # 3. energy (enthalpy) step ---------------------------------------
         if self.energy_model is not None:
-            G = jnp.full(state.geometry.ice_thickness.shape, self.geothermal,
-                         state.geometry.ice_thickness.dtype)
+            if state.geothermal_flux is not None:
+                G = jnp.asarray(state.geothermal_flux,
+                                state.geometry.ice_thickness.dtype)
+            else:
+                G = jnp.full(state.geometry.ice_thickness.shape,
+                             self.geothermal,
+                             state.geometry.ice_thickness.dtype)
             if self.btu is not None and state.bedrock_temperature is not None:
                 p_b = self.EC.pressure(state.geometry.ice_thickness)
                 T_base = self.EC.temperature(state.enthalpy[..., 0], p_b)
@@ -618,10 +623,12 @@ class IceModel:
         if self.energy_model is not None and state.enthalpy is None:
             from .energy import bootstrap_enthalpy
             smb = self.surface(state.geometry, 0.0)
+            G0 = state.geothermal_flux if state.geothermal_flux is not None \
+                else self.config.get_number(
+                    "bootstrapping.defaults.geothermal_flux")
             kw["enthalpy"] = bootstrap_enthalpy(
                 self.grid, self.EC, H, smb.temperature,
-                geothermal=self.config.get_number(
-                    "bootstrapping.defaults.geothermal_flux")).astype(H.dtype)
+                geothermal=G0).astype(H.dtype)
         if self.energy_model is not None \
                 and getattr(self.energy_model, "ch_enabled", False) \
                 and state.ch_enthalpy is None:

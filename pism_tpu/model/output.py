@@ -152,6 +152,13 @@ class OutputManager:
             s["cell"] = cell
             s["H"] = np.asarray(state.geometry.ice_thickness)
             s["topg"] = np.asarray(state.geometry.bed_elevation)
+            water = None
+            if state.tillwat is not None:
+                water = np.asarray(state.tillwat)
+            if state.hydro_W is not None:
+                W = np.asarray(state.hydro_W)
+                water = W if water is None else water + W
+            s["water"] = water
         return s
 
     def start(self, state, t: float, model) -> None:
@@ -186,7 +193,10 @@ class OutputManager:
                              d_nonneg=d[3], d_discharge=d[4],
                              rho_i=model.rho_i,
                              d_topg=cur["topg"] - prev["topg"]
-                             if "topg" in cur and "topg" in prev else None)
+                             if "topg" in cur and "topg" in prev else None,
+                             d_water=cur["water"] - prev["water"]
+                             if cur.get("water") is not None
+                             and prev.get("water") is not None else None)
 
     # -- scheduling ----------------------------------------------------------
     def next_time(self, t: float) -> float:

@@ -190,6 +190,7 @@ class ModelState:
     ch_enthalpy: Optional[jnp.ndarray] = None        # cryo-hydrologic system 3D
     iso_layers: Optional[jnp.ndarray] = None         # (My, Mx, NL) isochrone layers
     iso_top: Optional[jnp.ndarray] = None            # int32 active top layer
+    geothermal_flux: Optional[jnp.ndarray] = None    # 2D bheatflx map W/m^2
     snow_depth: Optional[jnp.ndarray] = None         # PDD snow bookkeeping m i.e.
     firn_depth: Optional[jnp.ndarray] = None         # PDD firn bookkeeping m i.e.
     surface_albedo: Optional[jnp.ndarray] = None     # dEBM-simple albedo [1]

@@ -73,3 +73,40 @@ def test_bootstrap_builds_full_state(input_file):
     state2 = state.replace(enthalpy=None, basal_melt_rate=None)
     out, t, stats = model.step_once(state2, 0.0, 20 * SPY)
     assert not np.isnan(np.asarray(out.geometry.ice_thickness)).any()
+
+
+def test_bootstrap_bheatflx_map(tmp_path):
+    """-bootstrap reads a 2D geothermal flux map (variable bheatflx) into
+    the state; it survives a checkpoint round trip."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pism_tpu import Config, Grid
+    from pism_tpu.io import checkpoint as ckpt
+    from pism_tpu.io.bootstrap import bootstrap
+    from pism_tpu.io.nc4 import File
+
+    grid = Grid(Mx=11, My=9, Lx=100e3, Ly=80e3, Mz=8, Lz=4000.0)
+    H = np.full((9, 11), 800.0)
+    G = np.linspace(0.03, 0.2, 99).reshape(9, 11)
+    path = str(tmp_path / "boot.nc")
+    with File(path, "w") as f:
+        ckpt._setup_dims(f, grid)
+        f.append_time(0.0)
+        f.write("thk", H[None], dims=("time", "y", "x"), attrs={"units": "m"})
+        f.write("bheatflx", G[None], dims=("time", "y", "x"),
+                attrs={"units": "W m-2"})
+    cfg = Config({"energy.model": "enthalpy",
+                  "bootstrapping.defaults.ice_surface_temp": 233.15})
+    state = bootstrap(path, grid, cfg)
+    np.testing.assert_allclose(np.asarray(state.geothermal_flux), G,
+                               rtol=1e-12)
+    # hotter basal boundary -> warmer bootstrap enthalpy profile at the base
+    Eb = np.asarray(state.enthalpy[..., 0])
+    assert Eb[-1, -1] > Eb[0, 0]
+
+    out = str(tmp_path / "state.nc")
+    ckpt.save_state(out, state, grid, 0.0, cfg)
+    state2, t2 = ckpt.load_state(out, cfg)
+    np.testing.assert_array_equal(np.asarray(state2.geothermal_flux),
+                                  np.asarray(state.geothermal_flux))

@@ -226,3 +226,55 @@ def test_dt_rate_diagnostic():
                     rho_i=910.0, d_nsteps=8.0)
     out = diag.compute_rates(["dt"], w)
     assert out["dt"] == pytest.approx(12.5)
+
+
+def test_flux_and_ocean_diagnostics(thermo_state):
+    """uflux/vflux = ubar,vbar * H; shelfbtemp/bheatflx/nuH/air_temp_sd
+    evaluate (zeros without the corresponding component attached)."""
+    model, state, t = thermo_state
+    v = diag.compute_spatial(
+        ["uflux", "vflux", "ubar", "vbar", "shelfbtemp", "bheatflx",
+         "nuH", "air_temp_sd"], state, model, t)
+    H = np.asarray(state.geometry.ice_thickness)
+    np.testing.assert_allclose(np.asarray(v["uflux"]),
+                               np.asarray(v["ubar"]) * H, atol=1e-12)
+    # SIA-only EISMINT run: no ocean model, no SSA, no PDD
+    assert np.abs(np.asarray(v["shelfbtemp"])).max() == 0.0
+    assert np.abs(np.asarray(v["nuH"])).max() == 0.0
+    assert np.abs(np.asarray(v["air_temp_sd"])).max() == 0.0
+    # scalar geothermal default broadcast
+    G = np.asarray(v["bheatflx"])
+    assert np.unique(G).size == 1 and G.max() > 0.0
+
+
+def test_geothermal_flux_map_used(thermo_state):
+    """A 2D geothermal_flux field on the state overrides the scalar
+    default in the energy step (warmer base where the flux is higher)."""
+    import jax.numpy as jnp
+    model, state, t = thermo_state
+    G = np.full(model.grid.shape2, 0.042)
+    G[:, : model.grid.Mx // 2] = 0.30          # hot western half
+    st2 = state.replace(geothermal_flux=jnp.asarray(G))
+    out = diag.compute_spatial(["bheatflx"], st2, model, t)
+    np.testing.assert_allclose(np.asarray(out["bheatflx"]), G)
+    st_hot, _, _ = model.step_once(st2, t, t + 500 * SPY)
+    st_cold, _, _ = model.step_once(state, t, t + 500 * SPY)
+    Tb_hot = np.asarray(st_hot.enthalpy[..., 0])
+    Tb_cold = np.asarray(st_cold.enthalpy[..., 0])
+    icy = np.asarray(st_cold.geometry.ice_thickness) > 500.0
+    west = icy & (np.arange(model.grid.Mx)[None, :] < model.grid.Mx // 2)
+    east = icy & ~west
+    assert (Tb_hot[west] - Tb_cold[west]).mean() > 10 * abs(
+        (Tb_hot[east] - Tb_cold[east]).mean())
+
+
+def test_subglacial_water_mass_rate():
+    """tendency_of_subglacial_water_mass from window water snapshots."""
+    w = diag.Window2D(dt=100.0, d_thickness=np.zeros((3, 3)),
+                      d_flow=0, d_smb=0, d_bmb=0, d_nonneg=0, d_discharge=0,
+                      rho_i=910.0, d_water=np.full((3, 3), 0.5))
+    out = diag.compute_spatial_rates(
+        ["tendency_of_subglacial_water_mass"], w)
+    np.testing.assert_allclose(
+        np.asarray(out["tendency_of_subglacial_water_mass"]),
+        1000.0 * 0.5 / 100.0)
