@@ -174,7 +174,7 @@ class CalvingModel:
         return rate
 
     def step(self, geometry, sb, dt, t=0.0, hardness_B=None,
-             frontal_melt_rate=None):
+             frontal_melt_rate=None, with_parts=False):
         """Apply all active calving/front-retreat mechanisms to the geometry.
 
         ``hardness_B``: vertically averaged ice hardness for the von Mises
@@ -182,6 +182,15 @@ class CalvingModel:
         ``frontal_melt_rate``: horizontal melt rate [m/s] from a frontal-melt
         coupler, applied at marine front faces like a calving retreat rate
         (PISM ``FrontalMelt`` + ``FrontRetreat``).
+
+        With ``with_parts=True`` returns ``(geometry, parts)`` where
+        ``parts`` is a dict of per-mechanism 2D thickness changes [m]
+        (all <= 0): ``calving`` (calving laws incl. float_kill/ocean_kill/
+        thickness threshold + iceberg removal), ``frontal_melt``
+        (melt-driven horizontal retreat) and ``forced_retreat``
+        (prescribed/ISMIP6 retreat) — the split behind the reference's
+        ``tendency_of_ice_mass_due_to_{calving,frontal_melt,forced_retreat}``
+        diagnostics (src/icemodel/diagnostics.cc).
         """
         sh = self.sh
         mask = geometry.cell_type
@@ -190,6 +199,7 @@ class CalvingModel:
         ifo = mask == S.MASK_ICE_FREE_OCEAN
         front = front_mask(icy, ifo, sh)
         H = geometry.ice_thickness
+        H_in = H
 
         if self.float_kill:
             H = jnp.where(floating, 0.0, H)
@@ -218,6 +228,8 @@ class CalvingModel:
                                              - geometry.bed_elevation > 0.0))
             H = jnp.where(where, H * (1.0 - loss_frac), H)
 
+        H_after_calving = H
+
         if frontal_melt_rate is not None:
             # frontal melt retreats marine fronts; grounded termini always,
             # floating only if configured (PISM front_retreat + frontal_melt)
@@ -229,9 +241,11 @@ class CalvingModel:
                 jnp.maximum(frontal_melt_rate, 0.0) * dt / self.grid.dx,
                 0.0, 1.0)
             H = jnp.where(where, H * (1.0 - loss_frac), H)
+        H_after_fm = H
 
         if self.prescribed_retreat is not None:
             H = self.prescribed_retreat(H, t)
+        H_after_forced = H
 
         geometry = geometry.replace(ice_thickness=H)
         if "ocean_kill" in self.methods and self.ocean_kill_mask is not None:
@@ -241,7 +255,18 @@ class CalvingModel:
                     km, 0.0, geometry.ice_area_specific_volume))
         if self.remove_bergs:
             geometry = remove_icebergs(geometry, sh)
-        return geometry
+        if not with_parts:
+            return geometry
+        # per-mechanism thickness deltas (<= 0); iceberg removal is folded
+        # into the calving part (the bergs exist because the calving laws
+        # disconnected them)
+        berg_d = geometry.ice_thickness - H_after_forced
+        parts = {
+            "calving": (H_after_calving - H_in) + berg_d,
+            "frontal_melt": H_after_fm - H_after_calving,
+            "forced_retreat": H_after_forced - H_after_fm,
+        }
+        return geometry, parts
 
 
 def calving_from_config(grid, config):

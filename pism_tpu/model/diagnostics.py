@@ -1606,6 +1606,11 @@ class Window(NamedTuple):
     d_discharge: float   # volume change by calving/front retreat (<= 0 loss)
     rho_i: float         # ice density [kg m-3]
     d_nsteps: float = 0.0  # adaptive time steps taken in the window
+    # discharge split (reference src/icemodel/diagnostics.cc ts variables
+    # tendency_of_ice_mass_due_to_{calving,frontal_melt,forced_retreat})
+    d_calving: float = 0.0
+    d_frontal_melt: float = 0.0
+    d_forced_retreat: float = 0.0
 
 
 RATE: Dict[str, Diagnostic] = {}
@@ -1689,6 +1694,31 @@ def _dmass_disch(w):
     return w.rho_i * w.d_discharge / w.dt
 
 
+@rate("tendency_of_ice_mass_due_to_calving", "kg s-1",
+      "average mass rate of change by calving (incl. iceberg removal)",
+      "tendency_of_land_ice_mass_due_to_calving")
+def _dmass_calving(w):
+    return w.rho_i * w.d_calving / w.dt
+
+
+@rate("tendency_of_ice_volume_due_to_calving", "m3 s-1",
+      "average volume rate of change by calving (incl. iceberg removal)")
+def _dvol_calving(w):
+    return w.d_calving / w.dt
+
+
+@rate("tendency_of_ice_mass_due_to_frontal_melt", "kg s-1",
+      "average mass rate of change by frontal-melt-driven retreat")
+def _dmass_fm(w):
+    return w.rho_i * w.d_frontal_melt / w.dt
+
+
+@rate("tendency_of_ice_mass_due_to_forced_retreat", "kg s-1",
+      "average mass rate of change by prescribed front retreat")
+def _dmass_forced(w):
+    return w.rho_i * w.d_forced_retreat / w.dt
+
+
 @rate("tendency_of_ice_volume_due_to_conservation_error", "m3 s-1",
       "average volume rate of the non-negativity projection")
 def _dvol_err(w):
@@ -1724,6 +1754,9 @@ class Window2D(NamedTuple):
     d_nonneg: object
     d_discharge: object
     rho_i: float
+    d_calving: object = None        # discharge split per mechanism
+    d_frontal_melt: object = None
+    d_forced_retreat: object = None
     d_topg: object = None   # topg(t) - topg(t_prev), for dbdt
     d_water: object = None  # (bwat+tillwat)(t) - previous, m, for
     #                         tendency_of_subglacial_water_mass
@@ -1776,6 +1809,25 @@ def _damount_err(w):
               "land_ice_specific_mass_flux_due_to_calving_and_ice_front_melting")
 def _damount_disch(w):
     return w.rho_i * w.d_discharge / w.dt
+
+
+@spatial_rate("tendency_of_ice_amount_due_to_calving", "kg m-2 s-1",
+              "average ice-amount rate of change by calving",
+              "land_ice_specific_mass_flux_due_to_calving")
+def _damount_calving(w):
+    return w.rho_i * w.d_calving / w.dt
+
+
+@spatial_rate("tendency_of_ice_amount_due_to_frontal_melt", "kg m-2 s-1",
+              "average ice-amount rate of change by frontal-melt retreat")
+def _damount_fm(w):
+    return w.rho_i * w.d_frontal_melt / w.dt
+
+
+@spatial_rate("tendency_of_ice_amount_due_to_forced_retreat", "kg m-2 s-1",
+              "average ice-amount rate of change by prescribed front retreat")
+def _damount_forced(w):
+    return w.rho_i * w.d_forced_retreat / w.dt
 
 
 @spatial_rate("dbdt", "m s-1", "bedrock uplift rate",

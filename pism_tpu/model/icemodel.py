@@ -46,11 +46,16 @@ class CellBudget(NamedTuple):
     bmb: jnp.ndarray
     nonneg: jnp.ndarray
     discharge: jnp.ndarray
+    # discharge split per mechanism (reference diagnostics
+    # tendency_of_ice_amount_due_to_{calving,frontal_melt,forced_retreat})
+    calving: jnp.ndarray
+    frontal_melt: jnp.ndarray
+    forced_retreat: jnp.ndarray
 
     @staticmethod
     def zero(shape, dtype=jnp.float64):
         z = jnp.zeros(shape, dtype)
-        return CellBudget(z, z, z, z, z)
+        return CellBudget(z, z, z, z, z, z, z, z)
 
 
 class StepStats(NamedTuple):
@@ -63,6 +68,9 @@ class StepStats(NamedTuple):
     sum_bmb: jnp.ndarray
     sum_nonneg: jnp.ndarray
     sum_discharge: jnp.ndarray   # volume change by calving/front retreat [m^3]
+    sum_calving: jnp.ndarray        # calving-law part of the discharge [m^3]
+    sum_frontal_melt: jnp.ndarray   # frontal-melt-driven retreat part [m^3]
+    sum_forced_retreat: jnp.ndarray  # prescribed-retreat part [m^3]
     cell: Optional[CellBudget] = None   # per-cell budget (None = not tracked)
 
     @staticmethod
@@ -70,7 +78,7 @@ class StepStats(NamedTuple):
         z = jnp.zeros((), dtype)
         cell = CellBudget.zero(shape2, dtype) if shape2 is not None else None
         return StepStats(jnp.zeros((), jnp.int64), jnp.full((), jnp.inf, dtype),
-                         jnp.zeros((), dtype), z, z, z, z, z, cell)
+                         jnp.zeros((), dtype), z, z, z, z, z, z, z, z, cell)
 
 
 @dataclass
@@ -463,6 +471,9 @@ class IceModel:
         # 8. calving / front retreat --------------------------------------
         discharge_vol = jnp.zeros((), self.dtype)
         discharge_2d = jnp.zeros(geometry.ice_thickness.shape, self.dtype)
+        cell_area = jnp.asarray(self.grid.dx * self.grid.dy, self.dtype)
+        parts_2d = {k: discharge_2d for k in
+                    ("calving", "frontal_melt", "forced_retreat")}
         if self.calving is not None:
             H_pre_calving = geometry.ice_thickness
             hardness_B = None
@@ -472,9 +483,9 @@ class IceModel:
             fm_rate = None
             if self.frontal_melt is not None:
                 fm_rate = self.frontal_melt(geometry, t, state=state)
-            geometry = self.calving.step(geometry, sb, dt_f, t=t,
-                                         hardness_B=hardness_B,
-                                         frontal_melt_rate=fm_rate)
+            geometry, parts_2d = self.calving.step(
+                geometry, sb, dt_f, t=t, hardness_B=hardness_B,
+                frontal_melt_rate=fm_rate, with_parts=True)
             geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
             # discharge bookkeeping (reference GeometryEvolution: the volume
             # removed by calving/front retreat; negative = mass loss)
@@ -513,12 +524,23 @@ class IceModel:
             sum_bmb=stats.sum_bmb + jnp.float64(dt * bmb_app),
             sum_nonneg=stats.sum_nonneg + jnp.float64(dt * nonneg),
             sum_discharge=stats.sum_discharge + jnp.float64(discharge_vol),
+            sum_calving=stats.sum_calving
+            + jnp.float64(jnp.sum(parts_2d["calving"]) * cell_area),
+            sum_frontal_melt=stats.sum_frontal_melt
+            + jnp.float64(jnp.sum(parts_2d["frontal_melt"]) * cell_area),
+            sum_forced_retreat=stats.sum_forced_retreat
+            + jnp.float64(jnp.sum(parts_2d["forced_retreat"]) * cell_area),
             cell=None if stats.cell is None else CellBudget(
                 flow=stats.cell.flow + jnp.float64(dt) * flow_2d,
                 smb=stats.cell.smb + jnp.float64(dt) * smb_2d,
                 bmb=stats.cell.bmb + jnp.float64(dt) * bmb_2d,
                 nonneg=stats.cell.nonneg + jnp.float64(dt) * nonneg_2d,
                 discharge=stats.cell.discharge + discharge_2d,
+                calving=stats.cell.calving + parts_2d["calving"],
+                frontal_melt=stats.cell.frontal_melt
+                + parts_2d["frontal_melt"],
+                forced_retreat=stats.cell.forced_retreat
+                + parts_2d["forced_retreat"],
             ),
         )
         return state, t + dt, stats
@@ -751,6 +773,9 @@ def _merge_stats(a: Optional[StepStats], b: StepStats) -> StepStats:
         sum_bmb=a.sum_bmb + b.sum_bmb,
         sum_nonneg=a.sum_nonneg + b.sum_nonneg,
         sum_discharge=a.sum_discharge + b.sum_discharge,
+        sum_calving=a.sum_calving + b.sum_calving,
+        sum_frontal_melt=a.sum_frontal_melt + b.sum_frontal_melt,
+        sum_forced_retreat=a.sum_forced_retreat + b.sum_forced_retreat,
         cell=b.cell if a.cell is None else (
             a.cell if b.cell is None else CellBudget(
                 *(x + y for x, y in zip(a.cell, b.cell)))),

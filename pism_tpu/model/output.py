@@ -131,10 +131,12 @@ class OutputManager:
     @staticmethod
     def _stats_sums(stats):
         if stats is None:
-            return (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+            return (0.0,) * 9
         return (float(stats.sum_smb), float(stats.sum_bmb),
                 float(stats.sum_div_flux), float(stats.sum_nonneg),
-                float(stats.sum_discharge), float(stats.nsteps))
+                float(stats.sum_discharge), float(stats.sum_calving),
+                float(stats.sum_frontal_melt),
+                float(stats.sum_forced_retreat), float(stats.nsteps))
 
     def _sample(self, state, t, model, stats, scalars=False, cells=False):
         """Cumulative sample for window bookkeeping. Host copies (a device
@@ -177,7 +179,9 @@ class OutputManager:
         return diag.Window(dt=dt, d_volume=cur["vol"] - prev["vol"],
                            d_smb=d[0], d_bmb=d[1], d_flow=d[2], d_nonneg=d[3],
                            d_discharge=d[4], rho_i=model.rho_i,
-                           d_nsteps=d[5] if len(d) > 5 else 0.0)
+                           d_calving=d[5], d_frontal_melt=d[6],
+                           d_forced_retreat=d[7],
+                           d_nsteps=d[8] if len(d) > 8 else 0.0)
 
     @staticmethod
     def _window2d(prev, cur, model):
@@ -185,12 +189,14 @@ class OutputManager:
         dt = max(cur["t"] - prev["t"], 1e-30)
         shape = cur["H"].shape
         z = np.zeros(shape)
-        c1 = cur["cell"] if cur["cell"] is not None else (z,) * 5
-        c0 = prev["cell"] if prev["cell"] is not None else (z,) * 5
+        c1 = cur["cell"] if cur["cell"] is not None else (z,) * 8
+        c0 = prev["cell"] if prev["cell"] is not None else (z,) * 8
         d = [a - b for a, b in zip(c1, c0)]
         return diag.Window2D(dt=dt, d_thickness=cur["H"] - prev["H"],
                              d_flow=d[0], d_smb=d[1], d_bmb=d[2],
                              d_nonneg=d[3], d_discharge=d[4],
+                             d_calving=d[5], d_frontal_melt=d[6],
+                             d_forced_retreat=d[7],
                              rho_i=model.rho_i,
                              d_topg=cur["topg"] - prev["topg"]
                              if "topg" in cur and "topg" in prev else None,

@@ -147,3 +147,40 @@ def test_iceberg_remover_drops_detached_shelf():
     geom2 = remove_icebergs(geom, sh)
     assert float(jnp.max(geom2.ice_thickness[:, 8:12])) == 0.0
     assert float(jnp.min(geom2.ice_thickness[:, :4])) == 2000.0
+
+
+def test_step_with_parts_splits_discharge_by_mechanism():
+    """step(with_parts=True): per-mechanism deltas sum to the total change
+    (PISM tendency_of_ice_mass_due_to_{calving,frontal_melt,forced_retreat})."""
+    grid = Grid(Mx=16, My=8, Lx=80e3, Ly=40e3)
+    cfg = Config({"calving.methods": "thickness_calving",
+                  "calving.thickness_calving.threshold": 250.0})
+    pr = PrescribedRetreat(times=jnp.asarray([0.0, 10 * SPY]),
+                           fraction=jnp.stack([jnp.ones(grid.shape2),
+                                               jnp.full(grid.shape2, 0.9)]))
+    cm = CalvingModel(grid=grid, config=cfg, prescribed_retreat=pr)
+    # floating tongue; in the lower rows the front column is below the
+    # thickness threshold (calves), in the upper rows it is thick (gets
+    # frontal melt); the prescribed retreat scales everything by 0.9
+    ny, nx = grid.shape2
+    H = np.zeros(grid.shape2)
+    H[:, : nx // 2] = 400.0
+    H[: ny // 2, nx // 2 - 1] = 200.0   # below the thickness threshold
+    geom = new_geometry(jnp.asarray(H), jnp.full(grid.shape2, -1000.0))
+    fm = jnp.full(grid.shape2, 100.0 / SPY)
+    cfgf = Config({"calving.methods": "thickness_calving",
+                   "calving.thickness_calving.threshold": 250.0,
+                   "frontal_melt.include_floating_ice": True})
+    cm = CalvingModel(grid=grid, config=cfgf, prescribed_retreat=pr)
+    geom2, parts = cm.step(geom, None, dt=1.0 * SPY, t=10 * SPY,
+                           frontal_melt_rate=fm, with_parts=True)
+    total = np.asarray(geom2.ice_thickness) - np.asarray(geom.ice_thickness)
+    s = sum(np.asarray(parts[k]) for k in
+            ("calving", "frontal_melt", "forced_retreat"))
+    assert np.allclose(s, total, atol=1e-9)
+    assert float(np.sum(parts["calving"])) < 0.0        # threshold calving
+    assert float(np.sum(parts["frontal_melt"])) < 0.0   # melt retreat
+    assert float(np.sum(parts["forced_retreat"])) < 0.0  # prescribed 0.9x
+    # all mechanisms only remove ice
+    for k in parts:
+        assert float(np.max(parts[k])) <= 1e-12

@@ -235,3 +235,44 @@ def test_dbdt_spatial_rate(tmp_path, model_state):
     dt = tb[1, 1] - tb[1, 0]
     np.testing.assert_allclose(dbdt[1], (topg[1] - topg[0]) / dt,
                                rtol=1e-10, atol=1e-22)
+
+
+def test_ts_discharge_split_by_mechanism(tmp_path):
+    """The discharge tendency splits exactly into calving + frontal melt +
+    forced retreat (PISM ts tendency_of_ice_mass_due_to_{calving,...})."""
+    cfg = Config({
+        "stress_balance.model": "none",
+        "energy.model": "none",
+        "calving.methods": "thickness_calving",
+        "calving.thickness_calving.threshold": 250.0,
+        "geometry.remove_icebergs": False,
+    })
+    grid = Grid(Mx=21, My=21, Lx=100e3, Ly=100e3)
+    y, x = np.meshgrid(np.arange(21), np.arange(21), indexing="ij")
+    # floating block with a thin rim -> thickness calving eats the margin
+    dist = np.maximum(np.abs(x - 10), np.abs(y - 10))
+    H = np.where(dist <= 6, np.where(dist >= 5, 200.0, 400.0), 0.0)
+    geom = new_geometry(jnp.asarray(H), jnp.asarray(np.full_like(H, -800.0)))
+    state = ModelState(geometry=geom)
+    model = IceModel(grid=grid, config=cfg, surface=Uniform(smb=0.0))
+    ts_times = [k * 1.0 * SPY for k in range(1, 4)]
+    out = OutputManager(
+        grid=grid, config=cfg, ts_times=ts_times,
+        ts_file=str(tmp_path / "ts.nc"),
+        ts_vars=("tendency_of_ice_mass_due_to_discharge",
+                 "tendency_of_ice_mass_due_to_calving",
+                 "tendency_of_ice_mass_due_to_frontal_melt",
+                 "tendency_of_ice_mass_due_to_forced_retreat"))
+    state, _ = model.run(state, Time(0.0, 3.0 * SPY), output=out)
+    out.close()
+    with File(str(tmp_path / "ts.nc"), "r") as f:
+        disch = f.read("tendency_of_ice_mass_due_to_discharge")
+        calv = f.read("tendency_of_ice_mass_due_to_calving")
+        fm = f.read("tendency_of_ice_mass_due_to_frontal_melt")
+        forced = f.read("tendency_of_ice_mass_due_to_forced_retreat")
+    assert calv[0] < 0.0                      # the rim calved in window 1
+    np.testing.assert_allclose(fm, 0.0, atol=1e-12)
+    np.testing.assert_allclose(forced, 0.0, atol=1e-12)
+    scale = max(abs(disch).max(), 1.0)
+    np.testing.assert_allclose(disch, calv + fm + forced,
+                               atol=1e-9 * scale)
