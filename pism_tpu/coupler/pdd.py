@@ -78,6 +78,21 @@ class TemperatureIndex(SurfaceModel):
             "surface.pdd.balance_year_start_day") / 365.0  # year fraction
         self.rho_i = cfg.get_number("constants.ice.density")
         self.rho_w = cfg.get_number("constants.fresh_water.density")
+        # PDD accumulation method (reference ``PDDrandMassBalance``,
+        # src/coupler/surface/localMassBalance.cc): Monte-Carlo daily
+        # temperature draws instead of the Calov-Greve expectation.
+        # ``repeatable_random_process`` uses a fixed seed (bit-stable across
+        # runs and restarts); ``random_process`` seeds from the OS at model
+        # construction (the reference seeds with time(NULL)).
+        self.method = cfg.get_string("surface.pdd.method")
+        if self.method not in ("expectation_integral", "random_process",
+                               "repeatable_random_process"):
+            raise ValueError(f"unknown surface.pdd.method {self.method!r}")
+        if self.method == "random_process":
+            import os
+            self._seed = int.from_bytes(os.urandom(4), "little")
+        else:
+            self._seed = 0
 
     def effective_sigma(self, T):
         """Daily air-temperature variability sigma [K] at air temperature T:
@@ -131,7 +146,22 @@ class TemperatureIndex(SurfaceModel):
             snow = snow + snowfall
             # degree-day supply this interval [K s] -> [K day]
             sigma = self.effective_sigma(T)
-            pdd = expected_pdd_rate(T, self.T_melt, sigma) * dt_if / 86400.0
+            if self.method == "expectation_integral":
+                pdd = expected_pdd_rate(T, self.T_melt, sigma) \
+                    * dt_if / 86400.0
+            else:
+                # Monte-Carlo: S independent draws of the daily temperature
+                # T + N(0, sigma); each represents dt_i/S seconds of the
+                # interval. Keyed on the absolute day index, so the same
+                # model time always sees the same weather (restart-stable).
+                S_draws = 16
+                key = jax.random.PRNGKey(self._seed)
+                day = (tk / 86400.0).astype(jnp.int32) & 0x7FFFFFFF
+                key = jax.random.fold_in(key, day)
+                eps = jax.random.normal(
+                    key, (S_draws,) + T.shape, dtype) * sigma
+                pdd = jnp.mean(jnp.maximum(T + eps - self.T_melt, 0.0),
+                               axis=0) * dt_if / 86400.0
             # melt snow, then firn (snow factor), then ice
             snowfirn_cap = self.factor_snow * 86400.0 * pdd
             snow_melt = jnp.minimum(snow, snowfirn_cap)

@@ -69,6 +69,21 @@ class PicoGeometry(NamedTuple):
     d_if: jnp.ndarray
 
 
+class PicoFields(NamedTuple):
+    """Full PICO solution for diagnostics (PISM ``Pico::diagnostics()``:
+    pico_box_mask, pico_temperature_box, pico_salinity_box,
+    pico_overturning, pico_contshelf_mask roles)."""
+    melt: jnp.ndarray            # m/s ice equivalent, shelf cells
+    T_basal: jnp.ndarray         # K, shelf-base (liquidus) temperature
+    box: jnp.ndarray             # int32 box index (0 outside shelves)
+    d_gl: jnp.ndarray            # hop distance from the grounding line
+    d_if: jnp.ndarray            # hop distance from the ice front
+    temperature: jnp.ndarray     # K, ocean box water temperature per cell
+    salinity: jnp.ndarray        # g/kg, ocean box water salinity per cell
+    overturning: jnp.ndarray     # m3/s, basin overturning flux per cell
+    contshelf: jnp.ndarray       # bool, continental-shelf averaging domain
+
+
 @dataclass
 class Pico(OceanModel):
     """PICO box model. Ambient (T0, S0) are per-cell fields, typically
@@ -142,6 +157,10 @@ class Pico(OceanModel):
 
     # ------------------------------------------------------------------
     def inputs(self, geometry, t) -> OceanInputs:
+        pf = self.solve(geometry, t)
+        return OceanInputs(pf.melt, pf.T_basal)
+
+    def solve(self, geometry, t) -> PicoFields:
         pg = self.boxes(geometry)
         shelf = S.floating_ice(geometry.cell_type)
         H = geometry.ice_thickness
@@ -151,6 +170,7 @@ class Pico(OceanModel):
 
         T0 = jnp.asarray(self.temperature_ocean, dtype)
         S0 = jnp.asarray(self.salinity_ocean, dtype)
+        cont = jnp.zeros(H.shape, bool)
         if self.basin_mask is not None:
             # PISM averages the ambient water properties over each basin's
             # continental shelf (ocean cells above the shelf-depth cutoff)
@@ -190,6 +210,8 @@ class Pico(OceanModel):
         m1 = box_melt(T1, S1, p)
         melt = jnp.where(box1, m1, melt)
         T_basal = jnp.where(box1, A_LIQ * S1 + B_LIQ + C_LIQ * p, T_basal)
+        T_field = jnp.where(box1, T1, jnp.broadcast_to(T0, H.shape))
+        S_field = jnp.where(box1, S1, jnp.broadcast_to(S0, H.shape))
 
         # --- boxes k >= 2 (sequential cascade; eq. A11-A12) ----------------
         Tk, Sk = T1, S1
@@ -210,7 +232,14 @@ class Pico(OceanModel):
             mk = box_melt(Tk_new, Sk_new, p)
             melt = jnp.where(in_k, mk, melt)
             T_basal = jnp.where(in_k, A_LIQ * Sk_new + B_LIQ + C_LIQ * p, T_basal)
+            T_field = jnp.where(in_k, Tk_new, T_field)
+            S_field = jnp.where(in_k, Sk_new, S_field)
             Tk, Sk = Tk_new, Sk_new
 
         melt = jnp.where(shelf, melt, 0.0)
-        return OceanInputs(melt.astype(dtype), T_basal.astype(dtype))
+        q_field = jnp.where(shelf, jnp.broadcast_to(q, H.shape), 0.0)
+        return PicoFields(melt.astype(dtype), T_basal.astype(dtype),
+                          pg.box, pg.d_gl, pg.d_if,
+                          jnp.where(shelf, T_field, 0.0).astype(dtype),
+                          jnp.where(shelf, S_field, 0.0).astype(dtype),
+                          q_field.astype(dtype), cont)

@@ -1855,3 +1855,196 @@ def _dwater(w):
 
 def compute_spatial_rates(names, window: Window2D):
     return {n: SPATIAL_RATE[n].func(window) for n in names}
+
+
+# --------------------------------------------------------------------------
+# PICO diagnostics (reference ``src/coupler/ocean/Pico.cc`` ``diagnostics()``)
+# and further geometry/bed-deformation parity fields
+# --------------------------------------------------------------------------
+
+def _find_coupler(chain, cls):
+    """Walk a coupler modifier chain (``.inner`` links) for an instance of
+    ``cls`` (reference: diagnostics attach to the concrete model even when
+    it is wrapped in delta_T/anomaly/cache modifiers)."""
+    m = chain
+    while m is not None:
+        if isinstance(m, cls):
+            return m
+        m = getattr(m, "inner", None)
+    return None
+
+
+def _pico(model):
+    from ..coupler.pico import Pico
+    return _find_coupler(model.ocean, Pico) if model.ocean is not None else None
+
+
+@spatial("pico_box_mask", "", "PICO ocean box index (0 outside ice shelves)")
+def _pico_box(state, model, t):
+    p = _pico(model)
+    if p is None:
+        return _zeros2(state)
+    return p.solve(state.geometry, t).box
+
+
+@spatial("pico_temperature_box", "K", "PICO ocean box water temperature")
+def _pico_T(state, model, t):
+    p = _pico(model)
+    if p is None:
+        return _zeros2(state)
+    return p.solve(state.geometry, t).temperature
+
+
+@spatial("pico_salinity_box", "g kg-1", "PICO ocean box water salinity")
+def _pico_S(state, model, t):
+    p = _pico(model)
+    if p is None:
+        return _zeros2(state)
+    return p.solve(state.geometry, t).salinity
+
+
+@spatial("pico_overturning", "m3 s-1", "PICO basin overturning flux")
+def _pico_q(state, model, t):
+    p = _pico(model)
+    if p is None:
+        return _zeros2(state)
+    return p.solve(state.geometry, t).overturning
+
+
+@spatial("pico_contshelf_mask", "",
+         "PICO continental-shelf averaging domain mask")
+def _pico_cont(state, model, t):
+    p = _pico(model)
+    if p is None:
+        return _zeros2(state)
+    return p.solve(state.geometry, t).contshelf.astype(
+        state.geometry.ice_thickness.dtype)
+
+
+@spatial("pico_basal_melt_rate", "m s-1",
+         "PICO sub-shelf melt rate (ice equivalent)")
+def _pico_melt(state, model, t):
+    p = _pico(model)
+    if p is None:
+        return _zeros2(state)
+    return p.solve(state.geometry, t).melt
+
+
+@spatial("pico_basal_temperature", "K", "PICO shelf-base temperature")
+def _pico_Tb(state, model, t):
+    p = _pico(model)
+    if p is None:
+        return _zeros2(state)
+    return p.solve(state.geometry, t).T_basal
+
+
+@spatial("pico_shelf_mask", "",
+         "ice-shelf numbering (connected floating components)")
+def _pico_shelf_mask(state, model, t):
+    """Label connected floating-shelf components by min-label flood fill
+    (reference gathers the mask and labels serially; SURVEY.md §2.5)."""
+    import jax
+    g = state.geometry
+    shelf = S.floating_ice(g.cell_type)
+    My, Mx = shelf.shape
+    idx = jnp.arange(1, My * Mx + 1, dtype=jnp.float32).reshape(My, Mx)
+    big = jnp.float32(4.0e9)
+    lab0 = jnp.where(shelf, idx, big)
+    sh = model.sh
+
+    def body(carry):
+        lab, _ = carry
+        nbr = jnp.minimum(jnp.minimum(sh(lab, 0, 1), sh(lab, 0, -1)),
+                          jnp.minimum(sh(lab, 1, 0), sh(lab, -1, 0)))
+        new = jnp.where(shelf, jnp.minimum(lab, nbr), lab)
+        return new, jnp.any(new != lab)
+
+    lab, _ = jax.lax.while_loop(lambda c: c[1], lambda c: body(c),
+                                (lab0, jnp.asarray(True)))
+    # compress raw min-indices to 1..n_shelves for readability
+    flat = jnp.where(shelf, lab, 0.0).ravel()
+    uniq = jnp.unique(flat, size=flat.shape[0], fill_value=0.0)
+    rank_of = jnp.searchsorted(uniq, flat)
+    n_zero = jnp.searchsorted(uniq, 0.0, side="right")
+    out = (rank_of - n_zero + 1).reshape(My, Mx)
+    return jnp.where(shelf, out, 0).astype(g.ice_thickness.dtype)
+
+
+@spatial("height_above_flotation", "m",
+         "ice thickness in excess of the maximum floating thickness")
+def _haf(state, model, t):
+    """Reference ``src/icemodel/diagnostics.cc`` ``height_above_flotation``:
+    H - (sea_level - bed) rho_ocean/rho_ice at marine grounded cells;
+    negative for floating ice, H where the bed is above sea level."""
+    g = state.geometry
+    rho_o = model.config.get_number("constants.sea_water.density") \
+        if model.config is not None else 1028.0
+    depth = jnp.maximum(g.sea_level - g.bed_elevation, 0.0)
+    H_float = depth * (rho_o / model.rho_i)
+    return jnp.where(S.icy(g.cell_type),
+                     g.ice_thickness - H_float, 0.0)
+
+
+@spatial("ice_mass", "kg", "ice mass per cell")
+def _ice_mass_2d(state, model, t):
+    g = state.geometry
+    return model.rho_i * g.ice_thickness * model.grid.dx * model.grid.dy
+
+
+@spatial("ice_margin_pressure_difference", "Pa",
+         "vertically-averaged pressure difference at the ice margin "
+         "(ice overburden minus water column)")
+def _margin_dp(state, model, t):
+    """Reference ``src/icemodel/diagnostics.cc``: the net force imbalance
+    entering the calving-front boundary condition, P_ice - P_water averaged
+    over the ice column at margin cells."""
+    from ..model.calving import front_mask
+    g = state.geometry
+    H = g.ice_thickness
+    rho_o = model.config.get_number("constants.sea_water.density") \
+        if model.config is not None else 1028.0
+    gacc = 9.81
+    icy = S.icy(g.cell_type)
+    open_water = (g.cell_type == S.MASK_ICE_FREE_OCEAN)
+    margin = front_mask(icy, open_water, model.sh)
+    depth = jnp.maximum(g.sea_level - g.bed_elevation, 0.0)
+    hw = jnp.minimum(depth, H * model.rho_i / rho_o)   # submerged thickness
+    P_ice = 0.5 * model.rho_i * gacc * H
+    P_water = 0.5 * rho_o * gacc * hw ** 2 / jnp.maximum(H, 1e-3)
+    return jnp.where(margin & (H > 0), P_ice - P_water, 0.0)
+
+
+@spatial("viscous_bed_displacement", "m",
+         "Lingle-Clark viscous half-space bed displacement (model state)")
+def _viscous_bed(state, model, t):
+    if state.bed_uplift is None:
+        return _zeros2(state)
+    return state.bed_uplift
+
+
+@spatial("grounding_line_flux", "kg m-2 s-1",
+         "per-cell ice flux across the grounding line (instantaneous; "
+         "positive = grounded to floating)")
+def _gl_flux_2d(state, model, t):
+    """Reference ``src/geometry/grounding_line_flux.cc``: the reference
+    accumulates the transport-step flux over the reporting window; here the
+    instantaneous flux through grounded/floating faces scattered to cells."""
+    from . import geometry_evolution as ge
+    g = state.geometry
+    sb = model.stress_balance.update(state)
+    qe_adv, qn_adv = ge.advective_flux(sb.u_face_e, sb.v_face_n,
+                                       g.ice_thickness, model.sh)
+    qe = sb.qe + qe_adv
+    qn = sb.qn + qn_adv
+    grounded = S.grounded_ice(g.cell_type)
+    floating = S.floating_ice(g.cell_type)
+    sh = model.sh
+    e_gf = grounded & sh(floating, 0, 1)
+    e_fg = floating & sh(grounded, 0, 1)
+    n_gf = grounded & sh(floating, 1, 0)
+    n_fg = floating & sh(grounded, 1, 0)
+    area = model.grid.dx * model.grid.dy
+    per_cell = (jnp.where(e_gf, qe, 0.0) - jnp.where(e_fg, qe, 0.0)) \
+        * model.grid.dy + \
+        (jnp.where(n_gf, qn, 0.0) - jnp.where(n_fg, qn, 0.0)) * model.grid.dx
+    return model.rho_i * per_cell / area

@@ -522,3 +522,31 @@ def test_bed_def_given(tmp_path):
     s = jax.jit(lambda st, t: bd.step(st, 1.0, t=t))(state, 150.0 * SPY)
     np.testing.assert_allclose(np.asarray(s.geometry.bed_elevation),
                                123.0 - 15.0, rtol=1e-6)
+
+
+def test_pdd_random_methods(flat_geometry):
+    """PISM PDDrandMassBalance role: Monte-Carlo daily temperature draws.
+    repeatable_random_process is bit-stable across calls; its climatology
+    converges to the Calov-Greve expectation integral."""
+    grid, geom = flat_geometry
+    a = atm.Uniform(temperature=271.15, temperature_july=279.15,
+                    precipitation=0.3 / SPY)
+    exp = TemperatureIndex(atmosphere=a, config=Config())
+    rep = TemperatureIndex(atmosphere=a, config=Config(
+        {"surface.pdd.method": "repeatable_random_process"}))
+    out_e = exp(geom, 0.0)
+    out_r1 = rep(geom, 0.0)
+    out_r2 = rep(geom, 0.0)
+    # bit-stable across evaluations (fixed seed, time-keyed draws)
+    np.testing.assert_array_equal(np.asarray(out_r1.smb),
+                                  np.asarray(out_r2.smb))
+    # Monte-Carlo climatology close to the expectation integral
+    smb_e = float(np.asarray(out_e.smb)[2, 2]) * SPY
+    smb_r = float(np.asarray(out_r1.smb)[2, 2]) * SPY
+    assert smb_r == pytest.approx(smb_e, abs=max(0.15 * abs(smb_e), 0.05))
+    # melt happens in both (summer peaks above freezing)
+    assert float(np.asarray(out_r1.melt).max()) > 0.0
+
+    with pytest.raises(ValueError):
+        TemperatureIndex(atmosphere=a, config=Config(
+            {"surface.pdd.method": "bogus"}))

@@ -278,3 +278,85 @@ def test_subglacial_water_mass_rate():
     np.testing.assert_allclose(
         np.asarray(out["tendency_of_subglacial_water_mass"]),
         1000.0 * 0.5 / 100.0)
+
+
+def test_pico_and_marine_parity_diagnostics():
+    """PICO per-box diagnostics (pico_* fields), height_above_flotation,
+    grounding_line_flux 2D, ice_margin_pressure_difference,
+    pico_shelf_mask labeling."""
+    from pism_tpu import Config, Grid
+    from pism_tpu import state as S
+    from pism_tpu.coupler.pico import Pico
+    from pism_tpu.state import new_geometry
+
+    grid = Grid(Mx=50, My=11, Lx=50e3, Ly=11e3, periodicity="y",
+                Mz=5, Lz=1500.0)
+    x = grid.x
+    H = np.zeros(grid.shape2)
+    H[:, x < -20e3] = 1500.0
+    shelf = (x >= -20e3) & (x < 20e3)
+    H[:, shelf] = np.interp(x[shelf], [-20e3, 20e3], [900.0, 300.0])[None, :]
+    bed = np.full(grid.shape2, -800.0)
+    bed[:, x < -20e3] = -700.0
+    geom = new_geometry(jnp.asarray(H), jnp.asarray(bed))
+
+    cfg = Config({"stress_balance.model": "ssa", "energy.model": "none",
+                  "geometry.remove_icebergs": False})
+    pico = Pico(temperature_ocean=jnp.full(grid.shape2, 273.15),
+                salinity_ocean=jnp.full(grid.shape2, 34.7),
+                config=cfg, grid=grid)
+    model = IceModel(grid=grid, config=cfg, ocean=pico)
+    state = model.prepare_state(S.ModelState(geometry=geom))
+
+    names = ["pico_box_mask", "pico_temperature_box", "pico_salinity_box",
+             "pico_overturning", "pico_basal_melt_rate",
+             "pico_basal_temperature", "pico_contshelf_mask",
+             "pico_shelf_mask", "height_above_flotation", "ice_mass",
+             "ice_margin_pressure_difference", "viscous_bed_displacement",
+             "grounding_line_flux"]
+    vals = diag.compute_spatial(names, state, model, 0.0)
+    mask = np.asarray(state.geometry.cell_type)
+    floating = mask == 3
+
+    box = np.asarray(vals["pico_box_mask"])
+    assert (box[floating] >= 1).all() and (box[~floating] == 0).all()
+    T = np.asarray(vals["pico_temperature_box"])
+    Sal = np.asarray(vals["pico_salinity_box"])
+    # box water is cooled and freshened relative to the ambient
+    assert (T[floating] < 273.15 + 1e-9).all()
+    assert (T[floating] > 270.0).all()
+    assert (Sal[floating] <= 34.7 + 1e-9).all() and (Sal[floating] > 33.0).all()
+    # melt decreases from box 1 to box n on average
+    melt = np.asarray(vals["pico_basal_melt_rate"])
+    m1 = melt[floating & (box == 1)].mean()
+    mN = melt[floating & (box == box.max())].mean()
+    assert m1 > mN >= 0.0 or m1 > 0.0
+    q = np.asarray(vals["pico_overturning"])
+    assert (q[floating] > 0.0).all() and (q[~floating] == 0.0).all()
+
+    # one connected shelf -> single label 1
+    sm = np.asarray(vals["pico_shelf_mask"])
+    assert set(np.unique(sm[floating])) == {1.0}
+    assert (sm[~floating] == 0).all()
+
+    # height above flotation: positive on grounded ice, negative on shelf
+    haf = np.asarray(vals["height_above_flotation"])
+    assert (haf[mask == 2] > 0.0).all()
+    assert (haf[floating] < 0.0).all()
+
+    # ice_mass = rho H dx dy
+    im = np.asarray(vals["ice_mass"])
+    np.testing.assert_allclose(
+        im, 910.0 * np.asarray(state.geometry.ice_thickness)
+        * grid.dx * grid.dy, rtol=1e-12)
+
+    # margin pressure difference nonzero exactly at the calving front
+    dp = np.asarray(vals["ice_margin_pressure_difference"])
+    assert (dp != 0.0).any()
+    icy = mask <= 3
+    icy = (mask == 2) | (mask == 3)
+    assert np.all(icy[dp != 0.0])
+
+    # no transport velocities set -> GL flux field is finite
+    glf = np.asarray(vals["grounding_line_flux"])
+    assert np.isfinite(glf).all()
