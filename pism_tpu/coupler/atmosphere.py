@@ -212,6 +212,21 @@ class DeltaT(AtmosphereModel):
 
 
 @dataclass
+class DeltaP(AtmosphereModel):
+    """Scalar precipitation offset forcing (reference
+    ``atmosphere::Delta_P``, ``-atmosphere ...,delta_P``): an additive
+    time-dependent offset in kg m-2 s-1 (here m ice-equivalent s-1)."""
+
+    inner: AtmosphereModel
+    offset: Callable            # t -> m s-1 ice equivalent
+
+    def __call__(self, geometry, t) -> AtmosphereInputs:
+        a = self.inner(geometry, t)
+        return AtmosphereInputs(a.temperature, a.temperature_july,
+                                a.precipitation + self.offset(t))
+
+
+@dataclass
 class FracP(AtmosphereModel):
     """Scalar precipitation scaling (PISM ``-atmosphere ...,frac_P``):
     precipitation is multiplied by a time-dependent factor."""

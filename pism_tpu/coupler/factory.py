@@ -116,6 +116,9 @@ def atmosphere_from_config(config, inputs: Optional[Mapping] = None,
         elif mod == "delta_T":
             model = _atm.DeltaT(inner=model,
                                 offset=_need(inputs, "delta_T", mod))
+        elif mod == "delta_P":
+            model = _atm.DeltaP(inner=model,
+                                offset=_need(inputs, "delta_P", mod))
         elif mod == "frac_P":
             model = _atm.FracP(inner=model,
                                fraction=_need(inputs, "frac_P", mod))

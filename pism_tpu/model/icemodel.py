@@ -285,6 +285,14 @@ class IceModel:
             if lim is not None and float(lim) != float(jnp.inf):
                 limits.append(jnp.asarray(lim, jnp.float64))
         dt = functools.reduce(jnp.minimum, [jnp.asarray(l, jnp.float64) for l in limits])
+        # reference -timestep_hit_multiples: truncate dt so the step lands
+        # exactly on integer multiples of the period (forcing-update epochs)
+        hit = self.config.get_number("time_stepping.hit_multiples", "seconds")
+        if hit > 0.0:
+            # the +1e-9 tolerance keeps a step that landed on a multiple
+            # from producing a zero-length follow-up step
+            next_mult = (jnp.floor(t / hit + 1e-9) + 1.0) * hit
+            dt = jnp.where(next_mult - t <= dt, next_mult - t, dt)
         # guards: guaranteed progress (dt floor) and NaN containment
         min_dt = self.config.get_number("time_stepping.minimum_time_step", "seconds")
         dt = jnp.where(jnp.isfinite(dt), jnp.maximum(dt, min_dt), min_dt)

@@ -135,6 +135,29 @@ def _softness_integral(flow_law, E3, H_face, z, n: float, enhancement: float):
     return enhancement * K
 
 
+def _flow_integral(flow_law, E3, H_face, z, slope_face, rho, g, enhancement):
+    """Generalized diffusivity integral for non-Glen laws (reference
+    ``SIAFD::compute_diffusivity`` full-flow-law form):
+
+        D = 2 rho g  int_0^H  F(sigma(z), E, p) (H-z)^2 dz,
+        sigma(z) = rho g (H - z) |grad s|,
+
+    where F is ``FlowLaw.flow`` (eps = F sigma). For Glen laws this reduces
+    to the closed-form ``_softness_integral`` route; Goldsby-Kohlstedt needs
+    the explicit stress dependence."""
+    zr = jnp.asarray(z, H_face.dtype)
+    H = H_face[..., None]
+    depth = jnp.maximum(H - zr, 0.0)
+    p = flow_law.EC.pressure(depth)
+    sigma = rho * g * depth * slope_face[..., None]
+    F = flow_law.flow(sigma, E3, p)
+    f = F * depth ** 2
+    z_c = jnp.minimum(zr, H)
+    w = jnp.diff(z_c, axis=-1)
+    K = jnp.sum(0.5 * (f[..., 1:] + f[..., :-1]) * w, axis=-1)
+    return enhancement * 2.0 * rho * g * K
+
+
 def _pallas_eligible(flow_law, enthalpy, grid, H, gradient_method,
                      theta_e, theta_n) -> bool:
     """Route to the fused Pallas TPU kernel when it computes the identical
@@ -204,6 +227,25 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
     slope2_n = grad.sx_n ** 2 + grad.sy_n ** 2
 
     C = 2.0 * (rho * g) ** n
+
+    if getattr(flow_law, "generalized", False):
+        if enthalpy is None:
+            raise ValueError("generalized (Goldsby-Kohlstedt) SIA "
+                             "diffusivity needs an enthalpy field")
+        E_e = st.avg_to_east(enthalpy, sh)
+        E_n = st.avg_to_north(enthalpy, sh)
+        De = _flow_integral(flow_law, E_e, H_e, grid.z,
+                            jnp.sqrt(slope2_e), rho, g, enhancement)
+        Dn = _flow_integral(flow_law, E_n, H_n, grid.z,
+                            jnp.sqrt(slope2_n), rho, g, enhancement)
+        if theta_e is not None:
+            De = De * theta_e
+        if theta_n is not None:
+            Dn = Dn * theta_n
+        qe = -De * grad.sx_e
+        qn = -Dn * grad.sy_n
+        max_D = jnp.maximum(jnp.max(De), jnp.max(Dn))
+        return SIAFlux(De=De, Dn=Dn, qe=qe, qn=qn, max_D=max_D)
 
     if enthalpy is None:
         # isothermal closed form: K = e * A * H^(n+2) / (n+2)

@@ -58,17 +58,28 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
 
     Hc = H[..., None]
     depth = jnp.maximum(Hc - z, 0.0)
-    if enthalpy is None:
-        A = flow_law.softness(jnp.zeros((), H.dtype), jnp.zeros((), H.dtype))
-        A3 = jnp.broadcast_to(A, depth.shape)
-    else:
+    tau = rho * g * depth * slope[..., None]
+    if getattr(flow_law, "generalized", False):
+        # stress-dependent law (Goldsby-Kohlstedt): du/dz = 2 F(tau) tau
+        if enthalpy is None:
+            raise ValueError("generalized flow law needs enthalpy")
         p = flow_law.EC.pressure(depth)
-        A3 = flow_law.softness(enthalpy, p)
+        F3 = flow_law.flow(tau, enthalpy, p)
+        phi = 2.0 * enhancement * rho * g * _cumtrapz_z(F3 * depth, z)
+        A3 = None
+    else:
+        if enthalpy is None:
+            A = flow_law.softness(jnp.zeros((), H.dtype),
+                                  jnp.zeros((), H.dtype))
+            A3 = jnp.broadcast_to(A, depth.shape)
+        else:
+            p = flow_law.EC.pressure(depth)
+            A3 = flow_law.softness(enthalpy, p)
 
-    C = 2.0 * enhancement * (rho * g) ** n
-    integrand = A3 * depth ** n
-    I = _cumtrapz_z(integrand, z)                       # (My, Mx, Mz)
-    phi = C * slope[..., None] ** (n - 1.0) * I
+        C = 2.0 * enhancement * (rho * g) ** n
+        integrand = A3 * depth ** n
+        I = _cumtrapz_z(integrand, z)                       # (My, Mx, Mz)
+        phi = C * slope[..., None] ** (n - 1.0) * I
 
     ub = u_base if u_base is not None else jnp.zeros_like(H)
     vb = v_base if v_base is not None else jnp.zeros_like(H)
@@ -88,8 +99,10 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
     w = jnp.where(in_ice, w, 0.0)
 
     # volumetric strain heating (SIA shear dissipation)
-    tau = rho * g * depth * slope[..., None]
-    Phi = 2.0 * enhancement * A3 * tau ** (n + 1.0)
+    if A3 is None:
+        Phi = 2.0 * enhancement * F3 * tau ** 2
+    else:
+        Phi = 2.0 * enhancement * A3 * tau ** (n + 1.0)
     Phi = jnp.where(z < Hc, Phi, 0.0)
 
     return SIA3D(

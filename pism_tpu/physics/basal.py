@@ -176,12 +176,26 @@ class SlidingLaw:
     and ``IceBasalResistancePseudoPlasticLaw``)."""
 
     pseudo_plastic: bool = False
+    regularized_coulomb: bool = False
     q: float = 0.25
     u_threshold: float = 100.0 / 3.15569259747e7   # m/s
     plastic_reg: float = 0.01 / 3.15569259747e7    # m/s
 
     @staticmethod
     def from_config(config) -> "SlidingLaw":
+        reg_coulomb = config.get_flag(
+            "basal_resistance.regularized_coulomb.enabled")
+        if reg_coulomb:
+            # reference IceBasalResistanceRegularizedLaw (Zoet-Iverson 2020)
+            return SlidingLaw(
+                regularized_coulomb=True,
+                q=config.get_number("basal_resistance.regularized_coulomb.q"),
+                u_threshold=config.get_number(
+                    "basal_resistance.regularized_coulomb.u_threshold",
+                    "m s-1"),
+                plastic_reg=config.get_number(
+                    "basal_resistance.plastic.regularization", "m s-1"),
+            )
         return SlidingLaw(
             pseudo_plastic=config.get_flag("basal_resistance.pseudo_plastic.enabled"),
             q=config.get_number("basal_resistance.pseudo_plastic.q"),
@@ -197,6 +211,13 @@ class SlidingLaw:
         — nearly linear drag — and tightens toward the configured value)."""
         r = self.plastic_reg if reg is None else reg
         speed2 = u ** 2 + v ** 2
+        if self.regularized_coulomb:
+            # tau_b = tau_c |u|^q / (|u| + u_threshold)^q: Coulomb-plastic at
+            # speed >> u_threshold, power-law below (Zoet & Iverson 2020;
+            # reference IceBasalResistanceRegularizedLaw::drag)
+            sp = jnp.sqrt(speed2 + r ** 2)
+            return tau_c * sp ** (self.q - 1.0) \
+                / (sp + self.u_threshold) ** self.q
         if self.pseudo_plastic:
             sp = jnp.sqrt(speed2 + r ** 2)
             return tau_c * sp ** (self.q - 1.0) / self.u_threshold ** self.q

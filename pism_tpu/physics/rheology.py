@@ -142,6 +142,110 @@ class GPBLD(PatersonBudd):
         return base * (1.0 + self.water_frac_coeff * omega)
 
 
+@dataclass(frozen=True)
+class GoldsbyKohlstedt(FlowLaw):
+    """Goldsby & Kohlstedt (2001) composite creep law (reference
+    ``src/rheology/GoldsbyKohlstedt.cc``): diffusional flow + dislocation
+    creep + the harmonic combination of basal slip and grain-boundary
+    sliding, all grain-size dependent. Constants re-derived from the
+    publication (MPa-based, converted to Pa here)
+    [unverified: reference mount empty].
+
+    Only ``flow`` is well-defined; a single Glen-type softness/hardness
+    does not exist (the reference raises the same way), so the SIA consumes
+    this law through the generalized stress-dependent diffusivity integral
+    (``ops/sia.py``), and the factory refuses it for the SSA.
+    """
+
+    generalized = True          # route ops/sia.py to the flow() integral
+
+    grain_size: float = 1.0e-3  # m
+    V_act_vol: float = -13.0e-6  # m^3/mol activation volume
+    R: float = 8.31441
+
+    # dislocation creep
+    disl_crit_temp: float = 258.0
+    disl_A_cold: float = 4.0e5    # MPa^-4 s^-1
+    disl_A_warm: float = 6.0e28
+    disl_n: float = 4.0
+    disl_Q_cold: float = 60.0e3   # J/mol
+    disl_Q_warm: float = 180.0e3
+    # easy slip (basal)
+    basal_A: float = 5.5e7        # MPa^-2.4 s^-1
+    basal_n: float = 2.4
+    basal_Q: float = 60.0e3
+    # grain boundary sliding
+    gbs_crit_temp: float = 255.0
+    gbs_A_cold: float = 3.9e-3    # MPa^-1.8 m^1.4 s^-1
+    gbs_A_warm: float = 3.0e26
+    gbs_n: float = 1.8
+    gbs_Q_cold: float = 49.0e3
+    gbs_Q_warm: float = 192.0e3
+    p_grain_sz_exp: float = 1.4
+    # diffusional flow
+    diff_crit_temp: float = 258.0
+    diff_V_m: float = 1.97e-5     # molar volume m^3/mol
+    diff_D_0v: float = 9.10e-4    # m^2/s volume diffusion pre-exponential
+    diff_Q_v: float = 59.4e3
+    diff_D_0b: float = 5.8e-4     # m^2/s grain-boundary diffusion
+    diff_Q_b: float = 49.0e3
+    diff_delta: float = 9.04e-10  # m, grain-boundary width
+
+    def softness(self, E, p):
+        raise RuntimeError(
+            "Goldsby-Kohlstedt does not define a Glen softness; "
+            "use flow() (same restriction as the reference)")
+
+    def hardness(self, E, p):
+        raise RuntimeError(
+            "Goldsby-Kohlstedt does not define a Glen hardness")
+
+    def averaged_hardness(self, thickness, E_column, z):
+        raise RuntimeError(
+            "Goldsby-Kohlstedt cannot be used in the SSA (no hardness)")
+
+    def flow(self, stress, E, p):
+        """Strain-rate factor F with eps = F * sigma, from the absolute
+        temperature; stress in Pa."""
+        T = self.EC.temperature(E, p)
+        gs = self.grain_size
+        pV = p * self.V_act_vol
+        RT = self.R * jnp.maximum(T, 1.0)
+        MPa = 1.0e-6  # Pa -> MPa conversion folded into the prefactors
+
+        # diffusional flow (linear in stress -> constant factor)
+        D_v = self.diff_D_0v * jnp.exp(-self.diff_Q_v / RT)
+        D_b = self.diff_D_0b * jnp.exp(-self.diff_Q_b / RT)
+        D_b = jnp.where(T > self.diff_crit_temp, D_b * 1000.0, D_b)
+        eps_diff = 42.0 * self.diff_V_m \
+            * (D_v + jnp.pi * self.diff_delta * D_b / gs) / (RT * gs ** 2)
+
+        sig = jnp.maximum(stress, 1e-10)
+        # dislocation creep
+        A_d = jnp.where(T > self.disl_crit_temp,
+                        self.disl_A_warm, self.disl_A_cold) \
+            * MPa ** self.disl_n
+        Q_d = jnp.where(T > self.disl_crit_temp,
+                        self.disl_Q_warm, self.disl_Q_cold)
+        eps_disl = A_d * sig ** (self.disl_n - 1.0) \
+            * jnp.exp(-(Q_d + pV) / RT)
+        # basal slip
+        eps_basal = self.basal_A * MPa ** self.basal_n \
+            * sig ** (self.basal_n - 1.0) \
+            * jnp.exp(-(self.basal_Q + pV) / RT)
+        # grain boundary sliding
+        A_g = jnp.where(T > self.gbs_crit_temp,
+                        self.gbs_A_warm, self.gbs_A_cold) \
+            * MPa ** self.gbs_n
+        Q_g = jnp.where(T > self.gbs_crit_temp,
+                        self.gbs_Q_warm, self.gbs_Q_cold)
+        eps_gbs = A_g * sig ** (self.gbs_n - 1.0) \
+            / gs ** self.p_grain_sz_exp * jnp.exp(-(Q_g + pV) / RT)
+
+        return eps_diff + eps_disl \
+            + eps_basal * eps_gbs / jnp.maximum(eps_basal + eps_gbs, 1e-300)
+
+
 def flow_law_from_config(config, which: str = "sia",
                          EC: EnthalpyConverter = None) -> FlowLaw:
     """Factory (PISM ``rheology::FlowLawFactory``)."""
@@ -170,6 +274,15 @@ def flow_law_from_config(config, which: str = "sia",
         return PatersonBuddWarm(**pb_kw)
     if name == "hooke":
         return Hooke(**pb_kw)
+    if name == "gk":
+        if which != "sia":
+            raise ValueError(
+                "Goldsby-Kohlstedt is SIA-only (no Glen hardness; the "
+                "reference FlowLawFactory applies the same restriction)")
+        return GoldsbyKohlstedt(
+            n=n, EC=EC,
+            grain_size=config.get_number("flow_law.gk.grain_size"),
+            R=config.get_number("constants.ideal_gas_constant"))
     if name == "gpbld":
         return GPBLD(
             **pb_kw,

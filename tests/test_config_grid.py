@@ -55,3 +55,42 @@ def test_grid_hashable_static():
     g1 = Grid(Mx=61, My=61, Lx=750e3, Ly=750e3)
     g2 = Grid(Mx=61, My=61, Lx=750e3, Ly=750e3)
     assert hash(g1) == hash(g2) and g1 == g2
+
+
+def test_hit_multiples_dt():
+    """Reference -timestep_hit_multiples: dt truncated so steps land on
+    integer multiples of the period."""
+    import jax.numpy as jnp
+    from pism_tpu import Config, Grid
+    from pism_tpu import state as S
+    from pism_tpu.state import ModelState, new_geometry
+    from pism_tpu.model.icemodel import IceModel
+
+    SPY = 3.15569259747e7
+    cfg = Config({"stress_balance.model": "sia",
+                  "stress_balance.sia.flow_law": "isothermal_glen",
+                  "energy.model": "none",
+                  "time_stepping.maximum_time_step": 60.0,
+                  "time_stepping.hit_multiples": 10.0})
+    grid = Grid(Mx=11, My=11, Lx=100e3, Ly=100e3)
+    # thin flat ice -> huge diffusivity dt -> max_dt-limited
+    st = ModelState(geometry=new_geometry(jnp.full(grid.shape2, 10.0),
+                                          jnp.zeros(grid.shape2)))
+    model = IceModel(grid=grid, config=cfg)
+    st = model.prepare_state(st)
+    sb = model.stress_balance.update(st)
+    t_end = 1e4 * SPY
+    # from t = 3 yr the next multiple is 10 yr -> dt = 7 yr
+    dt = float(model._compute_dt(sb, 3.0 * SPY, t_end))
+    assert dt / SPY == pytest.approx(7.0, rel=1e-9)
+    # sitting exactly on a multiple -> full 10 yr to the next one
+    dt = float(model._compute_dt(sb, 20.0 * SPY, t_end))
+    assert dt / SPY == pytest.approx(10.0, rel=1e-9)
+    # without the option the step is max_dt-limited
+    cfg2 = Config({"stress_balance.model": "sia",
+                   "stress_balance.sia.flow_law": "isothermal_glen",
+                   "energy.model": "none",
+                   "time_stepping.maximum_time_step": 60.0})
+    model2 = IceModel(grid=grid, config=cfg2)
+    dt = float(model2._compute_dt(sb, 3.0 * SPY, t_end))
+    assert dt / SPY > 10.0

@@ -226,3 +226,14 @@ def test_orographic_precipitation_modifier():
     windward = P[:, : cx].max()
     lee = P[:, cx + 4:].min()
     assert windward > 2.0 * max(lee, 1e-12)  # rain shadow
+
+
+def test_atmosphere_delta_P(geom):
+    """Reference atmosphere::Delta_P: additive precipitation offset."""
+    grid, g = geom
+    cfg = Config({"atmosphere.models": "uniform,delta_P",
+                  "atmosphere.uniform.precipitation": 910.0})  # 1 m/yr ice eq
+    dP = ScalarForcing.from_arrays([0.0, 100.0], [0.0, 1.0 / SPY])
+    a = atmosphere_from_config(cfg, {"delta_P": dP})
+    out = a(g, 50.0 * SPY)
+    assert float(out.precipitation[2, 2]) * SPY == pytest.approx(1.5, rel=1e-6)

@@ -263,3 +263,105 @@ def test_given_yield_stress():
     # no array and no file -> explicit error
     with pytest.raises(ValueError):
         GivenYieldStress(Config({}))
+
+
+def test_goldsby_kohlstedt_flow(EC):
+    """GK composite law: finite positive creep, stronger at warm T and high
+    stress; dislocation creep dominates at high stress, grain-size-sensitive
+    mechanisms at low stress (Goldsby & Kohlstedt 2001)."""
+    import jax.numpy as jnp
+    from pism_tpu.physics.rheology import (GoldsbyKohlstedt, PatersonBudd,
+                                           flow_law_from_config)
+    from pism_tpu import Config
+
+    gk = GoldsbyKohlstedt(EC=EC)
+    p = EC.pressure(jnp.asarray(500.0))
+    E_cold = EC.enthalpy(jnp.asarray(253.15), jnp.asarray(0.0), p)
+    E_warm = EC.enthalpy(jnp.asarray(268.15), jnp.asarray(0.0), p)
+
+    F_cold = float(gk.flow(jnp.asarray(1e5), E_cold, p))
+    F_warm = float(gk.flow(jnp.asarray(1e5), E_warm, p))
+    assert 0.0 < F_cold < F_warm
+
+    # strain rate eps = F * sigma grows superlinearly in sigma
+    # (dislocation n=4 dominates at high stress)
+    F_lo = float(gk.flow(jnp.asarray(1e4), E_cold, p))
+    F_hi = float(gk.flow(jnp.asarray(5e5), E_cold, p))
+    assert F_hi > F_lo
+    eps_hi = F_hi * 5e5
+    eps_lo = F_lo * 1e4
+    assert eps_hi / eps_lo > (5e5 / 1e4)      # superlinear
+
+    # smaller grains -> faster GBS/diffusional creep at low stress
+    gk_fine = GoldsbyKohlstedt(EC=EC, grain_size=1e-4)
+    assert float(gk_fine.flow(jnp.asarray(1e4), E_cold, p)) > F_lo
+
+    # magnitude sanity vs Paterson-Budd at typical SIA stress (same order)
+    pb = PatersonBudd(EC=EC)
+    F_pb = float(pb.flow(jnp.asarray(1e5),
+                         EC.pressure_adjusted_temperature(E_cold, p) * 0 +
+                         E_cold, p))
+    assert 1e-4 < F_cold / F_pb < 1e4
+
+    # softness/hardness are undefined, as in the reference
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        gk.softness(E_cold, p)
+    with _pytest.raises(RuntimeError):
+        gk.averaged_hardness(jnp.asarray(100.0), E_cold[None], jnp.asarray([0.0]))
+
+    # factory: gk for SIA ok, refused for SSA
+    cfg = Config({"stress_balance.sia.flow_law": "gk",
+                  "stress_balance.ssa.flow_law": "gk"})
+    law = flow_law_from_config(cfg, "sia")
+    assert isinstance(law, GoldsbyKohlstedt)
+    with _pytest.raises(ValueError):
+        flow_law_from_config(cfg, "ssa")
+
+
+def test_regularized_coulomb_sliding():
+    """Zoet-Iverson regularized Coulomb: tau_b -> tau_c as |u| -> inf,
+    power-law at low speed, always below the pseudo-plastic drag."""
+    import jax.numpy as jnp
+    from pism_tpu.physics.basal import SlidingLaw
+    from pism_tpu import Config
+
+    law = SlidingLaw.from_config(Config(
+        {"basal_resistance.regularized_coulomb.enabled": True}))
+    assert law.regularized_coulomb
+    tau_c = 5e4
+    SPY = 3.15569259747e7
+    # fast sliding: tau_b = beta * |u| approaches tau_c (Coulomb limit)
+    u_fast = 100000.0 / SPY
+    tb_fast = float(law.beta(tau_c, jnp.asarray(u_fast), 0.0) * u_fast)
+    assert tb_fast == pytest.approx(tau_c, rel=0.05)
+    # slow sliding: well below tau_c
+    u_slow = 1.0 / SPY
+    tb_slow = float(law.beta(tau_c, jnp.asarray(u_slow), 0.0) * u_slow)
+    assert tb_slow < 0.5 * tau_c
+    # monotone increasing tau_b(|u|)
+    speeds = jnp.asarray([1.0, 10.0, 100.0, 1000.0, 1e4]) / SPY
+    tb = np.asarray(law.beta(tau_c, speeds, 0.0) * speeds)
+    assert np.all(np.diff(tb) > 0)
+
+
+def test_goldsby_kohlstedt_sia_end_to_end():
+    """GK drives the generalized SIA diffusivity integral and the 3D
+    velocity/strain-heating path (reference: SIAFD consumes the full
+    flow(stress,...) form for non-Glen laws)."""
+    import jax.numpy as jnp
+    from pism_tpu.model.icemodel import IceModel
+    from pism_tpu.verification import eismint2
+
+    SPY = 3.15569259747e7
+    es = eismint2.setup("A", Mx=31, Mz=11, Lz=5000.0)
+    es.config.update({"stress_balance.sia.flow_law": "gk"})
+    model = IceModel(grid=es.grid, config=es.config, surface=es.surface)
+    state, t, stats = model.step_once(es.state, 0.0, 500.0 * SPY)
+    H = np.asarray(state.geometry.ice_thickness)
+    assert np.isfinite(H).all() and H.max() > 0.0
+    assert int(stats.nsteps) >= 1
+    # the ice flows: margin advances / interior flux nonzero
+    sb = model.stress_balance.update(state)
+    assert float(jnp.max(jnp.abs(sb.qe))) > 0.0
+    assert np.isfinite(float(sb.max_diffusivity))
