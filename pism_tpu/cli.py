@@ -84,6 +84,10 @@ def build_parser():
                         "interval-averaged tendency_* rates)")
     p.add_argument("-save_file", default=None,
                    help="snapshot file pattern (e.g. snap_{kyr:.1f}.nc)")
+    p.add_argument("-view", default=None, metavar="VAR[,VAR...]",
+                   help="runtime map viewer (PISM -view): refresh "
+                        "view_<var>.png for each listed 2D diagnostic at "
+                        "every segment boundary")
     p.add_argument("-save_times", default=None,
                    help="snapshot times [years] (a:step:b or comma list)")
     p.add_argument("-backup_interval", type=float, default=0.0,
@@ -608,6 +612,7 @@ def main(argv=None):
         if args.save_times else (),
         snapshot_file=args.save_file or "snapshots_{kyr:.3f}.nc",
         backup_interval=args.backup_interval * 3600.0,
+        view_vars=tuple(args.view.split(",")) if args.view else (),
     )
 
     wall0 = _wall.time()

@@ -338,7 +338,8 @@ def sea_level_from_config(config, inputs: Optional[Mapping] = None):
                                 offset=_need(inputs, "delta_SL", mod))
         elif mod == "delta_sl_2d":
             model = _sl.DeltaSL2D(inner=model,
-                                  offset_field=_need(inputs, "delta_SL_2D", mod))
+                                  offset_field=_need(inputs, "delta_SL_2D", mod),
+                                  times=inputs.get("delta_SL_2D_times"))
         else:
             raise ValueError(f"unknown sea level modifier {mod!r}")
     return model

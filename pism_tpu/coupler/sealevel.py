@@ -41,10 +41,23 @@ class DeltaSL(SeaLevelModel):
 
 @dataclass
 class DeltaSL2D(SeaLevelModel):
-    """2D offset field (PISM ``delta_sl_2d``)."""
+    """2D offset field (PISM ``delta_sl_2d``). ``offset_field`` is either a
+    static (My, Mx) field or a time stack (T, My, Mx) with ``times`` [s]
+    (reference: ``ocean.delta_sl_2d.file`` frames, linearly interpolated in
+    time and held constant outside the covered interval)."""
 
     inner: SeaLevelModel
     offset_field: jnp.ndarray
+    times: Optional[jnp.ndarray] = None
 
     def __call__(self, geometry, t):
-        return self.inner(geometry, t) + jnp.asarray(self.offset_field)
+        f = jnp.asarray(self.offset_field)
+        if self.times is None or f.ndim == 2:
+            return self.inner(geometry, t) + f
+        ts = jnp.asarray(self.times)
+        tq = jnp.clip(t, ts[0], ts[-1])
+        k = jnp.clip(jnp.searchsorted(ts, tq, side="right") - 1,
+                     0, ts.shape[0] - 2)
+        w = (tq - ts[k]) / jnp.maximum(ts[k + 1] - ts[k], 1e-30)
+        frame = (1.0 - w) * f[k] + w * f[k + 1]
+        return self.inner(geometry, t) + frame

@@ -95,6 +95,10 @@ class OutputManager:
     # wall-clock backups
     backup_interval: float = 0.0   # seconds of wall time; 0 disables
     backup_file: str = "backup.nc"
+    # runtime map viewer (reference -view X11 maps; here PNG frames
+    # refreshed at every segment boundary on the writer thread)
+    view_vars: Sequence[str] = ()
+    view_dir: str = "."
     # overlap device->host transfer + NetCDF writes with the device loop
     async_io: bool = True
 
@@ -245,6 +249,41 @@ class OutputManager:
         if self.backup_interval > 0 and \
                 _time.time() - self._last_backup_wall > self.backup_interval:
             self.write_backup(state, t)
+        if self.view_vars:
+            self._write_view(state, t, model)
+
+    def _write_view(self, state, t, model) -> None:
+        """Refresh the viewer PNGs (reference ``-view``: live X11 map per
+        variable, updated each step; here one ``view_<var>.png`` per
+        variable, overwritten at each segment boundary)."""
+        import os
+        names = [n for n in self.view_vars if n in diag.SPATIAL]
+        values = diag.compute_spatial(names, state, model, t)
+        x_km = np.asarray(self.grid.x) / 1e3
+        y_km = np.asarray(self.grid.y) / 1e3
+        extent = [x_km[0], x_km[-1], y_km[0], y_km[-1]]
+
+        def task(values=values, t=t):
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            for name, v in values.items():
+                arr = np.asarray(v)
+                if arr.ndim == 3:
+                    arr = arr[..., -1]      # show the surface level of 3D
+                d = diag.SPATIAL[name]
+                fig, ax = plt.subplots(figsize=(5.2, 4.2), dpi=110)
+                im = ax.imshow(arr, origin="lower", extent=extent,
+                               aspect="equal")
+                fig.colorbar(im, ax=ax, label=d.units or "")
+                ax.set_xlabel("x [km]")
+                ax.set_ylabel("y [km]")
+                ax.set_title(f"{name} at {t / 3.15569259747e7:,.1f} yr")
+                fig.tight_layout()
+                fig.savefig(os.path.join(self.view_dir, f"view_{name}.png"))
+                plt.close(fig)
+
+        self._submit(task)
 
     def write_backup(self, state, t: float) -> None:
         """Write a full-state backup now (wall-clock schedule or SIGUSR1)."""

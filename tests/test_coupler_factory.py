@@ -237,3 +237,24 @@ def test_atmosphere_delta_P(geom):
     a = atmosphere_from_config(cfg, {"delta_P": dP})
     out = a(g, 50.0 * SPY)
     assert float(out.precipitation[2, 2]) * SPY == pytest.approx(1.5, rel=1e-6)
+
+
+def test_sea_level_delta_sl_2d_time_dependent(geom):
+    """delta_sl_2d with a (T, My, Mx) frame stack: linear time
+    interpolation, clamped outside the covered interval."""
+    grid, g = geom
+    cfg = Config({"sea_level.models": "constant,delta_sl_2d",
+                  "sea_level.constant.value": 0.0})
+    frames = jnp.stack([jnp.zeros(grid.shape2),
+                        jnp.full(grid.shape2, 10.0)])
+    times = jnp.asarray([0.0, 100.0 * SPY])
+    sl = sea_level_from_config(cfg, {"delta_SL_2D": frames,
+                                     "delta_SL_2D_times": times})
+    assert float(sl(g, 0.0)[2, 2]) == pytest.approx(0.0)
+    assert float(sl(g, 50.0 * SPY)[2, 2]) == pytest.approx(5.0)
+    assert float(sl(g, 100.0 * SPY)[2, 2]) == pytest.approx(10.0)
+    # clamped beyond the last frame
+    assert float(sl(g, 500.0 * SPY)[2, 2]) == pytest.approx(10.0)
+    # static 2D field still works
+    sl2 = sea_level_from_config(cfg, {"delta_SL_2D": jnp.full(grid.shape2, 3.0)})
+    assert float(sl2(g, 7.0)[1, 1]) == pytest.approx(3.0)

@@ -276,3 +276,31 @@ def test_ts_discharge_split_by_mechanism(tmp_path):
     scale = max(abs(disch).max(), 1.0)
     np.testing.assert_allclose(disch, calv + fm + forced,
                                atol=1e-9 * scale)
+
+
+def test_view_pngs(tmp_path):
+    """-view role: PNG map frames refreshed at segment boundaries."""
+    import jax.numpy as jnp
+    from pism_tpu import Config, Grid
+    from pism_tpu.state import ModelState, new_geometry
+    from pism_tpu.model.icemodel import IceModel
+    from pism_tpu.model.output import OutputManager
+
+    SPY = 3.15569259747e7
+    cfg = Config({"stress_balance.model": "sia",
+                  "stress_balance.sia.flow_law": "isothermal_glen",
+                  "energy.model": "none"})
+    grid = Grid(Mx=11, My=11, Lx=100e3, Ly=100e3)
+    H = jnp.asarray(np.maximum(0.0, 1000.0 * (1 - (grid.radius / 80e3) ** 2)))
+    st = ModelState(geometry=new_geometry(H, jnp.zeros(grid.shape2)))
+    model = IceModel(grid=grid, config=cfg)
+    st = model.prepare_state(st)
+    out = OutputManager(grid=grid, config=cfg,
+                        view_vars=("thk", "velbar_mag"),
+                        view_dir=str(tmp_path))
+    out.start(st, 0.0, model)
+    out.process(st, 10.0 * SPY, model)
+    out.close()
+    for name in ("thk", "velbar_mag"):
+        p = tmp_path / f"view_{name}.png"
+        assert p.exists() and p.stat().st_size > 1000
