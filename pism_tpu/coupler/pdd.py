@@ -151,15 +151,25 @@ class TemperatureIndex(SurfaceModel):
                     * dt_if / 86400.0
             else:
                 # Monte-Carlo: S independent draws of the daily temperature
-                # T + N(0, sigma); each represents dt_i/S seconds of the
-                # interval. Keyed on the absolute day index, so the same
-                # model time always sees the same weather (restart-stable).
-                S_draws = 16
-                key = jax.random.PRNGKey(self._seed)
-                day = (tk / 86400.0).astype(jnp.int32) & 0x7FFFFFFF
-                key = jax.random.fold_in(key, day)
-                eps = jax.random.normal(
-                    key, (S_draws,) + T.shape, dtype) * sigma
+                # T + N(0, sigma); draw s represents the absolute-time slice
+                # [t + k dt_i + s dt_i/S, ...). Each draw is keyed on its own
+                # slice midpoint quantized to 86400/S seconds, a pure function
+                # of absolute model time: sub-daily intervals within one day
+                # get distinct weather, multi-day intervals get per-day
+                # weather (the reference PDDrandMassBalance draws per
+                # simulated day), and the same model time always sees the
+                # same draws (restart-stable).
+                S_draws = 32
+                quantum = 86400.0 / S_draws
+                base = jax.random.PRNGKey(self._seed)
+                t_s = t + k * dt_i + (jnp.arange(S_draws, dtype=tk.dtype)
+                                      + 0.5) * (dt_i / S_draws)
+                slots = (t_s / quantum).astype(jnp.int64).astype(
+                    jnp.int32) & 0x7FFFFFFF
+                keys = jax.vmap(lambda s: jax.random.fold_in(base, s))(slots)
+                eps = jax.vmap(
+                    lambda kk: jax.random.normal(kk, T.shape, dtype))(keys) \
+                    * sigma
                 pdd = jnp.mean(jnp.maximum(T + eps - self.T_melt, 0.0),
                                axis=0) * dt_if / 86400.0
             # melt snow, then firn (snow factor), then ice

@@ -52,6 +52,10 @@ class DeltaSL2D(SeaLevelModel):
 
     def __call__(self, geometry, t):
         f = jnp.asarray(self.offset_field)
+        if f.ndim == 3 and self.times is None:
+            raise ValueError(
+                "DeltaSL2D: offset_field has a time axis (T, My, Mx) but "
+                "no `times` coordinates were given")
         if self.times is None or f.ndim == 2:
             return self.inner(geometry, t) + f
         ts = jnp.asarray(self.times)

@@ -1879,12 +1879,28 @@ def _pico(model):
     return _find_coupler(model.ocean, Pico) if model.ocean is not None else None
 
 
+def _pico_solve(p, state, t):
+    """Run (or reuse) the PICO box-model solve for this (state, t).
+
+    Writing the full pico_* diagnostic set would otherwise re-run the whole
+    solve once per field; cache the last result keyed on the geometry object
+    identity and the evaluation time (diagnostics are computed host-side, so
+    ``t`` is concrete here)."""
+    key = (id(state.geometry), float(t))
+    cached = getattr(p, "_diag_solve_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    fields = p.solve(state.geometry, t)
+    p._diag_solve_cache = (key, fields)
+    return fields
+
+
 @spatial("pico_box_mask", "", "PICO ocean box index (0 outside ice shelves)")
 def _pico_box(state, model, t):
     p = _pico(model)
     if p is None:
         return _zeros2(state)
-    return p.solve(state.geometry, t).box
+    return _pico_solve(p, state, t).box
 
 
 @spatial("pico_temperature_box", "K", "PICO ocean box water temperature")
@@ -1892,7 +1908,7 @@ def _pico_T(state, model, t):
     p = _pico(model)
     if p is None:
         return _zeros2(state)
-    return p.solve(state.geometry, t).temperature
+    return _pico_solve(p, state, t).temperature
 
 
 @spatial("pico_salinity_box", "g kg-1", "PICO ocean box water salinity")
@@ -1900,7 +1916,7 @@ def _pico_S(state, model, t):
     p = _pico(model)
     if p is None:
         return _zeros2(state)
-    return p.solve(state.geometry, t).salinity
+    return _pico_solve(p, state, t).salinity
 
 
 @spatial("pico_overturning", "m3 s-1", "PICO basin overturning flux")
@@ -1908,7 +1924,7 @@ def _pico_q(state, model, t):
     p = _pico(model)
     if p is None:
         return _zeros2(state)
-    return p.solve(state.geometry, t).overturning
+    return _pico_solve(p, state, t).overturning
 
 
 @spatial("pico_contshelf_mask", "",
@@ -1917,7 +1933,7 @@ def _pico_cont(state, model, t):
     p = _pico(model)
     if p is None:
         return _zeros2(state)
-    return p.solve(state.geometry, t).contshelf.astype(
+    return _pico_solve(p, state, t).contshelf.astype(
         state.geometry.ice_thickness.dtype)
 
 
@@ -1927,7 +1943,7 @@ def _pico_melt(state, model, t):
     p = _pico(model)
     if p is None:
         return _zeros2(state)
-    return p.solve(state.geometry, t).melt
+    return _pico_solve(p, state, t).melt
 
 
 @spatial("pico_basal_temperature", "K", "PICO shelf-base temperature")
@@ -1935,7 +1951,7 @@ def _pico_Tb(state, model, t):
     p = _pico(model)
     if p is None:
         return _zeros2(state)
-    return p.solve(state.geometry, t).T_basal
+    return _pico_solve(p, state, t).T_basal
 
 
 @spatial("pico_shelf_mask", "",
@@ -1961,12 +1977,14 @@ def _pico_shelf_mask(state, model, t):
 
     lab, _ = jax.lax.while_loop(lambda c: c[1], lambda c: body(c),
                                 (lab0, jnp.asarray(True)))
-    # compress raw min-indices to 1..n_shelves for readability
-    flat = jnp.where(shelf, lab, 0.0).ravel()
-    uniq = jnp.unique(flat, size=flat.shape[0], fill_value=0.0)
+    # compress raw min-indices to 1..n_shelves for readability. Pad the
+    # fixed-size unique array with the `big` sentinel (not 0): zeros padded
+    # at the END would leave the array unsorted and break searchsorted,
+    # collapsing every shelf to label 1 when there is more than one.
+    flat = jnp.where(shelf, lab, big).ravel()
+    uniq = jnp.unique(flat, size=flat.shape[0], fill_value=big)
     rank_of = jnp.searchsorted(uniq, flat)
-    n_zero = jnp.searchsorted(uniq, 0.0, side="right")
-    out = (rank_of - n_zero + 1).reshape(My, Mx)
+    out = (rank_of + 1).reshape(My, Mx)
     return jnp.where(shelf, out, 0).astype(g.ice_thickness.dtype)
 
 
@@ -2003,7 +2021,8 @@ def _margin_dp(state, model, t):
     H = g.ice_thickness
     rho_o = model.config.get_number("constants.sea_water.density") \
         if model.config is not None else 1028.0
-    gacc = 9.81
+    gacc = model.config.get_number("constants.standard_gravity") \
+        if model.config is not None else 9.81
     icy = S.icy(g.cell_type)
     open_water = (g.cell_type == S.MASK_ICE_FREE_OCEAN)
     margin = front_mask(icy, open_water, model.sh)

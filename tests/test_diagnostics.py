@@ -360,3 +360,34 @@ def test_pico_and_marine_parity_diagnostics():
     # no transport velocities set -> GL flux field is finite
     glf = np.asarray(vals["grounding_line_flux"])
     assert np.isfinite(glf).all()
+
+
+def test_pico_shelf_mask_two_shelves():
+    """Two disjoint floating shelves must get distinct labels {1, 2}
+    (round-1 bug: zero padding in the fixed-size unique() left the array
+    unsorted and collapsed every shelf to label 1)."""
+    from pism_tpu import Config, Grid
+    from pism_tpu import state as S
+    from pism_tpu.state import new_geometry
+
+    grid = Grid(Mx=40, My=9, Lx=40e3, Ly=9e3, Mz=5, Lz=1500.0)
+    H = np.zeros(grid.shape2)
+    # grounded core in the middle, floating tongues at both ends
+    H[:, 15:25] = 1500.0
+    H[:, 2:10] = 300.0
+    H[:, 30:38] = 300.0
+    bed = np.full(grid.shape2, -800.0)
+    bed[:, 15:25] = -700.0
+    geom = new_geometry(jnp.asarray(H), jnp.asarray(bed))
+    cfg = Config({"stress_balance.model": "none", "energy.model": "none",
+                  "geometry.remove_icebergs": False})
+    model = IceModel(grid=grid, config=cfg)
+    state = model.prepare_state(S.ModelState(geometry=geom))
+
+    sm = np.asarray(diag.compute_spatial(
+        ["pico_shelf_mask"], state, model, 0.0)["pico_shelf_mask"])
+    floating = np.asarray(state.geometry.cell_type) == 3
+    assert floating.any()
+    labels = set(np.unique(sm[floating]).tolist())
+    assert labels == {1.0, 2.0}, labels
+    assert (sm[~floating] == 0).all()
