@@ -108,24 +108,68 @@ def flow_step(geometry: S.Geometry, dt, Qe, Qn, grid, sh: Shifter,
         mask = geometry.cell_type
         icy = S.icy(mask)
         ocean_free = mask == S.MASK_ICE_FREE_OCEAN
-        nbr_icy = (sh(icy, 0, 1) | sh(icy, 0, -1)
-                   | sh(icy, 1, 0) | sh(icy, -1, 0))
-        partial = ocean_free & nbr_icy          # candidate part-grid cells
-        # inflow into partial cells accumulates in Href
-        Href = jnp.where(partial, Href + jnp.maximum(dH, 0.0), Href)
-        H_new = jnp.where(partial, H, H + dH)
-        # promotion threshold: mean thickness of icy neighbors
-        icy_f = icy.astype(H.dtype)
-        nsum = (sh(H * icy_f, 0, 1) + sh(H * icy_f, 0, -1)
-                + sh(H * icy_f, 1, 0) + sh(H * icy_f, -1, 0))
-        ncnt = (sh(icy_f, 0, 1) + sh(icy_f, 0, -1)
-                + sh(icy_f, 1, 0) + sh(icy_f, -1, 0))
-        H_thresh = nsum / jnp.maximum(ncnt, 1.0)
-        promote = partial & (Href >= jnp.maximum(H_thresh, 1.0))
-        H_new = jnp.where(promote, Href, H_new)
-        Href = jnp.where(promote, 0.0, Href)
-        # Href in cells no longer adjacent to ice melts away implicitly
-        Href = jnp.where(partial | icy, Href, 0.0)
+
+        def nbr_any(b):
+            return (sh(b, 0, 1) | sh(b, 0, -1) | sh(b, 1, 0) | sh(b, -1, 0))
+
+        def nbr_sum(f):
+            return (sh(f, 0, 1) + sh(f, 0, -1) + sh(f, 1, 0) + sh(f, -1, 0))
+
+        partial = ocean_free & nbr_any(icy)     # candidate part-grid cells
+        # Face-resolved inflow into partial cells accumulates in Href
+        # (reference ``GeometryEvolution::flow_step`` adds the actual
+        # limited face fluxes into each part-grid cell, not the net
+        # divergence change; with outflow limited to zero at H=0 cells the
+        # two agree, but the face-resolved form is the faithful one).
+        inflow_rate = (
+            (jnp.maximum(-Qe, 0.0)
+             + jnp.maximum(st.shift(Qe, 0, -1, sh.py, sh.px), 0.0)) * dy
+            + (jnp.maximum(-Qn, 0.0)
+               + jnp.maximum(st.shift(Qn, -1, 0, sh.py, sh.px), 0.0)) * dx
+        ) / (dx * dy)
+        Href = jnp.where(partial, Href + dt * inflow_rate, Href)
+        # The rest of dH (the limited outflow) still applies to H: a cell
+        # classified ice-free ocean can carry sub-threshold residual
+        # thickness that keeps draining through upwind fluxes — freezing H
+        # here would create the exported ice out of nothing.
+        H_new = jnp.where(partial, H + dH - dt * inflow_rate, H + dH)
+
+        # Promotion + residual redistribution (reference
+        # ``GeometryEvolution::residual_redistribution``): a part-grid cell
+        # whose Href reaches the mean thickness of its icy neighbors becomes
+        # ice-covered AT that threshold thickness; the excess Href is pushed
+        # to neighboring still-eligible part-grid cells in equal shares
+        # (absorbed into the promoted cell only when no neighbor can take
+        # it, which conserves mass either way). Two unrolled sweeps bound
+        # the cascade per step; leftover Href simply persists as state.
+        icy_dyn = icy
+        ocean_dyn = ocean_free
+        for _ in range(2):
+            partial_dyn = ocean_dyn & nbr_any(icy_dyn)
+            icy_f = icy_dyn.astype(H.dtype)
+            nsum = nbr_sum(H_new * icy_f)
+            ncnt = nbr_sum(icy_f)
+            H_thresh = jnp.maximum(nsum / jnp.maximum(ncnt, 1.0), 1.0)
+            promote = partial_dyn & (Href >= H_thresh)
+            residual = jnp.where(promote, Href - H_thresh, 0.0)
+            H_new = jnp.where(promote, H_thresh, H_new)
+            Href = jnp.where(promote, 0.0, Href)
+            icy_dyn = icy_dyn | promote
+            ocean_dyn = ocean_dyn & ~promote
+            # eligible receivers after this promotion wave
+            eligible = ocean_dyn & nbr_any(icy_dyn)
+            n_elig = nbr_sum(eligible.astype(H.dtype))
+            share = jnp.where(promote & (n_elig > 0),
+                              residual / jnp.maximum(n_elig, 1.0), 0.0)
+            received = nbr_sum(share)
+            Href = Href + jnp.where(eligible, received, 0.0)
+            H_new = H_new + jnp.where(promote & (n_elig == 0), residual, 0.0)
+        # Orphaned Href (cells no longer adjacent to ice) becomes thin ice
+        # subject to normal dynamics instead of vanishing — zeroing it here
+        # would destroy mass
+        orphan = (Href > 0.0) & ~((ocean_dyn & nbr_any(icy_dyn)) | icy_dyn)
+        H_new = H_new + jnp.where(orphan, Href, 0.0)
+        Href = jnp.where(orphan, 0.0, Href)
     else:
         H_new = H + dH
 
@@ -154,15 +198,15 @@ def source_term_step(H, dt, smb, bmb, dx: float, dy: float):
     smb: surface mass balance [m/s ice equivalent] (+ = accumulation)
     bmb: basal melt rate [m/s] (+ = melt, removes ice)
     """
-    dH = dt * (smb - bmb)
-    H_new = jnp.maximum(H + dH, 0.0)
-    effective = (H_new - H) / jnp.maximum(dt, 1e-30)
-    # split the effective change proportionally for bookkeeping
-    total = smb - bmb
-    frac_smb = jnp.where(jnp.abs(total) > 0, smb / jnp.where(total == 0, 1.0, total), 0.0)
+    # Apply the fluxes sequentially with per-stage clipping (the reference
+    # applies effective_SMB then effective_BMB); a proportional split blows
+    # up the bookkeeping when smb and bmb nearly cancel with opposite signs.
+    dt_safe = jnp.maximum(dt, 1e-30)
+    H1 = jnp.maximum(H + dt * smb, 0.0)
+    smb_field = (H1 - H) / dt_safe               # m/s, dH convention
+    H_new = jnp.maximum(H1 - dt * bmb, 0.0)
+    bmb_field = (H_new - H1) / dt_safe           # m/s, dH convention (<0 melt)
     area = dx * dy
-    smb_field = effective * frac_smb             # m/s, dH convention
-    bmb_field = effective * (1.0 - frac_smb)     # m/s, dH convention (<0 melt)
     smb_applied = jnp.sum(smb_field) * area
     bmb_applied = jnp.sum(bmb_field) * area * -1.0
     return H_new, smb_applied, bmb_applied, smb_field, bmb_field
