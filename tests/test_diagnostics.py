@@ -43,11 +43,12 @@ def test_all_scalar_diagnostics_finite(thermo_state):
 
 
 def test_registry_size():
-    # a representative slice of PISM's diagnostic dictionary
-    assert len(diag.SPATIAL) >= 75
-    assert len(diag.SCALAR) >= 24
-    assert len(diag.RATE) >= 12
-    assert len(diag.SPATIAL_RATE) >= 6
+    # PISM's diagnostic dictionary coverage (spatial incl. the ISMIP6 set,
+    # effective coupler inputs, hydrology mass budget, fracture suite)
+    assert len(diag.SPATIAL) >= 216
+    assert len(diag.SCALAR) >= 40
+    assert len(diag.RATE) >= 23
+    assert len(diag.SPATIAL_RATE) >= 11
 
 
 def test_area_fraction_identities(thermo_state):
