@@ -146,6 +146,11 @@ def build_parser():
                         "(PISM -profile/-log_view role)")
     p.add_argument("-platform", default=None, help="jax platform (cpu/tpu)")
     p.add_argument("-verbose", type=int, default=2)
+    p.add_argument("-list_params", action="store_true",
+                   help="print every configuration parameter with type, "
+                        "default, units and description, then exit "
+                        "(the reference generates this table from "
+                        "pism_config.cdl)")
     p.add_argument("-list_diagnostics", action="store_true",
                    help="print all available -extra_vars / -ts_times "
                         "quantities and exit (PISM -list_diagnostics)")
@@ -172,6 +177,10 @@ def _apply_config_overrides(cfg: Config, pairs):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.list_params:
+        from .config.docgen import print_table
+        print_table()
+        return 0
     if args.list_diagnostics:
         from .model import diagnostics as dg
         print("spatial diagnostics (-extra_vars):")
@@ -192,6 +201,10 @@ def main(argv=None):
         for name in sorted(dg.RATE):
             d = dg.RATE[name]
             print(f"  {name:<28} [{d.units or '-'}] {d.long_name}")
+        print("vector diagnostics (-extra_vars; write their component "
+              "variables):")
+        for name in sorted(dg.VECTOR):
+            print(f"  {name:<28} -> {', '.join(dg.VECTOR[name])}")
         return 0
     if args.platform:
         import jax

@@ -615,3 +615,89 @@ PARAMETERS.update({
     # --- run info ---------------------------------------------------------------
     "run_info.command": ("", None, "command line stored in output files"),
 })
+
+# ---------------------------------------------------------------------------
+# Third tranche: time-dependent-forcing periodicity flags, the
+# climate_forcing group, orographic-precipitation (LTOP) physical constants,
+# and remaining per-component knobs (upstream ``src/pism_config.cdl``).
+# ---------------------------------------------------------------------------
+
+PARAMETERS.update({
+    # every file-based forcing can be marked periodic (repeat its time axis)
+    "atmosphere.given.periodic": (False, None, "repeat the -atmosphere given forcing periodically"),
+    "atmosphere.anomaly.periodic": (False, None, "repeat the atmosphere anomaly forcing periodically"),
+    "atmosphere.delta_T.periodic": (False, None, "repeat the delta_T offsets periodically"),
+    "atmosphere.delta_P.file": ("", None, "file of scalar precipitation offsets (-atmosphere ...,delta_P)"),
+    "atmosphere.delta_P.periodic": (False, None, "repeat the delta_P offsets periodically"),
+    "atmosphere.frac_P.periodic": (False, None, "repeat the frac_P scaling periodically"),
+    "atmosphere.precip_scaling.periodic": (False, None, "repeat the precip_scaling forcing periodically"),
+    "atmosphere.elevation_change.periodic": (False, None, "repeat the elevation_change reference forcing periodically"),
+    "surface.given.periodic": (False, None, "repeat the -surface given forcing periodically"),
+    "surface.anomaly.periodic": (False, None, "repeat the surface anomaly forcing periodically"),
+    "surface.delta_T.periodic": (False, None, "repeat the surface delta_T offsets periodically"),
+    "surface.elevation_change.periodic": (False, None, "repeat the elevation_change reference forcing periodically"),
+    "surface.pdd.std_dev.periodic": (False, None, "repeat the air_temp_sd forcing periodically"),
+    "ocean.given.periodic": (False, None, "repeat the -ocean given forcing periodically"),
+    "ocean.th.periodic": (False, None, "repeat the -ocean th forcing periodically"),
+    "ocean.anomaly.periodic": (False, None, "repeat the ocean anomaly forcing periodically"),
+    "ocean.delta_T.periodic": (False, None, "repeat the ocean delta_T offsets periodically"),
+    "ocean.delta_SL.periodic": (False, None, "repeat the delta_SL offsets periodically"),
+    "ocean.delta_MBP.periodic": (False, None, "repeat the delta_MBP offsets periodically"),
+    "ocean.frac_MBP.periodic": (False, None, "repeat the frac_MBP scaling periodically"),
+    "ocean.frac_SMB.file": ("", None, "file of scalar sub-shelf mass-flux scaling factors (-ocean ...,frac_SMB)"),
+    "ocean.frac_SMB.periodic": (False, None, "repeat the frac_SMB scaling periodically"),
+    "frontal_melt.given.periodic": (False, None, "repeat the frontal-melt forcing periodically"),
+    "sea_level.delta_sl.periodic": (False, None, "repeat the sea-level offsets periodically"),
+    "sea_level.delta_sl_2d.periodic": (False, None, "repeat the 2D sea-level forcing periodically"),
+
+    # shared forcing-evaluation knobs (upstream group climate_forcing.*)
+    "climate_forcing.buffer_size": (60, None, "number of forcing records kept in memory while streaming time-dependent inputs"),
+    "climate_forcing.evaluations_per_year": (52, None, "temporal resolution of period-averaged forcing evaluations"),
+
+    # orographic precipitation (LTOP; Smith & Barstad 2004) physical constants
+    "atmosphere.orographic_precipitation.coriolis_latitude": (0.0, "degree_north", "latitude used for the Coriolis parameter in the LTOP transfer function"),
+    "atmosphere.orographic_precipitation.moist_adiabatic_lapse_rate": (-6.5e-3, "K m-1", "moist adiabatic lapse rate Gamma_m"),
+    "atmosphere.orographic_precipitation.lapse_rate": (-5.8e-3, "K m-1", "environmental lapse rate gamma"),
+    "atmosphere.orographic_precipitation.reference_density": (7.4e-3, "kg m-3", "reference saturation water vapor density Cw"),
+    "atmosphere.orographic_precipitation.scale_factor": (1.0, None, "multiplier applied to the computed precipitation"),
+    "atmosphere.orographic_precipitation.truncate": (True, None, "clip negative precipitation rates to zero"),
+    "atmosphere.orographic_precipitation.grid_size_factor": (2, None, "pad the FFT grid to factor*N+1 to damp periodic wrap-around"),
+
+    # PDD air-temperature variability latitude ramp
+    "surface.pdd.std_dev.lapse_lat_base": (72.0, "degree_north", "latitude above which air_temp_sd is ramped"),
+    "surface.pdd.std_dev.lapse_lat_rate": (0.0, "K degree_north-1", "air_temp_sd increase per degree latitude above lapse_lat_base"),
+
+    # calving / front retreat
+    "calving.ocean_kill.file": ("", None, "file with the fixed calving mask (-calving ocean_kill)"),
+
+    # geometry / mass transport
+    "geometry.update.use_basal_melt_rate": (True, None, "include the basal melt rate in the mass-continuity source term"),
+
+    # isochrone tracing (upstream group isochrones.*; aliases of age.isochrones.*)
+    "isochrones.deposition_times": ("", None, "times at which new isochronal layers start (-isochrones ...)"),
+    "isochrones.bootstrapping.n_layers": (10, None, "isochronal layers allocated when bootstrapping"),
+
+    # steady-state hydrology (Bueler 2022 emulation)
+    "hydrology.steady.flux_update_interval": (10.0, "years", "recompute the steady water flux every this often"),
+    "hydrology.steady.volume_ratio": (0.1, None, "fraction of the modeled water volume routed instantaneously"),
+
+    # yield-stress forcing
+    "basal_yield_stress.mohr_coulomb.delta.file": ("", None, "scalar time series scaling the effective-fraction-of-overburden delta (-tauc_delta)"),
+
+    # prescribed bed-topography evolution
+    "bed_deformation.bed_topography_delta_file": ("", None, "file with topg_delta read by -bed_def given"),
+
+    # stress balance
+    "stress_balance.ice_free_thickness_standard": (10.0, "m", "ice thinner than this is treated as ice-free in the stress balance"),
+
+    # runtime viewer
+    "output.runtime.viewer.size": (320, None, "default pixel size of runtime viewer maps (-view)"),
+})
+
+PARAMETERS.update({
+    "time_stepping.hit_extra_times": (True, None, "adjust dt so -extra_times are hit exactly"),
+    "time_stepping.hit_save_times": (False, None, "adjust dt so -save_times are hit exactly"),
+    "time_stepping.hit_ts_times": (False, None, "adjust dt so -ts_times are hit exactly"),
+    "stress_balance.ssa.fd.brutal_sliding": (False, None, "scale SSA sliding speeds by brutal_sliding_scale (experimental speed-up)"),
+    "stress_balance.ssa.fd.brutal_sliding_scale": (1.0, None, "factor applied to SSA sliding speeds when brutal_sliding is on"),
+})

@@ -2083,5 +2083,44 @@ def _gl_flux_2d(state, model, t):
     return model.rho_i * per_cell / area
 
 
+# --------------------------------------------------------------------------
+# Vector diagnostics (reference: a single registered diagnostic that writes
+# several component variables — e.g. ``velbar`` writes ``ubar`` and ``vbar``;
+# ``src/stressbalance/StressBalance.cc`` diagnostics map). Requesting the
+# combined name in ``-extra_vars`` expands to the component names.
+# --------------------------------------------------------------------------
+
+VECTOR: Dict[str, tuple] = {
+    "velbar": ("ubar", "vbar"),
+    "velsurf": ("uvelsurf", "vvelsurf"),
+    "velbase": ("uvelbase", "vvelbase"),
+    "vel_bc_values": ("u_bc", "v_bc"),
+    "flux": ("uflux", "vflux"),
+    "bwatvel": ("bwatvel_x", "bwatvel_y"),
+    "taud": ("taud_x", "taud_y"),
+    "taub": ("taub_x", "taub_y"),
+    "strain_rates": ("eigen1", "eigen2"),
+    "deviatoric_stresses": ("sigma_xx", "sigma_yy", "sigma_xy"),
+    "flux_staggered": ("flux_staggered_e", "flux_staggered_n"),
+    "diffusivity_staggered": ("diffusivity_staggered_e",
+                              "diffusivity_staggered_n"),
+    "surface_gradient": ("h_x", "h_y"),
+    "vel3": ("uvel", "vvel", "wvel_rel"),
+}
+
+
+def expand_names(names):
+    """Expand vector diagnostic names to their component variables,
+    preserving order and de-duplicating (reference behavior: asking for
+    ``velbar`` produces the ``ubar``/``vbar`` variables in the file)."""
+    seen, out = set(), []
+    for n in names:
+        for c in VECTOR.get(n, (n,)):
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
+    return tuple(out)
+
+
 # parity families, part 2 (same registries)
 from . import diagnostics_ext  # noqa: E402,F401

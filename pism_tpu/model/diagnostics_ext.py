@@ -1067,3 +1067,61 @@ def _usurfstore(state, model, t):
         return _zeros2(state)
     return jnp.maximum(ref[0] + state.geometry.bed_elevation,
                        state.geometry.bed_elevation)
+
+
+# --------------------------------------------------------------------------
+# force-to-thickness surface modifier fields (reference
+# ``src/coupler/surface/ForceThickness.cc`` diagnostics: ftt_mask,
+# ftt_target_thk)
+# --------------------------------------------------------------------------
+
+def _ftt_of(model):
+    from ..coupler.surface import ForceThickness
+    return _find_coupler(getattr(model, "surface", None), ForceThickness)
+
+
+@spatial("ftt_mask", "", "mask of cells where -surface ...,forcing nudges "
+         "the SMB toward the target thickness")
+def _ftt_mask(state, model, t):
+    f = _ftt_of(model)
+    if f is None:
+        return _zeros2(state)
+    Ht = jnp.asarray(f.target_thickness)
+    return (Ht > 1.0).astype(state.geometry.ice_thickness.dtype)
+
+
+@spatial("ftt_target_thk", "m",
+         "target ice thickness of the -surface ...,forcing modifier")
+def _ftt_target(state, model, t):
+    f = _ftt_of(model)
+    if f is None:
+        return _zeros2(state)
+    return jnp.asarray(f.target_thickness,
+                       state.geometry.ice_thickness.dtype)
+
+
+# --------------------------------------------------------------------------
+# remaining plain coupler-output names (reference registers both the
+# coupler's own output fields and the effective_* copies saved by the
+# Initialization wrappers; in this design both evaluate the modifier chain)
+# --------------------------------------------------------------------------
+
+@spatial("ice_surface_temp", "K",
+         "temperature of the ice at the ice surface but below firn")
+def _plain_ist(state, model, t):
+    surf = getattr(model, "surface", None)
+    if surf is None:
+        return _zeros2(state)
+    return surf(state.geometry, t).temperature
+
+
+alias("air_temp_mean_summer", "air_temp_mean_july",
+      long_name="mean summer near-surface air temperature")
+
+
+@scalar("proc_ice_area", "m2",
+        "ice area computed by this process/device (reference: per-rank "
+        "ice area used to diagnose load balance)")
+def _proc_ice_area(state, model, t):
+    icy = S.icy(state.geometry.cell_type)
+    return jnp.sum(icy) * model.grid.dx * model.grid.dy

@@ -103,6 +103,10 @@ class OutputManager:
     async_io: bool = True
 
     def __post_init__(self):
+        # vector diagnostics expand to their component variables (reference:
+        # requesting `velbar` writes `ubar` and `vbar`)
+        self.extra_vars = diag.expand_names(self.extra_vars)
+        self.view_vars = diag.expand_names(self.view_vars)
         self._writer = _AsyncWriter() if self.async_io else None
         self._snap = list(_times(self.snapshot_times))
         self._extra = list(_times(self.extra_times))

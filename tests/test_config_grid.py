@@ -94,3 +94,22 @@ def test_hit_multiples_dt():
     model2 = IceModel(grid=grid, config=cfg2)
     dt = float(model2._compute_dt(sb, 3.0 * SPY, t_end))
     assert dt / SPY > 10.0
+
+
+def test_parameter_database_breadth():
+    # reference src/pism_config.cdl holds ~600 parameters; ours tracks it
+    from pism_tpu.config.parameters import PARAMETERS
+    assert len(PARAMETERS) >= 550
+    # every entry is (value, units, doc) with a non-empty doc string
+    for name, (value, units, doc) in PARAMETERS.items():
+        assert isinstance(doc, str) and doc, name
+
+
+def test_parameter_docgen(tmp_path):
+    from pism_tpu.config.docgen import write_markdown
+    out = tmp_path / "PARAMETERS.md"
+    n = write_markdown(str(out))
+    text = out.read_text()
+    assert n >= 550
+    assert "`constants.ice.density`" in text
+    assert "## `stress_balance.*`" in text

@@ -392,3 +392,11 @@ def test_pico_shelf_mask_two_shelves():
     labels = set(np.unique(sm[floating]).tolist())
     assert labels == {1.0, 2.0}, labels
     assert (sm[~floating] == 0).all()
+
+
+def test_vector_diagnostics_expand():
+    # reference behavior: requesting `velbar` writes ubar and vbar
+    assert diag.expand_names(["thk", "velbar", "thk"]) == ("thk", "ubar", "vbar")
+    for name, comps in diag.VECTOR.items():
+        for c in comps:
+            assert c in diag.SPATIAL, (name, c)
