@@ -136,6 +136,19 @@ def build_parser():
                    help="output-file size: small = model state only (the "
                         "restartable checkpoint), medium adds common 2D "
                         "diagnostics, big adds the 3D fields (PISM -o_size)")
+    p.add_argument("-inverse", action="store_true",
+                   help="run a basal yield stress / hardness inversion "
+                        "from observed velocities instead of a forward run "
+                        "(the reference pismi.py driver role)")
+    p.add_argument("-inv_data", metavar="FILE", default=None,
+                   help="file with observed velocities (u_ssa/v_ssa, "
+                        "uvelsurf/vvelsurf or u_surface/v_surface, m/s; "
+                        "NaN = no observation)")
+    p.add_argument("-inv_design", default=None,
+                   help="design variable: tauc | hardav "
+                        "(default: config inverse.design_variable)")
+    p.add_argument("-inv_method", default="lbfgs",
+                   help="lbfgs (bounded, TAO blmvm role) | adam")
     p.add_argument("-regrid_file", metavar="FILE", default=None,
                    help="after -i, replace selected 2D fields with regridded "
                         "values from FILE (PISM -regrid_file)")
@@ -611,6 +624,9 @@ def main(argv=None):
                      ocean=ocean_model, sea_level=sl_model,
                      no_model_mask=no_model_mask)
 
+    if args.inverse:
+        return _run_inversion(args, model, state, grid, cfg)
+
     out = OutputManager(
         grid=grid, config=cfg,
         extra_times=parse_times(args.extra_times, yl, ys / yl, ye / yl)
@@ -669,6 +685,109 @@ def main(argv=None):
                                "max_H": e["max_H"], "avg_H": e["avg_H"],
                                "dome_H": e["dome_H"]})])
     log.message(1, "done; state written to %s", args.o)
+    return 0
+
+
+def _run_inversion(args, model, state, grid, cfg):
+    """The ``pismi.py`` driver role: invert tau_c (or hardness) from
+    observed velocities with the bounded L-BFGS / Adam optimizers, log
+    the convergence ladder, write the result state
+    (reference ``src/inverse/`` + ``util/pismi.py``)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .inverse.parameterizations import from_config
+    from .inverse.ssa_inverse import HardnessInversion, TaucInversion
+    from .io import checkpoint as ckpt
+    from .io.bootstrap import read_and_regrid
+    from .util.logger import log
+
+    if args.inv_data is None:
+        print("error: -inverse needs -inv_data FILE", file=sys.stderr)
+        return 1
+    state = model.prepare_state(state)
+    fields = read_and_regrid(args.inv_data, grid, variables=[
+        "u_ssa", "v_ssa", "uvelsurf", "vvelsurf", "u_surface", "v_surface"])
+    u_obs = fields.get("u_ssa", fields.get("uvelsurf",
+                                           fields.get("u_surface")))
+    v_obs = fields.get("v_ssa", fields.get("vvelsurf",
+                                           fields.get("v_surface")))
+    if u_obs is None or v_obs is None:
+        print(f"error: no observed velocities found in {args.inv_data}",
+              file=sys.stderr)
+        return 1
+    obs_mask = np.isfinite(np.asarray(u_obs)) & np.isfinite(np.asarray(v_obs))
+    u_obs = jnp.asarray(np.nan_to_num(np.asarray(u_obs)))
+    v_obs = jnp.asarray(np.nan_to_num(np.asarray(v_obs)))
+
+    design = args.inv_design or cfg.get_string("inverse.design_variable")
+    reg_kind = {"cH1": "h1", "cL2": "l2", "cTV": "tv"}
+    weights = {k: cfg.get_number(f"inverse.design.{k}")
+               for k in ("cH1", "cL2", "cTV")}
+    kind, w = max(weights.items(), key=lambda kv: kv[1])
+    # the misfit is a dimensionless per-cell mean; scale the summed design
+    # functional to a per-cell mean too so the c* weights are O(1) knobs
+    w = w / (grid.Mx * grid.My)
+    param = from_config(cfg, "tauc" if design == "tauc" else "hardav")
+    ssa = model.ssa
+    if ssa is None:
+        print("error: -inverse needs an SSA stress balance "
+              "(-stress_balance ssa or ssa+sia)", file=sys.stderr)
+        return 1
+
+    def monitor(rec):
+        log.message(2, "inv iter %3d: J = %.6e (misfit %.3e, reg %.3e)  "
+                    "|proj grad| = %.3e  step = %.2f", rec.iteration, rec.J,
+                    rec.J_misfit, rec.J_regularization, rec.pgrad_norm,
+                    rec.step)
+
+    max_it = cfg.get_int("inverse.max_iterations")
+    if design == "tauc":
+        tau0 = model.yield_stress.compute(state)
+        inv = TaucInversion(ssa=ssa, state=state, u_obs=u_obs, v_obs=v_obs,
+                            obs_mask=jnp.asarray(obs_mask),
+                            reg_kind=reg_kind[kind], reg_weight=w,
+                            param=param)
+        if args.inv_method == "lbfgs":
+            res, opt = inv.run_lbfgs(
+                tau0, max_iterations=max_it,
+                tauc_min=cfg.get_number("inverse.ssa.tauc_min"),
+                tauc_max=cfg.get_number("inverse.ssa.tauc_max"),
+                grtol=cfg.get_number("inverse.gradient_tolerance"),
+                steptol=cfg.get_number("inverse.step_tolerance"),
+                monitor=monitor)
+            log.message(1, "inversion %s (%s) after %d iterates",
+                        "converged" if opt.converged else "stopped",
+                        opt.reason, len(opt.log))
+        else:
+            res = inv.run(tau0, iterations=max_it)
+        result_var = ("tauc", "Pa", "inverted basal yield stress")
+    else:
+        B0 = jnp.full(grid.shape2, param.scale)
+        tau_c = model.yield_stress.compute(state)
+        inv = HardnessInversion(ssa=ssa, state=state, u_obs=u_obs,
+                                v_obs=v_obs, tau_c=tau_c,
+                                obs_mask=jnp.asarray(obs_mask),
+                                reg_kind=reg_kind[kind], reg_weight=w,
+                                param=param)
+        res = inv.run(B0, iterations=max_it)
+        result_var = ("hardav", "Pa s(1/3)",
+                      "inverted vertically-averaged ice hardness")
+
+    out_state = state.replace(u_ssa=res.u, v_ssa=res.v)
+    out_file = cfg.get_string("inverse.state_file") or args.o
+    ckpt.save_state(out_file, out_state, grid, 0.0, config=cfg,
+                    format=args.o_format)
+    from .io.nc4 import File
+    name, units, long_name = result_var
+    with File(out_file, "r+") as f:
+        f.write(name, np.asarray(res.tau_c), dims=("y", "x"),
+                attrs={"units": units, "long_name": long_name})
+        f.define_dimension("inv_iter", len(res.misfits))
+        f.write("inv_misfit", np.asarray(res.misfits), dims=("inv_iter",),
+                attrs={"long_name": "inversion objective history"})
+    log.message(1, "inverse done; final J = %.6e; state written to %s",
+                float(res.misfits[-1]), out_file)
     return 0
 
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from .. import state as S
 from ..ops import ssa as ssa_ops
+from .parameterizations import Parameterization
 
 
 class InversionResult(NamedTuple):
@@ -159,7 +160,10 @@ class TaucInversion:
     obs_mask: Optional[jnp.ndarray] = None   # where observations count
     reg_weight: float = 1.0e-10              # regularization weight
     reg_kind: str = "h1"                     # h1 | l2 | tv
-    theta_prior: Optional[jnp.ndarray] = None  # l2 prior, log(tau_c) scale
+    theta_prior: Optional[jnp.ndarray] = None  # l2 prior, design-var scale
+    # design-variable parameterization (reference
+    # ``inverse.design.param``); default matches round 1: tau_c = exp(theta)
+    param: Parameterization = Parameterization(kind="exp", scale=1.0)
 
     def misfit(self, tau_c):
         """Dimensionless velocity misfit: mean |u - u_obs|^2 normalized by
@@ -178,17 +182,54 @@ class TaucInversion:
         return J_mis / jnp.maximum(obs2, 1e-30)
 
     def objective(self, theta):
-        """theta = log(tau_c); Tikhonov regularization of selected kind."""
-        tau_c = jnp.exp(theta)
+        """theta = design variable; tau_c = param.value(theta); Tikhonov
+        regularization of the selected kind on the design variable."""
+        tau_c = self.param.value(theta)
         J = self.misfit(tau_c)
         return J + regularization_term(theta, self.reg_kind, self.reg_weight,
                                        prior=self.theta_prior)
 
+    def run_lbfgs(self, tau_c0, max_iterations: int = 50,
+                  tauc_min: float = 1.0, tauc_max: float = 5.0e6,
+                  grtol: float = 1.0e-5, steptol: float = 1.0e-12,
+                  monitor=None):
+        """Bounded L-BFGS inversion (the reference's TAO ``blmvm`` role):
+        bound constraints from tauc_min/tauc_max mapped into design space,
+        TAO-style convergence ladder, per-iterate log."""
+        import numpy as np
+
+        from .lbfgs import BoundedLBFGS
+
+        theta0 = self.param.design(jnp.maximum(jnp.asarray(tau_c0), tauc_min))
+        vg = jax.jit(jax.value_and_grad(self.objective))
+        lo = float(self.param.design(jnp.asarray(tauc_min)))
+        hi = float(self.param.design(jnp.asarray(tauc_max)))
+
+        def split(theta):
+            tau_c = self.param.value(theta)
+            Jm = self.misfit(tau_c)
+            return Jm, regularization_term(theta, self.reg_kind,
+                                           self.reg_weight,
+                                           prior=self.theta_prior)
+
+        opt = BoundedLBFGS(value_and_grad=lambda x: vg(jnp.asarray(x)),
+                           lower=np.full(theta0.shape, lo),
+                           upper=np.full(theta0.shape, hi),
+                           max_iterations=max_iterations, grtol=grtol,
+                           steptol=steptol, monitor=monitor,
+                           breakdown=jax.jit(split))
+        res = opt.run(np.asarray(theta0))
+        tau_c = self.param.value(jnp.asarray(res.x))
+        u, v = self.ssa.solve(self.state, tau_c)
+        return InversionResult(
+            tau_c=tau_c, u=u, v=v,
+            misfits=jnp.asarray([r.J for r in res.log])), res
+
     def run(self, tau_c0, iterations: int = 30, learning_rate: float = 0.3):
-        """Adam on log(tau_c). Returns the inversion trajectory."""
+        """Adam on the design variable. Returns the inversion trajectory."""
         import optax
 
-        theta = jnp.log(jnp.maximum(jnp.asarray(tau_c0), 1.0))
+        theta = self.param.design(jnp.maximum(jnp.asarray(tau_c0), 1.0))
         opt = optax.adam(learning_rate)
         opt_state = opt.init(theta)
         grad_fn = jax.jit(jax.value_and_grad(self.objective))
@@ -204,7 +245,7 @@ class TaucInversion:
             theta = optax.apply_updates(theta, updates)
         # return the best evaluated iterate (the raw last step can overshoot
         # into the plastic dead zone, where gradients vanish)
-        tau_c = jnp.exp(best[1])
+        tau_c = self.param.value(best[1])
         u, v = self.ssa.solve(self.state, tau_c)
         return InversionResult(tau_c=tau_c, u=u, v=v,
                                misfits=jnp.asarray(misfits))
@@ -227,6 +268,7 @@ class HardnessInversion:
     reg_weight: float = 1.0e-10
     reg_kind: str = "h1"                     # h1 | l2 | tv
     theta_prior: Optional[jnp.ndarray] = None
+    param: Parameterization = Parameterization(kind="exp", scale=1.0)
 
     def misfit(self, hardness):
         solve = make_differentiable_solve(self.ssa, self.state,
@@ -244,7 +286,7 @@ class HardnessInversion:
         return J_mis / jnp.maximum(obs2, 1e-30)
 
     def objective(self, theta):
-        B = jnp.exp(theta)
+        B = self.param.value(theta)
         J = self.misfit(B)
         return J + regularization_term(theta, self.reg_kind, self.reg_weight,
                                        prior=self.theta_prior)
@@ -252,7 +294,7 @@ class HardnessInversion:
     def run(self, hardness0, iterations: int = 30, learning_rate: float = 0.1):
         import optax
 
-        theta = jnp.log(jnp.maximum(jnp.asarray(hardness0), 1.0))
+        theta = self.param.design(jnp.maximum(jnp.asarray(hardness0), 1.0))
         opt = optax.adam(learning_rate)
         opt_state = opt.init(theta)
         grad_fn = jax.jit(jax.value_and_grad(self.objective))
@@ -266,7 +308,7 @@ class HardnessInversion:
                 best = (float(J), theta)
             updates, opt_state = opt.update(g, opt_state)
             theta = optax.apply_updates(theta, updates)
-        B = jnp.exp(best[1])
+        B = self.param.value(best[1])
         u, v = self.ssa.solve(self.state, self.tau_c, hardness=B)
         return InversionResult(tau_c=B, u=u, v=v,
                                misfits=jnp.asarray(misfits))

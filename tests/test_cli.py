@@ -118,3 +118,47 @@ def test_cli_o_size_and_regrid(tmp_path):
     # regridded (perturbed) thickness was used, not the restart's own
     assert float(np.asarray(s3.geometry.ice_thickness).max()) > \
         float(np.asarray(state.geometry.ice_thickness).max()) + 50.0
+
+
+def test_cli_inverse_smoke(tmp_path):
+    """-inverse drives a tau_c inversion from observed velocities and
+    writes tauc + the objective history into the output file (the
+    reference pismi.py role)."""
+    from pism_tpu.io import checkpoint as ckpt
+    from pism_tpu.io.nc4 import File
+
+    a = tmp_path / "fwd.nc"
+    rc = main(["-eisII", "A", "-Mx", "25", "-Mz", "11", "-y", "30",
+               "-stress_balance", "ssa+sia", "-o", str(a), "-max_dt", "5",
+               "-verbose", "1"])
+    assert rc == 0
+
+    # synthetic observations: gentle outward sliding over the ice,
+    # no-data (NaN) outside it
+    grid = ckpt.load_grid(str(a))
+    state, _ = ckpt.load_state(str(a))
+    H = np.asarray(state.geometry.ice_thickness)
+    SPY = 3.15569259747e7
+    u = np.where(H > 10.0, 20.0 / SPY, np.nan)
+    obs = tmp_path / "obs.nc"
+    with File(str(obs), "w") as f:
+        f.define_dimension("x", grid.Mx, values=np.asarray(grid.x),
+                           attrs={"units": "m"})
+        f.define_dimension("y", grid.My, values=np.asarray(grid.y),
+                           attrs={"units": "m"})
+        f.write("u_ssa", u, dims=("y", "x"), attrs={"units": "m s-1"})
+        f.write("v_ssa", np.zeros_like(u), dims=("y", "x"),
+                attrs={"units": "m s-1"})
+
+    out = tmp_path / "inv.nc"
+    rc = main(["-i", str(a), "-stress_balance", "ssa+sia", "-inverse",
+               "-inv_data", str(obs), "-o", str(out),
+               "-config", "inverse.max_iterations=2", "-verbose", "1"])
+    assert rc == 0
+    with File(str(out)) as f:
+        assert f.has_variable("tauc")
+        assert f.has_variable("inv_misfit")
+        tauc = np.asarray(f.read("tauc"))
+        hist = np.asarray(f.read("inv_misfit"))
+    assert np.isfinite(tauc).all() and (tauc >= 0).all()
+    assert np.isfinite(hist).all() and hist.size >= 1

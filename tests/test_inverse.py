@@ -191,3 +191,83 @@ def test_regularization_functionals():
         assert bool(jnp.isfinite(g).all())
     with pytest.raises(ValueError):
         regularization_term(theta_step, "nope", w)
+
+
+def test_parameterization_roundtrip_and_derivative():
+    from pism_tpu.inverse.parameterizations import Parameterization
+    vals = jnp.asarray([1.0e3, 5.0e4, 2.0e5])
+    for kind in ("ident", "square", "exp", "trunc"):
+        p = Parameterization(kind=kind, scale=1.0e5)
+        z = p.design(vals)
+        np.testing.assert_allclose(np.asarray(p.value(z)), np.asarray(vals),
+                                   rtol=1e-10)
+        # autodiff derivative matches finite differences
+        g = jax.grad(lambda zz: jnp.sum(p.value(zz)))(z)
+        h = 1e-6
+        fd = (p.value(z + h) - p.value(z - h)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-5)
+
+
+def test_taylor_remainder_convergence(stream_problem):
+    """Second-order Taylor remainder test (the standard adjoint
+    verification): |J(x+h d) - J(x) - h g.d| = O(h^2). A wrong gradient
+    makes the remainder O(h)."""
+    grid, cfg, ssa, state, tau_true = stream_problem
+    u_obs, v_obs = ssa.solve(state, tau_true)
+    inv = TaucInversion(ssa=ssa, state=state, u_obs=u_obs, v_obs=v_obs,
+                        reg_weight=0.0)
+    mis = jax.jit(inv.misfit)
+    tau0 = jnp.full(grid.shape2, 1.0e4)
+    J0, g = jax.jit(jax.value_and_grad(inv.misfit))(tau0)
+
+    rng = np.random.default_rng(3)
+    slopes = []
+    for _ in range(3):   # several independent directions
+        d = jnp.asarray(rng.normal(size=grid.shape2))
+        gd = float(jnp.sum(g * d))
+        hs = np.asarray([400.0, 200.0, 100.0, 50.0])
+        rem = np.asarray([abs(float(mis(tau0 + h * d)) - float(J0) - h * gd)
+                          for h in hs])
+        # fit log-log slope; O(h^2) => slope ~ 2
+        slope = np.polyfit(np.log(hs), np.log(np.maximum(rem, 1e-300)), 1)[0]
+        slopes.append(slope)
+    assert min(slopes) > 1.7, slopes
+
+
+def test_bounded_lbfgs_on_quadratic():
+    """The optimizer itself: bound-constrained quadratic with known
+    solution; interior components reach the unconstrained optimum, the
+    constrained component sits on its bound; the convergence ladder
+    reports the reason."""
+    from pism_tpu.inverse.lbfgs import BoundedLBFGS
+
+    A = np.diag([1.0, 10.0, 100.0])
+    b = np.array([1.0, -2.0, 3.0])
+
+    def vg(x):
+        x = np.asarray(x)
+        return 0.5 * x @ A @ x - b @ x, A @ x - b
+
+    # unconstrained optimum: [1, -0.2, 0.03]; constrain x0 <= 0.5
+    opt = BoundedLBFGS(value_and_grad=vg,
+                       lower=np.full(3, -1.0), upper=np.array([0.5, 1., 1.]),
+                       max_iterations=200, grtol=1e-10, gatol=1e-10)
+    res = opt.run(np.zeros(3))
+    assert res.converged, res.reason
+    np.testing.assert_allclose(res.x, [0.5, -0.2, 0.03], atol=1e-6)
+    assert len(res.log) >= 2
+    assert res.log[-1].pgrad_norm <= 1e-9
+
+
+@pytest.mark.slow
+def test_lbfgs_twin_inversion(stream_problem):
+    grid, cfg, ssa, state, tau_true = stream_problem
+    u_obs, v_obs = ssa.solve(state, tau_true)
+    inv = TaucInversion(ssa=ssa, state=state, u_obs=u_obs, v_obs=v_obs,
+                        reg_weight=1e-12)
+    f = 910.0 * 9.81 * 2000.0 * 0.001
+    res, opt = inv.run_lbfgs(jnp.full(grid.shape2, 0.45 * f),
+                             max_iterations=25, tauc_max=10 * f)
+    m = np.asarray(res.misfits)
+    assert m[-1] < 0.2 * m[0]          # misfit reduced substantially
+    assert opt.log[0].pgrad_norm > opt.log[-1].pgrad_norm
