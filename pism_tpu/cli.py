@@ -57,7 +57,7 @@ def build_parser():
     p.add_argument("-bootstrap", action="store_true",
                    help="treat -i as a bootstrap file (regrid 2D fields, heuristics for the rest)")
     p.add_argument("-eisII", metavar="EXP",
-                   help="EISMINT II experiment (A-L except E, as upstream)")
+                   help="EISMINT II experiment (A-L, incl. the sector-sliding E)")
     p.add_argument("-test", metavar="LETTER",
                    help="verification test (A-P, V)")
     p.add_argument("-y", type=float, default=None, help="run length [years]")
@@ -234,6 +234,7 @@ def main(argv=None):
     set_verbosity(args.verbose)
 
     t0 = 0.0
+    sliding_mu = None
     if args.eisII:
         from .verification import eismint2
         if args.i:  # restart experiment B/C/D/... from an A steady state:
@@ -247,6 +248,7 @@ def main(argv=None):
             es = eismint2.setup(args.eisII, Mx=args.Mx or 61,
                                 Mz=args.Mz or 61)
             grid, cfg, state, surface = es.grid, es.config, es.state, es.surface
+        sliding_mu = es.sliding_mu
     elif args.test and args.test.upper() in tuple("ADEFGHKLOP"):
         # pismv-style single-test runs with an error report (runner.py)
         from .verification import runner
@@ -622,7 +624,7 @@ def main(argv=None):
 
     model = IceModel(grid=grid, config=cfg, surface=surface,
                      ocean=ocean_model, sea_level=sl_model,
-                     no_model_mask=no_model_mask)
+                     no_model_mask=no_model_mask, sliding_mu=sliding_mu)
 
     if args.inverse:
         return _run_inversion(args, model, state, grid, cfg)

@@ -594,13 +594,15 @@ PARAMETERS.update({
     "regional.zero_gradient": (False, None, "zero-gradient thickness BC at the strip instead of stored values"),
 
     # --- fracture density extras -----------------------------------------------------
-    "fracture_density.borstad_limit": (False, None, "use the Borstad et al. (2016) softening limit"),
+    "fracture_density.borstad_limit": (False, None, "damage jumps to the Borstad et al. (2016) constitutive-envelope equilibrium where the criterion is exceeded"),
+    "fracture_density.constant_fd": (False, None, "freeze growth/healing: transport the fracture field only"),
     "fracture_density.constant_healing": (False, None, "heal at a constant rate instead of strain-dependent"),
-    "fracture_density.fd2d_scheme": (True, None, "first-order upwind transport of the fracture field"),
+    "fracture_density.fd2d_scheme": (True, None, "minmod-limited 2nd-order upwind fracture transport (off = donor cell)"),
     "fracture_density.fracture_weighted_healing": (False, None, "weight healing by (1 - phi)"),
     "fracture_density.include_grounded_ice": (False, None, "grow fractures on grounded ice too"),
-    "fracture_density.lefevre_flow_enhancement": (False, None, "Lefevre et al. flow-enhancement form"),
-    "fracture_density.max_shear_stress": (False, None, "use max shear stress instead of the effective strain rate"),
+    "fracture_density.initiation_stress_threshold": (7.0e4, "Pa", "stress threshold of the max_shear_stress / lefm criteria"),
+    "fracture_density.lefm": (False, None, "tensile-stress (LEFM mode-I) initiation criterion"),
+    "fracture_density.max_shear_stress": (False, None, "maximum-shear-stress initiation criterion instead of the effective strain rate"),
     "fracture_density.phi0": (0.0, None, "fracture density applied at inflow boundaries"),
 
     # --- PICO physics constants (reference src/coupler/ocean/Pico*.cc) --------

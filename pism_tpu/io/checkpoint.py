@@ -44,6 +44,8 @@ _STATE_VARS = {
     "bed_load_reference": ("bed_def_load_reference", {"units": "m"}, 2),
     "bed_reference": ("bed_def_reference", {"units": "m"}, 2),
     "fracture_density": ("fracture_density", {"units": "1"}, 2),
+    "fracture_age": ("fracture_age", {"units": "s", "long_name":
+                                      "age of the fractures"}, 2),
     "geothermal_flux": ("bheatflx", {"units": "W m-2", "long_name":
                                      "upward geothermal flux at the bedrock "
                                      "thermal layer base"}, 2),

@@ -786,6 +786,21 @@ def _fracdens(state, model, t):
         else _zeros2(state)
 
 
+@spatial("fracture_age", "s", "age of the fractures")
+def _fracage(state, model, t):
+    return state.fracture_age if state.fracture_age is not None \
+        else _zeros2(state)
+
+
+@spatial("fracture_flow_enhancement", "1",
+         "fracture-softening flow enhancement factor")
+def _fracenh(state, model, t):
+    if state.fracture_density is None or model.fracture is None:
+        return jnp.ones_like(_zeros2(state))
+    return model.fracture.flow_enhancement(state.fracture_density,
+                                           model.fracture.n_glen)
+
+
 @spatial("shelfbmassflux", "kg m-2 s-1", "sub-shelf mass flux (melt positive)")
 def _shelfbmf(state, model, t):
     if model.ocean is None:

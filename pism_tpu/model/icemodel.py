@@ -108,6 +108,9 @@ class IceModel:
     # optimization (tillphi_opt; defaults to the .file config or the
     # initial surface when enabled)
     tillphi_target: object = None
+    # prescribed per-cell linear sliding coefficient for the Weertman
+    # path (EISMINT II experiment E sector patch)
+    sliding_mu: object = None
 
     def __post_init__(self):
         cfg = self.config
@@ -192,7 +195,9 @@ class IceModel:
         self.fracture = None
         if cfg.get_flag("fracture_density.enabled"):
             from .fracture import FractureDensity
-            self.fracture = FractureDensity(grid=self.grid, config=cfg)
+            self.fracture = FractureDensity(
+                grid=self.grid, config=cfg,
+                bc_mask=getattr(self.ssa, "bc_mask", None))
         self._nmm_ref = None   # (H_ref, E_ref) for regional mode
         self.age_model = None
         if cfg.get_flag("age.enabled"):
@@ -214,7 +219,7 @@ class IceModel:
             grid=self.grid, config=cfg, sia_flow_law=sia_law, ssa=self.ssa,
             blatter=self.blatter, model=sb_model,
             compute_3d=self.energy_model is not None,
-            no_model_mask=self.no_model_mask)
+            no_model_mask=self.no_model_mask, sliding_mu=self.sliding_mu)
         self.nmm_tauc = cfg.get_number("regional.no_model_yield_stress", "Pa")
 
         self.rho_i = cfg.get_number("constants.ice.density")
@@ -379,8 +384,14 @@ class IceModel:
         # 4b. fracture density ----------------------------------------------
         if self.fracture is not None and state.fracture_density is not None \
                 and sb.u_ssa is not None:
-            state = state.replace(fracture_density=self.fracture.step(
-                state, sb.u_ssa, sb.v_ssa, dt_f))
+            fr_hard = None
+            if (self.fracture.max_shear or self.fracture.lefm) \
+                    and self.ssa is not None:
+                fr_hard = self.ssa._hardness(state)
+            fres = self.fracture.step(state, sb.u_ssa, sb.v_ssa, dt_f,
+                                      hardness=fr_hard)
+            state = state.replace(fracture_density=fres.density,
+                                  fracture_age=fres.age)
 
         # 5. hydrology -----------------------------------------------------
         if self.hydrology is not None:
@@ -619,8 +630,11 @@ class IceModel:
                 kw["u_ssa"] = z2
             if state.v_ssa is None:
                 kw["v_ssa"] = z2
-        if self.fracture is not None and state.fracture_density is None:
-            kw["fracture_density"] = z2
+        if self.fracture is not None:
+            if state.fracture_density is None:
+                kw["fracture_density"] = z2
+            if state.fracture_age is None:
+                kw["fracture_age"] = z2
         if getattr(self.surface, "stateful", False):
             if state.snow_depth is None:
                 kw["snow_depth"] = z2

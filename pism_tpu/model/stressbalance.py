@@ -60,6 +60,10 @@ class StressBalance:
     # the surface gradient is zeroed in the no-model strip, so no SIA
     # diffusive flux crosses faces touching strip cells
     no_model_mask: object = None
+    # spatially-varying linear sliding coefficient mu(x,y) [m s^-1 Pa^-1]
+    # for the Weertman path: u_b = -mu tau_d (EISMINT II experiment E's
+    # sector-limited sliding patch; reference IceEISModel sliding map)
+    sliding_mu: object = None
 
     def __post_init__(self):
         self.sh = Shifter(self.grid)
@@ -95,7 +99,12 @@ class StressBalance:
         tdx = -self.rho * self.g * g.ice_thickness * sx
         tdy = -self.rho * self.g * g.ice_thickness * sy
         mag = jnp.sqrt(tdx ** 2 + tdy ** 2)
-        fac = k * (mag / N) ** (m - 1.0)
+        if self.sliding_mu is not None:
+            # prescribed per-cell linear coefficient: u_b = -mu tau_d
+            # (EISMINT II experiment E sliding patch)
+            fac = jnp.asarray(self.sliding_mu)
+        else:
+            fac = k * (mag / N) ** (m - 1.0)
         sliding = S.grounded_ice(g.cell_type)
         if melt_only and state.enthalpy is not None:
             EC = self.sia_flow_law.EC

@@ -187,6 +187,7 @@ class ModelState:
     bed_load_reference: Optional[jnp.ndarray] = None
     bed_reference: Optional[jnp.ndarray] = None      # undeformed bed + initial load
     fracture_density: Optional[jnp.ndarray] = None
+    fracture_age: Optional[jnp.ndarray] = None       # (My, Mx) s
     ch_enthalpy: Optional[jnp.ndarray] = None        # cryo-hydrologic system 3D
     iso_layers: Optional[jnp.ndarray] = None         # (My, Mx, NL) isochrone layers
     iso_top: Optional[jnp.ndarray] = None            # int32 active top layer

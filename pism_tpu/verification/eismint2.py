@@ -44,11 +44,20 @@ EXPERIMENTS = {
     "B": dict(T_min=243.15),
     "C": dict(M_max=0.25 / SEC_PER_YEAR, R_el=425.0e3),
     "D": dict(R_el=425.0e3),
+    # E: experiment A plus a localized sliding patch ("ice stream"): a
+    # linear sliding law u_b = -mu tau_d with a spatially varying
+    # coefficient confined to an annular sector about the summit
+    # (200 km < r < 700 km, azimuth 10-40 deg from the +x axis), mu
+    # rising as a quadratic bump in both r and theta to MU_MAX at the
+    # sector center (reference IceEISModel sliding map for -eisII E;
+    # constants re-derived from the published EISMINT II description —
+    # the reference mount was empty at survey time). Restart from A's
+    # steady state like B/C/D.
+    "E": dict(sliding_sector=True),
     "F": dict(T_min=223.15),
     "G": dict(sliding=True),
     "H": dict(sliding=True, melt_only=True),
-    # I-L: non-flat bed topography experiments (upstream ``pisms`` supports
-    # A-L except E, which needs sector-limited sliding; I/J = "trough",
+    # I-L: non-flat bed topography experiments; I/J = "trough",
     # K/L = "mound" beds from Tony Payne's original EISMINT II code as
     # carried in the reference's IceEISModel; J/L add the experiment-G
     # sliding law. [topography formulas re-derived from the published
@@ -88,6 +97,25 @@ def mound_topography(grid):
 #: u_b = -B tau_b with B = 1e-3 m a^-1 Pa^-1.
 SLIDING_B = 1.0e-3 / SEC_PER_YEAR  # m s^-1 Pa^-1
 
+#: experiment E sliding-patch peak coefficient [m s^-1 Pa^-1]
+MU_MAX_E = 2.5e-11
+
+
+def sliding_mu_map_E(grid):
+    """Experiment E spatially-varying sliding coefficient: an annular
+    sector about the summit, 200 km < r < 700 km and 10 deg < theta <
+    40 deg (theta from the +x axis), with mu = MU_MAX_E times quadratic
+    bumps in r and theta (zero on the sector edges, peak at its center)."""
+    X, Y = np.meshgrid(grid.x, grid.y)
+    r = np.sqrt(X ** 2 + Y ** 2)
+    theta = np.arctan2(Y, X)
+    r1, r2 = 200.0e3, 700.0e3
+    t1, t2 = np.deg2rad(10.0), np.deg2rad(40.0)
+    inside = (r > r1) & (r < r2) & (theta > t1) & (theta < t2)
+    mu = MU_MAX_E * (4.0 * (r - r1) * (r2 - r) / (r2 - r1) ** 2) \
+                  * (4.0 * (theta - t1) * (t2 - theta) / (t2 - t1) ** 2)
+    return np.where(inside, mu, 0.0)
+
 
 @dataclass
 class EISMINT2Setup:
@@ -96,6 +124,7 @@ class EISMINT2Setup:
     state: ModelState
     surface: FunctionSurface
     geothermal: float = GEOTHERMAL
+    sliding_mu: object = None    # experiment E per-cell sliding coefficient
 
 
 def setup(experiment: str = "A", Mx: int = 61, Mz: int = 61,
@@ -125,6 +154,14 @@ def setup(experiment: str = "A", Mx: int = 61, Mz: int = 61,
             "stress_balance.weertman_sliding.melt_only":
                 bool(params.get("melt_only", False)),
         })
+    sliding_mu = None
+    if params.get("sliding_sector"):
+        # experiment E: sliding confined to the sector patch
+        config.update({
+            "stress_balance.model": "weertman_sliding+sia",
+            "stress_balance.weertman_sliding.exponent": 1.0,
+        })
+        sliding_mu = jnp.asarray(sliding_mu_map_E(grid))
 
     d = jnp.asarray(grid.radius)  # distance from the center
 
@@ -152,7 +189,8 @@ def setup(experiment: str = "A", Mx: int = 61, Mz: int = 61,
     E0 = bootstrap_enthalpy(grid, EC, H0, T_sfc0, geothermal=GEOTHERMAL)
     state = ModelState(geometry=geometry, enthalpy=E0,
                        basal_melt_rate=jnp.zeros(grid.shape2))
-    return EISMINT2Setup(grid=grid, config=config, state=state, surface=surface)
+    return EISMINT2Setup(grid=grid, config=config, state=state,
+                         surface=surface, sliding_mu=sliding_mu)
 
 
 #: Published steady-state benchmarks for experiment A (Payne et al. 2000,

@@ -232,3 +232,40 @@ def test_cryo_hydrologic_warming():
     E_dry, ch_dry, _ = run(True, melting=False)
     dE_dry = float(E_dry[2, 2, k_mid] - E_off[2, 2, k_mid])
     assert abs(dE_dry) < 0.2 * dE
+
+
+def test_eismint2_experiment_e_sector_sliding():
+    """Experiment E: the sliding patch (annular sector, 200-700 km radius,
+    10-40 deg azimuth) slides only inside the sector, breaks the radial
+    symmetry of A, and drains ice relative to the no-sliding run."""
+    from pism_tpu.verification import eismint2
+
+    es = eismint2.setup("E", Mx=31, Mz=15, Lz=5000.0)
+    mu = np.asarray(es.sliding_mu)
+    X, Y = np.meshgrid(es.grid.x, es.grid.y)
+    r = np.hypot(X, Y)
+    th = np.degrees(np.arctan2(Y, X))
+    inside = (r > 200e3) & (r < 700e3) & (th > 10.0) & (th < 40.0)
+    assert mu.max() > 0.0 and mu.max() <= eismint2.MU_MAX_E * 1.0001
+    assert (mu[~inside] == 0.0).all()
+    assert (mu[inside] >= 0.0).all()
+
+    model = IceModel(grid=es.grid, config=es.config, surface=es.surface,
+                     sliding_mu=es.sliding_mu)
+    state, t, stats = model.step_once(es.state, 0.0, 3000 * SPY)
+    H = np.asarray(state.geometry.ice_thickness)
+    assert not np.isnan(H).any()
+
+    sb = model.stress_balance.update(state)
+    sp = np.hypot(np.asarray(sb.u_base), np.asarray(sb.v_base)) * SPY
+    assert sp[~inside].max() == 0.0       # no sliding outside the sector
+    assert sp[inside].max() > 0.5          # the patch slides (m/a scale)
+
+    # symmetry of A is broken: the sector flank thins vs its mirror image
+    esA = eismint2.setup("A", Mx=31, Mz=15, Lz=5000.0)
+    modelA = IceModel(grid=esA.grid, config=esA.config, surface=esA.surface)
+    stateA, _, _ = modelA.step_once(esA.state, 0.0, 3000 * SPY)
+    HA = np.asarray(stateA.geometry.ice_thickness)
+    dH = H - HA
+    assert dH[inside].min() < -1.0         # patch thinned vs A
+    assert H.sum() < HA.sum()              # net ice loss from sliding
