@@ -1,12 +1,15 @@
 """EISMINT II experiment suite (PISM ``pisms -eisII``; examples/ analog).
 
 Runs experiment A from zero ice to (near) steady state, then the restart
-experiments B (warming), C (drier), D (smaller ablation zone) from the A
-state, reporting the standard EISMINT II table quantities (volume, area,
-divide thickness, divide basal temperature).
+experiments B (warming), C (drier), D (smaller ablation zone), E (sector
+sliding patch), F (colder) from the A state, and the zero-start sliding /
+topography experiments G, H, I, J, K, L — reporting the standard
+EISMINT II table quantities (volume, area, divide thickness, divide basal
+temperature; Payne et al. 2000).
 
 Usage:
   python examples/eismint2_suite.py [--years 200000] [--mx 61] [--platform tpu]
+  (--experiments A,...,L; restarts B-F need A in the list)
 """
 
 import argparse
@@ -59,34 +62,43 @@ def main():
     results = {}
     exps = args.experiments.split(",")
 
-    # experiment A from zero ice
-    es = eismint2.setup("A", Mx=args.mx, Mz=args.mz)
-    if args.float32:
-        es.config.update({"runtime.float_dtype": "float32"})
-    model = IceModel(grid=es.grid, config=es.config, surface=es.surface)
-    state = es.state
-    if args.float32:
-        state = jax.tree_util.tree_map(
+    def to32(st):
+        return jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32)
-            if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, state)
-    t = 0.0
-    tic = time.time()
-    seg = 10000.0
-    while t < args.years:
-        state, t, stats = model.step_once(state, t, seg * SPY)
-        print(f"A: t={t / SPY:9.0f} a  steps={int(stats.nsteps):7d} "
-              f"wall={time.time() - tic:7.0f} s", flush=True)
-    results["A"] = report("A", es, state)
-    state_A, t_A = state, t
+            if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, st)
 
-    for exp in [e for e in exps if e in ("B", "C", "D", "F")]:
+    def evolve(exp, state0, label):
         es2 = eismint2.setup(exp, Mx=args.mx, Mz=args.mz)
         if args.float32:
             es2.config.update({"runtime.float_dtype": "float32"})
-        model2 = IceModel(grid=es2.grid, config=es2.config, surface=es2.surface)
-        st, t2 = state_A, 0.0
+        model2 = IceModel(grid=es2.grid, config=es2.config,
+                          surface=es2.surface, sliding_mu=es2.sliding_mu)
+        st = state0 if state0 is not None else es2.state
+        if args.float32:
+            st = to32(st)
+        t2 = 0.0
+        tic = time.time()
         while t2 < args.years:
-            st, t2, _ = model2.step_once(st, t2, seg * SPY)
+            st, t2, stats = model2.step_once(st, t2, seg * SPY)
+            print(f"{label}: t={t2 / SPY:9.0f} a  "
+                  f"steps={int(stats.nsteps):7d} "
+                  f"wall={time.time() - tic:7.0f} s", flush=True)
+        return es2, st
+
+    seg = 10000.0
+    # experiment A from zero ice (the restart parent for B-F)
+    es, state_A = evolve("A", None, "A")
+    results["A"] = report("A", es, state_A)
+
+    # warming/drier/margin/sector-sliding/colder restarts from A's steady
+    # state (EISMINT II protocol); B-F keep A's flat bed
+    for exp in [e for e in exps if e in ("B", "C", "D", "E", "F")]:
+        es2, st = evolve(exp, state_A, exp)
+        results[exp] = report(exp, es2, st)
+
+    # sliding (G, H) and trough/mound topography (I-L) runs from zero ice
+    for exp in [e for e in exps if e in ("G", "H", "I", "J", "K", "L")]:
+        es2, st = evolve(exp, None, exp)
         results[exp] = report(exp, es2, st)
 
     print(json.dumps({"expected_A": eismint2.EXPECTED_A, "results": results},

@@ -126,6 +126,11 @@ def build_parser():
     p.add_argument("-no_model_strip", type=float, default=None, metavar="KM",
                    help="regional mode: freeze a strip this wide [km] along "
                         "the domain boundary (PISM -regional)")
+    p.add_argument("-regional", action="store_true",
+                   help="regional (outlet-glacier) mode: read no_model_mask "
+                        "(and usurfstore/thkstore if present) from the "
+                        "input file; combine with -no_model_strip to build "
+                        "the mask from the domain edge instead")
     p.add_argument("-o_format", default="netcdf4",
                    choices=("netcdf4", "netcdf3"),
                    help="output format: netcdf4 (HDF5-based) | netcdf3 "
@@ -542,6 +547,23 @@ def main(argv=None):
     _apply_config_overrides(cfg, args.config)
 
     no_model_mask = None
+    usurf_store = thk_store = None
+    if args.regional and args.i:
+        # PISM -regional: the stored frame comes from the input file when
+        # it carries the regional variables (IceRegionalModel reads
+        # no_model_mask / usurfstore / thkstore)
+        cfg.update({"regional.enabled": True})
+        from .io.nc4 import File
+        with File(args.i, "r") as f:
+            if f.has_variable("no_model_mask"):
+                no_model_mask = jnp.asarray(
+                    np.asarray(f.read("no_model_mask")).squeeze() > 0.5)
+            if f.has_variable("usurfstore"):
+                usurf_store = jnp.asarray(
+                    np.asarray(f.read("usurfstore")).squeeze())
+            if f.has_variable("thkstore"):
+                thk_store = jnp.asarray(
+                    np.asarray(f.read("thkstore")).squeeze())
     if args.no_model_strip:
         # PISM -regional: strip of width L [km] along the domain boundary
         cfg.update({"regional.enabled": True})
@@ -552,6 +574,9 @@ def main(argv=None):
         nmm[:ny, :] = nmm[-ny:, :] = True
         nmm[:, :nx] = nmm[:, -nx:] = True
         no_model_mask = jnp.asarray(nmm)
+    if args.regional and no_model_mask is None:
+        raise SystemExit("-regional needs no_model_mask in the input file "
+                         "or an explicit -no_model_strip width")
 
     # PISM-style coupler selection flags: build chains via the factory.
     # Restarts (-i) rebuild chains recorded in the stored config, so a
@@ -624,7 +649,8 @@ def main(argv=None):
 
     model = IceModel(grid=grid, config=cfg, surface=surface,
                      ocean=ocean_model, sea_level=sl_model,
-                     no_model_mask=no_model_mask, sliding_mu=sliding_mu)
+                     no_model_mask=no_model_mask, sliding_mu=sliding_mu,
+                     usurf_store=usurf_store, thk_store=thk_store)
 
     if args.inverse:
         return _run_inversion(args, model, state, grid, cfg)
@@ -670,8 +696,20 @@ def main(argv=None):
         state, stats = model.run(state, run_time, output=out,
                                  callback=report, signals=sigs)
     out.close()
+    regional_2d = None
+    if no_model_mask is not None:
+        # PISM regional runs carry the mask and stored frame in the output
+        # so -regional restarts reconstruct the same subdomain setup
+        regional_2d = {
+            "no_model_mask": (no_model_mask, {"long_name":
+                              "regional-mode no-model strip mask"}),
+            "usurfstore": (model.usurf_store, {"units": "m", "long_name":
+                           "stored surface elevation (regional frame)"}),
+            "thkstore": (model.thk_store, {"units": "m", "long_name":
+                         "stored ice thickness (regional frame)"}),
+        }
     ckpt.save_state(args.o, state, grid, t_reached, config=cfg,
-                    format=args.o_format)
+                    format=args.o_format, extra_2d=regional_2d)
     if args.o_size != "small":
         names = ckpt.O_SIZE_MEDIUM if args.o_size == "medium" \
             else ckpt.O_SIZE_BIG

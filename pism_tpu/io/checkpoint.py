@@ -75,8 +75,12 @@ def _setup_dims(f: File, grid: Grid):
 
 
 def save_state(path: str, state: S.ModelState, grid: Grid, t: float,
-               config: Optional[Config] = None, format: str = "netcdf4"):
-    """``format="netcdf3"`` writes classic CDF-2 (PISM ``-o_format``)."""
+               config: Optional[Config] = None, format: str = "netcdf4",
+               extra_2d: Optional[dict] = None):
+    """``format="netcdf3"`` writes classic CDF-2 (PISM ``-o_format``).
+
+    extra_2d: extra time-independent 2D fields ``{name: (array, attrs)}``
+    (regional no_model_mask/usurfstore/thkstore, PISM behavior)."""
     with File(path, "w", format=format) as f:
         _setup_dims(f, grid)
         n = f.append_time(t)
@@ -103,6 +107,10 @@ def save_state(path: str, state: S.ModelState, grid: Grid, t: float,
             if field == "bedrock_temperature":
                 dims = ("time", "y", "x", "zb")
             f.write(var, np.asarray(val)[None], dims, attrs, time_index=n)
+        if extra_2d:
+            for name, (arr, attrs) in extra_2d.items():
+                f.write(name, np.asarray(arr, np.float64), ("y", "x"),
+                        attrs or {})
         if state.iso_layers is not None:
             f.define_dimension("nl", int(state.iso_layers.shape[-1]))
             f.write("isochronal_layer_thickness", np.asarray(state.iso_layers)[None],

@@ -104,6 +104,11 @@ class IceModel:
     # regional mode (PISM src/regional/): thickness/enthalpy are frozen
     # where no_model_mask is set (outlet-glacier subdomain runs)
     no_model_mask: object = None
+    # regional stored geometry (usurfstore/thkstore, reference
+    # IceRegionalModel): the frame the strip's driving stress and SIA
+    # gradients are pinned to; default = the initial geometry
+    usurf_store: object = None
+    thk_store: object = None
     # target surface elevation for the iterative till-friction-angle
     # optimization (tillphi_opt; defaults to the .file config or the
     # initial surface when enabled)
@@ -655,6 +660,16 @@ class IceModel:
             self._iso_times_arr = iso0.deposition_times
         if self.no_model_mask is not None and self._nmm_ref is None:
             self._nmm_ref = (state.geometry.ice_thickness, state.enthalpy)
+            # usurfstore/thkstore (reference IceRegionalModel): default to
+            # the initial geometry unless supplied (e.g. read from file)
+            if self.usurf_store is None:
+                self.usurf_store = state.geometry.ice_surface_elevation
+            if self.thk_store is None:
+                self.thk_store = state.geometry.ice_thickness
+            if self.ssa is not None and hasattr(self.ssa, "stored_surface"):
+                self.ssa.stored_surface = self.usurf_store
+                self.ssa.stored_thickness = self.thk_store
+            self.stress_balance.stored_surface = self.usurf_store
         if self.calving is not None and "ocean_kill" in self.calving.methods \
                 and self.calving.ocean_kill_mask is None:
             # PISM ocean_kill defaults its kill mask to the input file's

@@ -55,8 +55,13 @@ class SSAFD:
     taud_x: Optional[jnp.ndarray] = None
     taud_y: Optional[jnp.ndarray] = None
     # regional mode (reference SSAFD_Regional::compute_driving_stress):
-    # zero driving stress inside the no-model strip
+    # inside the no-model strip the driving stress is recomputed from the
+    # *stored* surface and thickness (usurfstore/thkstore) with
+    # differences confined to the strip — or zeroed with
+    # regional.zero_gradient
     no_model_mask: Optional[jnp.ndarray] = None
+    stored_surface: Optional[jnp.ndarray] = None
+    stored_thickness: Optional[jnp.ndarray] = None
 
     def __post_init__(self):
         cfg = self.config
@@ -94,6 +99,7 @@ class SSAFD:
         # fracture_density.softening_lower_limit < 1
         self.frac_soft_min = cfg.get_number(
             "fracture_density.softening_lower_limit")
+        self.regional_zero_gradient = cfg.get_flag("regional.zero_gradient")
         if self.sliding_law is None:
             self.sliding_law = SlidingLaw.from_config(cfg)
 
@@ -216,9 +222,32 @@ class SSAFD:
         by = by + jnp.where(icy & ~icy_n, Tf / dy, 0.0) \
                 - jnp.where(icy & ~icy_s, Tf / dy, 0.0)
         if self.no_model_mask is not None:
+            # reference SSAFD_Regional::compute_driving_stress: in the
+            # strip, tau_d = -rho g thkstore grad(usurfstore) with
+            # differences using only neighbors that are ALSO in the strip
+            # (usurfstore is only meaningful there); zero if isolated or
+            # with regional.zero_gradient
             nmm = jnp.asarray(self.no_model_mask, bool)
-            bx = jnp.where(nmm, 0.0, bx)
-            by = jnp.where(nmm, 0.0, by)
+            if self.regional_zero_gradient or self.stored_surface is None:
+                bx = jnp.where(nmm, 0.0, bx)
+                by = jnp.where(nmm, 0.0, by)
+            else:
+                hst = jnp.asarray(self.stored_surface, dtype)
+                Hst = jnp.asarray(self.stored_thickness, dtype)
+
+                def strip_grad(axis_shift, d):
+                    in_p = sh(nmm, *axis_shift)
+                    in_m = sh(nmm, *[-a for a in axis_shift])
+                    h_p = sh(hst, *axis_shift)
+                    h_m = sh(hst, *[-a for a in axis_shift])
+                    return jnp.where(
+                        in_p & in_m, (h_p - h_m) / (2.0 * d),
+                        jnp.where(in_p, (h_p - hst) / d,
+                                  jnp.where(in_m, (hst - h_m) / d, 0.0)))
+
+                P = self.rho * self.g * jnp.maximum(Hst, 0.0)
+                bx = jnp.where(nmm, -P * strip_grad((0, 1), dx), bx)
+                by = jnp.where(nmm, -P * strip_grad((1, 0), dy), by)
 
         # stress transmitted only across icy-icy faces
         keep_e = (icy & icy_e).astype(dtype)

@@ -57,9 +57,11 @@ class StressBalance:
     prescribed_u: object = None
     prescribed_v: object = None
     # regional mode (reference SIAFD_Regional::compute_surface_gradient):
-    # the surface gradient is zeroed in the no-model strip, so no SIA
-    # diffusive flux crosses faces touching strip cells
+    # faces touching the no-model strip see the gradient of the *stored*
+    # surface (usurfstore) — or zero with regional.zero_gradient — so the
+    # strip is a stationary Dirichlet frame that still exchanges flux
     no_model_mask: object = None
+    stored_surface: object = None   # usurfstore (set by IceModel)
     # spatially-varying linear sliding coefficient mu(x,y) [m s^-1 Pa^-1]
     # for the Weertman path: u_b = -mu tau_d (EISMINT II experiment E's
     # sector-limited sliding patch; reference IceEISModel sliding map)
@@ -76,6 +78,7 @@ class StressBalance:
         self.gradient_method = cfg.get_string("stress_balance.sia.surface_gradient_method")
         self.bed_smoother_range = cfg.get_number(
             "stress_balance.sia.bed_smoother.range")
+        self.regional_zero_gradient = cfg.get_flag("regional.zero_gradient")
 
 
     def _weertman(self, state: S.ModelState):
@@ -221,12 +224,11 @@ class StressBalance:
                 self.sia_flow_law, geom, state.enthalpy, grid, sh,
                 n=self.n_sia, enhancement=self.e_sia, rho=self.rho, g=self.g,
                 gradient_method=self.gradient_method,
-                theta_e=th_e, theta_n=th_n)
+                theta_e=th_e, theta_n=th_n,
+                no_model_mask=self.no_model_mask,
+                stored_surface=self.stored_surface,
+                regional_zero_gradient=self.regional_zero_gradient)
             qe, qn, max_D = flux.qe, flux.qn, flux.max_D
-            if self.no_model_mask is not None:
-                nmm = jnp.asarray(self.no_model_mask, bool)
-                qe = jnp.where(nmm | sh(nmm, 0, 1), 0.0, qe)
-                qn = jnp.where(nmm | sh(nmm, 1, 0), 0.0, qn)
         else:
             qe, qn, max_D = zeros, zeros, jnp.zeros(())
 

@@ -187,13 +187,23 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
                 gradient_method: str = "mahaffy",
                 theta_e: Optional[jnp.ndarray] = None,
                 theta_n: Optional[jnp.ndarray] = None,
-                pallas: Optional[bool] = None) -> SIAFlux:
+                pallas: Optional[bool] = None,
+                no_model_mask: Optional[jnp.ndarray] = None,
+                stored_surface: Optional[jnp.ndarray] = None,
+                regional_zero_gradient: bool = False) -> SIAFlux:
     """Staggered diffusivity and diffusive flux.
 
     theta_e/theta_n: Schoof bed-smoother multipliers in [0, 1] on the faces
     (1 = no roughness correction).
     pallas: force the fused Pallas kernel on/off; None = auto (TPU, f32,
     mahaffy, non-periodic, Paterson-Budd-family law).
+    no_model_mask / stored_surface: regional mode (reference
+    ``SIAFD_Regional::compute_surface_gradient``): on staggered faces
+    touching the no-model strip the surface gradient is replaced by the
+    gradient of the *stored* surface (``usurfstore``), so the strip acts
+    as a stationary Dirichlet frame that still exchanges diffusive flux
+    with the modeled interior; with ``regional_zero_gradient`` the
+    replaced gradient is zero instead (PISM ``regional.zero_gradient``).
     """
     H = geometry.ice_thickness
 
@@ -201,6 +211,8 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
     if use_pallas is None:
         use_pallas = _pallas_eligible(flow_law, enthalpy, grid, H,
                                       gradient_method, theta_e, theta_n)
+        if no_model_mask is not None:
+            use_pallas = False   # regional gradient override: jnp path
         if use_pallas and enthalpy is None and H.size > 490_000:
             use_pallas = False  # isothermal kernel is single-block VMEM
     if use_pallas:
@@ -219,6 +231,23 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
                 dx=grid.dx, dy=grid.dy)
         return SIAFlux(De=De, Dn=Dn, qe=qe, qn=qn, max_D=max_D)
     grad = surface_gradient(geometry, grid, sh, gradient_method, n)
+
+    if no_model_mask is not None:
+        # regional mode: faces with either cell inside the strip see the
+        # stored-surface gradient (or zero), not the evolving surface
+        nmm = jnp.asarray(no_model_mask, bool)
+        touch_e = nmm | sh(nmm, 0, 1)
+        touch_n = nmm | sh(nmm, 1, 0)
+        if regional_zero_gradient or stored_surface is None:
+            gs = StaggeredGrad(*(jnp.zeros_like(H) for _ in range(4)))
+        else:
+            gs = surface_gradient_mahaffy(
+                jnp.asarray(stored_surface, H.dtype), grid, sh)
+        grad = StaggeredGrad(
+            sx_e=jnp.where(touch_e, gs.sx_e, grad.sx_e),
+            sy_e=jnp.where(touch_e, gs.sy_e, grad.sy_e),
+            sx_n=jnp.where(touch_n, gs.sx_n, grad.sx_n),
+            sy_n=jnp.where(touch_n, gs.sy_n, grad.sy_n))
 
     H_e = st.avg_to_east(H, sh)
     H_n = st.avg_to_north(H, sh)

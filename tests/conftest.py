@@ -28,3 +28,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(seed=1234)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Attach the ``smoke`` marker to the curated sub-minute tier listed
+    in tests/smoke_tests.txt (one nodeid per line; regenerate with
+    ``python tests/make_smoke_set.py`` from a --durations=0 run)."""
+    import pathlib
+
+    p = pathlib.Path(__file__).with_name("smoke_tests.txt")
+    if not p.exists():
+        return
+    smoke = {ln.strip() for ln in p.read_text().splitlines()
+             if ln.strip() and not ln.startswith("#")}
+    for it in items:
+        if it.nodeid in smoke:
+            it.add_marker(pytest.mark.smoke)
