@@ -200,29 +200,8 @@ def main(argv=None):
         print_table()
         return 0
     if args.list_diagnostics:
-        from .model import diagnostics as dg
-        print("spatial diagnostics (-extra_vars):")
-        for name in sorted(dg.SPATIAL):
-            d = dg.SPATIAL[name]
-            print(f"  {name:<28} [{d.units or '-'}] {d.long_name}")
-        print("interval-averaged spatial rates (-extra_vars, cell_methods="
-              "'time: mean'):")
-        for name in sorted(dg.SPATIAL_RATE):
-            d = dg.SPATIAL_RATE[name]
-            print(f"  {name:<28} [{d.units or '-'}] {d.long_name}")
-        print("scalar time-series diagnostics (-ts_file/-ts_times):")
-        for name in sorted(dg.SCALAR):
-            d = dg.SCALAR[name]
-            print(f"  {name:<28} [{d.units or '-'}] {d.long_name}")
-        print("interval-averaged rate diagnostics (-ts_vars, cell_methods="
-              "'time: mean'):")
-        for name in sorted(dg.RATE):
-            d = dg.RATE[name]
-            print(f"  {name:<28} [{d.units or '-'}] {d.long_name}")
-        print("vector diagnostics (-extra_vars; write their component "
-              "variables):")
-        for name in sorted(dg.VECTOR):
-            print(f"  {name:<28} -> {', '.join(dg.VECTOR[name])}")
+        from .model.diaggen import print_table
+        print_table()
         return 0
     if args.platform:
         import jax

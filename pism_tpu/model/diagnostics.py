@@ -1215,6 +1215,42 @@ def _h_y(state, model, t):
     return (model.sh(s, 1, 0) - model.sh(s, -1, 0)) / (2.0 * model.grid.dy)
 
 
+def _sia_staggered_grad(state, model):
+    """The SIA's actual staggered surface gradient (reference
+    ``SIAFD::compute_surface_gradient``; the ``h_x``/``h_y`` extras are
+    staggered two-component fields there, hence the _e/_n variants)."""
+    from ..ops import sia as sia_ops
+    sb = model.stress_balance
+    method = getattr(sb, "gradient_method", "mahaffy") if sb else "mahaffy"
+    n = getattr(sb, "n_sia", 3.0) if sb else 3.0
+    return sia_ops.surface_gradient(state.geometry, model.grid, model.sh,
+                                    method, n)
+
+
+@spatial("h_x_e", "1", "x-component of the staggered ice surface gradient "
+         "(east faces, as used by the SIA flux)")
+def _h_x_e(state, model, t):
+    return _sia_staggered_grad(state, model).sx_e
+
+
+@spatial("h_x_n", "1", "x-component of the staggered ice surface gradient "
+         "(north faces)")
+def _h_x_n(state, model, t):
+    return _sia_staggered_grad(state, model).sx_n
+
+
+@spatial("h_y_e", "1", "y-component of the staggered ice surface gradient "
+         "(east faces)")
+def _h_y_e(state, model, t):
+    return _sia_staggered_grad(state, model).sy_e
+
+
+@spatial("h_y_n", "1", "y-component of the staggered ice surface gradient "
+         "(north faces, as used by the SIA flux)")
+def _h_y_n(state, model, t):
+    return _sia_staggered_grad(state, model).sy_n
+
+
 @spatial("isochrone_depth", "m",
          "depth below the ice surface of each tracked isochrone "
          "(last axis = deposition-time layer boundary)")
@@ -1789,6 +1825,7 @@ class Window2D(NamedTuple):
     d_topg: object = None   # topg(t) - topg(t_prev), for dbdt
     d_water: object = None  # (bwat+tillwat)(t) - previous, m, for
     #                         tendency_of_subglacial_water_mass
+    cell_area: float = 1.0  # m2, for the per-cell kg s-1 "mass" variants
 
 
 SPATIAL_RATE: Dict[str, Diagnostic] = {}
@@ -1857,6 +1894,42 @@ def _damount_fm(w):
               "average ice-amount rate of change by prescribed front retreat")
 def _damount_forced(w):
     return w.rho_i * w.d_forced_retreat / w.dt
+
+
+# per-cell "mass" variants (kg s-1): the reference registers BOTH the
+# specific (kg m-2 s-1, "amount") and the per-cell (kg s-1, "mass")
+# versions of every budget field (src/geometry/GeometryEvolution.cc +
+# src/icemodel/diagnostics.cc mass-flux groups)
+
+def _mass_rate_variant(amount_name, long_name, standard_name=""):
+    base = SPATIAL_RATE[amount_name].func
+    name = amount_name.replace("ice_amount", "ice_mass")
+    SPATIAL_RATE[name] = Diagnostic(
+        lambda w, base=base: base(w) * w.cell_area,
+        "kg s-1", long_name, standard_name)
+
+
+for _amount, _ln in [
+    ("tendency_of_ice_amount",
+     "rate of change of ice mass per cell over the reporting interval"),
+    ("tendency_of_ice_amount_due_to_flow",
+     "average per-cell ice-mass rate of change due to flow"),
+    ("tendency_of_ice_amount_due_to_surface_mass_flux",
+     "average per-cell effective surface mass flux"),
+    ("tendency_of_ice_amount_due_to_basal_mass_flux",
+     "average per-cell effective basal mass flux (negative = melt)"),
+    ("tendency_of_ice_amount_due_to_conservation_error",
+     "average per-cell non-negativity projection mass rate"),
+    ("tendency_of_ice_amount_due_to_discharge",
+     "average per-cell mass rate of change by calving and front retreat"),
+    ("tendency_of_ice_amount_due_to_calving",
+     "average per-cell mass rate of change by calving"),
+    ("tendency_of_ice_amount_due_to_frontal_melt",
+     "average per-cell mass rate of change by frontal-melt retreat"),
+    ("tendency_of_ice_amount_due_to_forced_retreat",
+     "average per-cell mass rate of change by prescribed front retreat"),
+]:
+    _mass_rate_variant(_amount, _ln)
 
 
 @spatial_rate("dbdt", "m s-1", "bedrock uplift rate",

@@ -210,7 +210,8 @@ class OutputManager:
                              if "topg" in cur and "topg" in prev else None,
                              d_water=cur["water"] - prev["water"]
                              if cur.get("water") is not None
-                             and prev.get("water") is not None else None)
+                             and prev.get("water") is not None else None,
+                             cell_area=model.grid.dx * model.grid.dy)
 
     # -- scheduling ----------------------------------------------------------
     def next_time(self, t: float) -> float:

@@ -45,10 +45,35 @@ def test_all_scalar_diagnostics_finite(thermo_state):
 def test_registry_size():
     # PISM's diagnostic dictionary coverage (spatial incl. the ISMIP6 set,
     # effective coupler inputs, hydrology mass budget, fracture suite)
-    assert len(diag.SPATIAL) >= 216
-    assert len(diag.SCALAR) >= 40
+    assert len(diag.SPATIAL) >= 223
+    assert len(diag.SCALAR) >= 41
     assert len(diag.RATE) >= 23
-    assert len(diag.SPATIAL_RATE) >= 11
+    assert len(diag.SPATIAL_RATE) >= 20
+
+
+def test_all_rate_diagnostics_finite():
+    """Every scalar budget rate and every per-window spatial rate computes
+    finite values on a synthetic reporting window."""
+    w = diag.Window(dt=100.0, d_volume=1.0, d_smb=2.0, d_bmb=0.5,
+                    d_flow=0.1, d_nonneg=0.01, d_discharge=-0.3,
+                    rho_i=910.0, d_calving=-0.2, d_frontal_melt=-0.05,
+                    d_forced_retreat=-0.05, d_nsteps=7.0)
+    for name, v in diag.compute_rates(list(diag.RATE), w).items():
+        assert np.isfinite(float(v)), name
+
+    f = np.full((3, 3), 0.25)
+    w2 = diag.Window2D(dt=100.0, d_thickness=f, d_flow=f, d_smb=f, d_bmb=f,
+                       d_nonneg=f, d_discharge=f, rho_i=910.0, d_calving=f,
+                       d_frontal_melt=f, d_forced_retreat=f, d_topg=f,
+                       d_water=f, cell_area=1e6)
+    vals = diag.compute_spatial_rates(list(diag.SPATIAL_RATE), w2)
+    for name, v in vals.items():
+        arr = np.asarray(v)
+        assert arr.shape == (3, 3) and np.isfinite(arr).all(), name
+    # the per-cell "mass" variant is the specific "amount" one x cell area
+    assert np.allclose(
+        np.asarray(vals["tendency_of_ice_mass_due_to_calving"]),
+        np.asarray(vals["tendency_of_ice_amount_due_to_calving"]) * 1e6)
 
 
 def test_area_fraction_identities(thermo_state):
