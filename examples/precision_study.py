@@ -56,7 +56,7 @@ def main():
         t = 0.0
         rows = []
         tic = time.time()
-        while t < args.years:
+        while t < args.years * SPY - 1.0:
             state, t, _ = model.step_once(state, t, args.seg * SPY)
             H = np.asarray(state.geometry.ice_thickness, np.float64)
             Tb = float(EC.temperature(
