@@ -457,11 +457,19 @@ class SSAFD:
 
         b_norm2 = dot(free_hi((bx_hi, by_hi)), free_hi((bx_hi, by_hi)))
         # pure f32 cannot resolve residuals much below ~1e-5 relative;
-        # mixed (f64 outer residual) reaches ~1e-6 reliably
+        # mixed reaches ~1e-6 but only through the f64 polish sweeps below —
+        # the f32 Krylov DIRECTIONS have a ~3e-5 noise floor, so when the
+        # run stops on velocity change (production; polish disabled) a
+        # tighter target is unreachable and the Newton loop would always
+        # run to stagnation, burning ksp_max-iteration breakdown sweeps
+        # (measured: 600 of 1109 Krylov iterations wasted per 5 km solve)
+        chg_rtol_cfg = self.config.get_number(
+            "stress_balance.ssa.fd.velocity_change_rtol")
         if dtype == jnp.float64:
             rtol = self.newton_rtol
         elif mixed:
-            rtol = max(self.newton_rtol, 1.0e-6)
+            rtol = max(self.newton_rtol,
+                       3.0e-5 if chg_rtol_cfg > 0.0 else 1.0e-6)
         else:
             rtol = max(self.newton_rtol, 3.0e-5)
         newton_tol2 = jnp.maximum(
@@ -539,7 +547,7 @@ class SSAFD:
         alphas = jnp.asarray([1.0, 0.5, 0.25, 0.0625, 0.01], dtype)
 
         def newton_body(carry):
-            uv, F, F2, _chg2, F2prev_c, eta_c, it, ktot = carry
+            uv, F, F2, _chg2, F2prev_c, eta_c, it, ktot, hist = carry
             uv32 = lo(uv)
             u, v = full(uv32)
             nuH = make_nuH(u, v)
@@ -579,16 +587,28 @@ class SSAFD:
                 rtol=eta, max_iter=self.ksp_max, dot_dtype=ddt)
             d = hi(free(d))
 
+            # line search: the candidate COMPARISON runs in working (f32)
+            # precision — picking the best alpha only needs norms that
+            # differ by factors, far above the f32 noise floor — and only
+            # the chosen candidate gets the one high-precision residual
+            # evaluation per sweep (in mixed mode the f64 stencil applies
+            # are emulated on TPU and were the dominant per-sweep cost)
+            d32 = lo(d)
+
             def trial_norm(alpha):
-                cand = (uv[0] + alpha * d[0], uv[1] + alpha * d[1])
-                Fc = residual_hi(cand)
+                cand = (uv32[0] + alpha * d32[0], uv32[1] + alpha * d32[1])
+                Fc = residual(cand)
                 return dot(Fc, Fc)
 
-            norms = jax.vmap(trial_norm)(alphas.astype(cdt))
+            # unrolled (not vmapped): the f32 residual may apply the fused
+            # Pallas matvec, which has no batching rule
+            norms = jnp.stack([trial_norm(alphas[i])
+                               for i in range(alphas.shape[0])])
             k = jnp.argmin(norms)
             ak = alphas[k].astype(cdt)
             newton_uv = (uv[0] + ak * d[0], uv[1] + ak * d[1])
-            newton_F2 = norms[k]
+            F_newton = residual_hi(newton_uv)
+            newton_F2 = dot(F_newton, F_newton)
 
             # Newton only when it both improves on the current iterate and
             # beats the Picard candidate; otherwise take the Picard step
@@ -600,7 +620,7 @@ class SSAFD:
             # decrease — in the usual regime where Newton converges this
             # halves the per-sweep cost.
             def newton_only(_):
-                return newton_uv, newton_F2
+                return newton_uv, F_newton, newton_F2
 
             def with_picard(_):
                 picard_uv = free_hi(hi(picard_iter(0, uv32, reg=reg_final)))
@@ -614,19 +634,30 @@ class SSAFD:
                 picard_ok = picard_F2 < 1e2 * F2
                 cand_u = jnp.where(picard_ok, picard_uv[0], uv[0])
                 cand_v = jnp.where(picard_ok, picard_uv[1], uv[1])
+                cand_F = (jnp.where(picard_ok, picard_F[0], F[0]),
+                          jnp.where(picard_ok, picard_F[1], F[1]))
                 cand_F2 = jnp.where(picard_ok, picard_F2, F2)
                 cand = (jnp.where(take_newton, newton_uv[0], cand_u),
                         jnp.where(take_newton, newton_uv[1], cand_v))
-                return cand, jnp.where(take_newton, newton_F2, cand_F2)
+                Fc = (jnp.where(take_newton, F_newton[0], cand_F[0]),
+                      jnp.where(take_newton, F_newton[1], cand_F[1]))
+                return cand, Fc, jnp.where(take_newton, newton_F2, cand_F2)
 
             sufficient = newton_F2 < 0.5 * F2
-            uv_new, F2_new = jax.lax.cond(sufficient, newton_only,
-                                          with_picard, None)
-            F_new = residual_hi(uv_new)
+            uv_new, F_new, F2_new = jax.lax.cond(sufficient, newton_only,
+                                                 with_picard, None)
             # stagnation measure: relative velocity change of this sweep
             dchg = (uv_new[0] - uv[0], uv_new[1] - uv[1])
             chg2 = dot(dchg, dchg) / jnp.maximum(dot(uv_new, uv_new), 1e-300)
-            return (uv_new, F_new, F2_new, chg2, F2, eta, it + 1, ktot + kit)
+            # per-sweep trace (diagnostics; the PISM Picard-log analog)
+            hist = jax.tree_util.tree_map(lambda h, x: h.at[it].set(x), hist,
+                                          (F2_new / jnp.maximum(b_norm2, 1e-300),
+                                           chg2, eta,
+                                           kit.astype(hist[3].dtype),
+                                           ak.astype(hist[4].dtype),
+                                           sufficient.astype(hist[5].dtype)))
+            return (uv_new, F_new, F2_new, chg2, F2, eta, it + 1, ktot + kit,
+                    hist)
 
         if dtype == jnp.float64:
             chg_tol = 1e-8
@@ -638,8 +669,6 @@ class SSAFD:
         # ssafd_picard_rtol = 1e-4 relative change in nuH; polishing far
         # below that buys nothing for the time-stepping trajectory but
         # costs Newton sweeps of ~100 Krylov iterations each)
-        chg_rtol_cfg = self.config.get_number(
-            "stress_balance.ssa.fd.velocity_change_rtol")
         if chg_rtol_cfg > 0.0:
             chg_tol = max(chg_tol, chg_rtol_cfg)
         chg_tol2 = jnp.asarray(chg_tol ** 2,
@@ -653,7 +682,7 @@ class SSAFD:
         stag = 0.999
 
         def newton_cond(carry):
-            _, _, F2, chg2, F2prev, eta_c, it, _ktot = carry
+            _, _, F2, chg2, F2prev, eta_c, it, _ktot, _hist = carry
             improving = (F2 < stag * F2prev) & (chg2 > chg_tol2)
             # a stagnated sweep that used a loose inner tolerance gets
             # retried with a tighter one before the loop gives up — but
@@ -672,12 +701,19 @@ class SSAFD:
 
         F0 = residual_hi(uv)
         F20 = dot(F0, F0)
-        uv, F, F2, chg2, F2prev, eta_f, iters, ktot = jax.lax.while_loop(
+        hdt = F20.dtype
+        hist0 = (jnp.full((self.newton_max,), jnp.nan, hdt),  # F2/b2
+                 jnp.full((self.newton_max,), jnp.nan, hdt),  # chg2
+                 jnp.full((self.newton_max,), jnp.nan, hdt),  # eta
+                 jnp.zeros((self.newton_max,), jnp.int32),    # krylov its
+                 jnp.full((self.newton_max,), jnp.nan, dtype),  # alpha
+                 jnp.zeros((self.newton_max,), jnp.int32))    # newton taken
+        uv, F, F2, chg2, F2prev, eta_f, iters, ktot, hist = jax.lax.while_loop(
             newton_cond, newton_body,
             (uv, F0, F20, jnp.ones((), F20.dtype),
              jnp.full((), jnp.inf, F20.dtype),
              jnp.asarray(self.ksp_rtol_max, F20.dtype), jnp.asarray(0),
-             jnp.asarray(0)))
+             jnp.asarray(0), hist0))
 
         if mixed and chg_rtol_cfg == 0.0:
             # Only when full Newton-tolerance convergence was requested
@@ -742,6 +778,9 @@ class SSAFD:
         if diagnostics:
             info = {"newton_iters": iters, "F2_initial": F20, "F2_final": F2,
                     "b_norm2": b_norm2, "tol2": newton_tol2,
-                    "krylov_iters": ktot}
+                    "krylov_iters": ktot,
+                    "trace": {"F2_rel": hist[0], "chg2": hist[1],
+                              "eta": hist[2], "krylov": hist[3],
+                              "alpha": hist[4], "newton_taken": hist[5]}}
             return u, v, info
         return u, v

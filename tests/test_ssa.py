@@ -160,6 +160,41 @@ def test_mixed_precision_iterative_refinement():
     assert rel < 5e-6
 
 
+def test_solver_trace_and_production_floor():
+    """The diagnostics trace records one row per Newton sweep, and the
+    production configuration (velocity-change stop ON, mixed precision)
+    reaches its Newton tolerance rather than exiting on stagnation — the
+    mixed pre-polish floor is 3e-5 relative, so the target must be
+    attainable (a tighter, unreachable target makes every solve run to
+    stagnation through ksp_max-iteration breakdown sweeps)."""
+    from pism_tpu.model.icemodel import IceModel
+    from pism_tpu.verification import mismip
+
+    ms = mismip.setup(Mx=151, My=7)
+    ms.config.update({"stress_balance.ssa.fd.solve_dtype": "mixed",
+                      "runtime.float_dtype": "float32"})
+    model = IceModel(grid=ms.grid, config=ms.config, surface=ms.surface)
+    state = model.prepare_state(jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x,
+        ms.state))
+    tau_c = model.yield_stress.compute(state)
+    u, v, info = jax.jit(
+        lambda s, tc: model.ssa.solve(s, tc, diagnostics=True))(state, tau_c)
+    n = int(info["newton_iters"])
+    tr = info["trace"]
+    assert n >= 1
+    f2 = np.asarray(tr["F2_rel"])
+    kr = np.asarray(tr["krylov"])
+    assert np.isfinite(f2[:n]).all() and np.isnan(f2[n:]).all()
+    assert int(kr[:n].sum()) == int(info["krylov_iters"])
+    # last recorded row matches the final state of the loop
+    assert float(f2[n - 1]) == pytest.approx(
+        float(info["F2_final"] / info["b_norm2"]), rel=1e-12)
+    # the production target is the attainable mixed floor (3e-5 relative)
+    assert float(info["tol2"] / info["b_norm2"]) >= (3.0e-5) ** 2 * 0.99
+
+
 def test_fracture_softening_speeds_up_shelf():
     """Fracture-induced softening (reference: SSAFD::compute_nuH applies
     hardness *= max(1-(1-eps)*phi, eps) when
