@@ -78,7 +78,7 @@ def main():
             st = to32(st)
         t2 = 0.0
         tic = time.time()
-        while t2 < args.years:
+        while t2 < args.years * SPY - 1.0:
             st, t2, stats = model2.step_once(st, t2, seg * SPY)
             print(f"{label}: t={t2 / SPY:9.0f} a  "
                   f"steps={int(stats.nsteps):7d} "

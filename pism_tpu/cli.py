@@ -253,7 +253,10 @@ def main(argv=None):
         ti = ExactI()
         Mx, My = args.Mx or 11, args.My or 61
         grid = Grid(Mx=Mx, My=My, Lx=10e3, Ly=60e3, periodicity="x")
-        cfg = Config()
+        # fully-converged verification solve; plastic drag dominates test I,
+        # so use the exact drag Jacobian (frozen-beta stagnates here)
+        cfg = Config({"stress_balance.ssa.fd.velocity_change_rtol": 0.0,
+                      "stress_balance.ssa.fd.drag_jacobian": "exact"})
         _apply_config_overrides(cfg, args.config)
         tau_c = jnp.asarray(np.tile(ti.tau_c(grid.y)[:, None], (1, Mx)))
         law = IsothermalGlen(A=float(ti.B) ** -3.0)
@@ -307,7 +310,7 @@ def main(argv=None):
         tm = ExactM()
         Mx = args.Mx or 61
         grid = Grid(Mx=Mx, My=Mx, Lx=750e3, Ly=750e3)
-        cfg = Config()
+        cfg = Config({"stress_balance.ssa.fd.velocity_change_rtol": 0.0})
         _apply_config_overrides(cfg, args.config)
         X, Y = np.meshgrid(np.asarray(grid.x), np.asarray(grid.y))
         R = np.hypot(X, Y)
@@ -344,7 +347,7 @@ def main(argv=None):
         Mx, My = args.Mx or 101, args.My or 5
         L = 300e3
         grid = Grid(Mx=Mx, My=My, Lx=L / 2, Ly=50e3, periodicity="y")
-        cfg = Config()
+        cfg = Config({"stress_balance.ssa.fd.velocity_change_rtol": 0.0})
         _apply_config_overrides(cfg, args.config)
         x = np.asarray(grid.x) + L / 2
         jf = int(0.85 * Mx)

@@ -429,6 +429,11 @@ class SSAFD:
             if self.precond_kind == "mg":
                 from ..ops import mg
                 return mg.make_preconditioner(nuH, beta, bc_mask, dx, dy, sh)
+            if self.precond_kind == "linemg":
+                from ..ops import mg
+                return mg.make_preconditioner(nuH, beta, bc_mask, dx, dy, sh,
+                                              smoother="line", pre=1, post=1,
+                                              coarse_sweeps=4)
             if self.precond_kind == "line":
                 return ssa_ops.make_line_preconditioner(nuH, beta, bc_mask,
                                                         dx, dy, sh)
@@ -465,11 +470,19 @@ class SSAFD:
         # (measured: 600 of 1109 Krylov iterations wasted per 5 km solve)
         chg_rtol_cfg = self.config.get_number(
             "stress_balance.ssa.fd.velocity_change_rtol")
+        # production (velocity-change stop on): target 1e-4 relative — the
+        # trajectory noise this adds sits below the model's own chaotic
+        # front-flicker floor (25 a at 5 km: volume differs by 2e-4
+        # relative vs a 3e-5-target solve, mean |dH| 2.3 m, all pointwise
+        # differences at flickering margin cells — the same magnitude the
+        # f32-vs-f64 comparison produces), and it is tighter than the
+        # reference's converged Picard states (ssafd_picard_rtol = 1e-4 on
+        # nuH change)
         if dtype == jnp.float64:
             rtol = self.newton_rtol
         elif mixed:
             rtol = max(self.newton_rtol,
-                       3.0e-5 if chg_rtol_cfg > 0.0 else 1.0e-6)
+                       1.0e-4 if chg_rtol_cfg > 0.0 else 1.0e-6)
         else:
             rtol = max(self.newton_rtol, 3.0e-5)
         newton_tol2 = jnp.maximum(
@@ -600,12 +613,23 @@ class SSAFD:
                 Fc = residual(cand)
                 return dot(Fc, Fc)
 
-            # unrolled (not vmapped): the f32 residual may apply the fused
-            # Pallas matvec, which has no batching rule
-            norms = jnp.stack([trial_norm(alphas[i])
-                               for i in range(alphas.shape[0])])
-            k = jnp.argmin(norms)
-            ak = alphas[k].astype(cdt)
+            # full step first; backtracking candidates are only evaluated
+            # (lax.cond) when alpha=1 fails sufficient decrease — in the
+            # common warm-started regime this saves 4 residual evaluations
+            # per sweep. Unrolled (not vmapped): the f32 residual may apply
+            # the fused Pallas matvec, which has no batching rule.
+            n1 = trial_norm(alphas[0])
+
+            def full_step(_):
+                return alphas[0]
+
+            def backtrack(_):
+                norms = jnp.stack([n1] + [trial_norm(alphas[i])
+                                          for i in range(1, alphas.shape[0])])
+                return alphas[jnp.argmin(norms)]
+
+            ak = jax.lax.cond(n1 < 0.5 * F2, full_step, backtrack,
+                              None).astype(cdt)
             newton_uv = (uv[0] + ak * d[0], uv[1] + ak * d[1])
             F_newton = residual_hi(newton_uv)
             newton_F2 = dot(F_newton, F_newton)

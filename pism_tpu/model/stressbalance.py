@@ -105,7 +105,7 @@ class StressBalance:
         if self.sliding_mu is not None:
             # prescribed per-cell linear coefficient: u_b = -mu tau_d
             # (EISMINT II experiment E sliding patch)
-            fac = jnp.asarray(self.sliding_mu)
+            fac = jnp.asarray(self.sliding_mu, g.ice_thickness.dtype)
         else:
             fac = k * (mag / N) ** (m - 1.0)
         sliding = S.grounded_ice(g.cell_type)

@@ -19,7 +19,13 @@ def _solve_test_I(My, Mx=11):
     ti = ExactI()
     grid = Grid(Mx=Mx, My=My, Lx=10e3, Ly=60e3, periodicity="x")
     tau_c = jnp.asarray(np.tile(ti.tau_c(grid.y)[:, None], (1, Mx)))
-    cfg = Config()
+    # exact-solution verification: run fully converged, not at the
+    # production velocity-change stop; the plastic-till drag dominates this
+    # problem, so use the exact d(beta u)/du Jacobian — the frozen-beta
+    # linearization contracts at ~(1 - membrane/tau_c) per sweep and
+    # stagnates orders of magnitude above the true discrete solution
+    cfg = Config({"stress_balance.ssa.fd.velocity_change_rtol": 0.0,
+                  "stress_balance.ssa.fd.drag_jacobian": "exact"})
     law = IsothermalGlen(A=float(ti.B) ** -3.0)
     geom = new_geometry(jnp.full(grid.shape2, ti.H0), jnp.zeros(grid.shape2))
     state = ModelState(geometry=geom)
@@ -246,7 +252,7 @@ def _solve_test_V(Mx, front_frac=0.85):
     H = np.zeros(grid.shape2)
     H[:, :jf] = np.tile(tv.thickness(x[:jf])[None, :], (My, 1))
     geom = new_geometry(jnp.asarray(H), jnp.full(grid.shape2, -3000.0))
-    cfg = Config()
+    cfg = Config({"stress_balance.ssa.fd.velocity_change_rtol": 0.0})
     law = IsothermalGlen(A=float(tv.B) ** -3.0)
     bc = np.zeros(grid.shape2, bool)
     bc[:, 0] = True
@@ -306,7 +312,7 @@ def _solve_test_M(Mx, outer="dirichlet"):
     geom = new_geometry(jnp.asarray(H), jnp.full(grid.shape2, -3000.0))
     u_bc = np.where(bc, u_ex * X / Rs, 0.0)
     v_bc = np.where(bc, u_ex * Y / Rs, 0.0)
-    cfg = Config()
+    cfg = Config({"stress_balance.ssa.fd.velocity_change_rtol": 0.0})
     law = IsothermalGlen(A=float(tm.B) ** -3.0)
     ssa = SSAFD(grid=grid, config=cfg, flow_law=law,
                 bc_mask=jnp.asarray(bc), bc_u=jnp.asarray(u_bc),
@@ -442,7 +448,8 @@ def _solve_test_N(Mx):
     geom = new_geometry(jnp.asarray(H), jnp.full(grid.shape2, -tn.depth))
     bc = np.zeros(grid.shape2, bool)
     bc[:, Mx // 2] = True
-    cfg = Config({"stress_balance.ssa.fd.drag_jacobian": "exact"})
+    cfg = Config({"stress_balance.ssa.fd.drag_jacobian": "exact",
+                  "stress_balance.ssa.fd.velocity_change_rtol": 0.0})
     ssa = SSAFD(grid=grid, config=cfg,
                 flow_law=IsothermalGlen(A=float(tn.B) ** -3.0),
                 bc_mask=jnp.asarray(bc),
