@@ -78,3 +78,30 @@ def test_restrict_prolong_shapes():
     c = jnp.ones((7, 5))
     np.testing.assert_allclose(np.asarray(mg._prolong(mg._restrict(c), (7, 5))),
                                1.0)
+
+
+def test_linemg_preconditioner_solves_and_beats_line():
+    """The V(1,1) cycle with the alternating-direction line smoother
+    (``preconditioner = linemg``) solves the variable-coefficient system
+    and needs no more Krylov iterations than the plain line
+    preconditioner (the coarse correction adds the global coupling line
+    relaxation lacks)."""
+    grid, sh, nuH, beta, bc, b, matvec, dx, dy = _problem()
+    zero = (jnp.zeros(grid.shape2), jnp.zeros(grid.shape2))
+
+    pre_line = ssa_ops.make_line_preconditioner(nuH, beta, bc, dx, dy, sh)
+    _, it_line, _ = ssa_ops.bicgstab_solve(
+        matvec, b, zero, pre_line, rtol=1e-8, max_iter=400)
+
+    pre = mg.make_preconditioner(nuH, beta, bc, dx, dy, sh,
+                                 smoother="line", pre=1, post=1,
+                                 coarse_sweeps=4)
+    x, it, r2 = ssa_ops.bicgstab_solve(
+        matvec, b, zero, pre, rtol=1e-8, max_iter=400)
+
+    bb = float(jnp.sum(b[0] ** 2) + jnp.sum(b[1] ** 2))
+    assert float(r2) <= 1e-16 * bb
+    assert int(it) <= int(it_line)
+    Ax = matvec(x)
+    res = float(jnp.sum((Ax[0] - b[0]) ** 2 + (Ax[1] - b[1]) ** 2))
+    assert res < 1e-14 * bb
