@@ -143,3 +143,46 @@ def test_full_hybrid_chain_mesh_invariance(devices):
         a1, a8 = np.asarray(a1), np.asarray(a8)
         scale = max(np.abs(a1).max(), 1e-30)
         assert np.max(np.abs(a1 - a8)) / scale < tol, name
+
+
+def test_regional_mode_mesh_invariance(devices):
+    """Regional (no_model_mask) runs shard like everything else: the
+    strip's stored-frame driving stress and strip-face SIA gradients are
+    plain stencils, so a 2x4 mesh must reproduce the single-device step
+    (the reference's regional runs under mpiexec -n N contract)."""
+    from pism_tpu.physics.basal import GivenYieldStress
+
+    Mx, My = 40, 48
+    grid = Grid(Mx=Mx, My=My, Lx=200e3, Ly=240e3)
+    X, Y = np.meshgrid(grid.x, grid.y)
+    r = np.hypot(X, Y)
+    H = 600.0 + 1400.0 * np.exp(-(r / 60e3) ** 2)
+    tauc = np.where(r < 80e3, 4.0e4, 1.0e8)
+    nmm = np.zeros(grid.shape2, bool)
+    nmm[:3, :] = nmm[-3:, :] = nmm[:, :3] = nmm[:, -3:] = True
+    cfg = Config({
+        "stress_balance.model": "ssa+sia",
+        "stress_balance.sia.flow_law": "isothermal_glen",
+        "stress_balance.ssa.flow_law": "isothermal_glen",
+        "energy.model": "none",
+        "basal_yield_stress.model": "given",
+        "regional.enabled": True,
+    })
+    model = IceModel(grid=grid, config=cfg,
+                     surface=Uniform(smb=0.0),
+                     yield_stress=GivenYieldStress(cfg, tau_c=jnp.asarray(tauc)),
+                     no_model_mask=jnp.asarray(nmm))
+    state = model.prepare_state(ModelState(geometry=new_geometry(
+        jnp.asarray(H), jnp.zeros(grid.shape2))))
+
+    cap = 0.2 * SPY
+    s1, t1, _ = model.step_once(state, 0.0, cap)
+    mesh = make_mesh(devices, shape=(2, 4))
+    s8, t8, _ = model.step_once(shard_state(state, mesh), 0.0, cap)
+
+    assert t1 == t8
+    a1 = np.asarray(s1.geometry.ice_thickness)
+    a8 = np.asarray(s8.geometry.ice_thickness)
+    assert np.max(np.abs(a1 - a8)) / max(np.abs(a1).max(), 1e-30) < 1e-6
+    # the frozen strip is bit-identical (no dynamics there at all)
+    np.testing.assert_array_equal(a1[nmm], a8[nmm])
