@@ -51,6 +51,26 @@ def parse_times(spec: str, year_length: float, start=None, end=None):
     return [float(s) * year_length for s in spec.split(",")]
 
 
+_PARAM_SHORTHANDS = [
+    ("-sia_e", "stress_balance.sia.enhancement_factor", float),
+    ("-ssa_e", "stress_balance.ssa.enhancement_factor", float),
+    ("-pseudo_plastic_q", "basal_resistance.pseudo_plastic.q", float),
+    ("-pseudo_plastic_uthreshold",
+     "basal_resistance.pseudo_plastic.u_threshold", float),
+    ("-plastic_phi", "basal_yield_stress.mohr_coulomb.till_phi_default",
+     float),
+    ("-till_effective_fraction_overburden",
+     "basal_yield_stress.mohr_coulomb.till_effective_fraction_overburden",
+     float),
+    ("-thickness_calving_threshold", "calving.thickness_calving.threshold",
+     float),
+    ("-eigen_calving_K", "calving.eigen_calving.K", float),
+    ("-sia_flow_law", "stress_balance.sia.flow_law", str),
+    ("-ssa_flow_law", "stress_balance.ssa.flow_law", str),
+    ("-ssa_method", "stress_balance.ssa.method", str),
+]
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="pism_tpu", description=__doc__)
     p.add_argument("-i", metavar="FILE", help="restart from a model-state file")
@@ -92,6 +112,12 @@ def build_parser():
                    help="snapshot times [years] (a:step:b or comma list)")
     p.add_argument("-backup_interval", type=float, default=0.0,
                    help="wall-clock hours between backups")
+    # most-used reference parameter shorthands (in PISM every config
+    # parameter is its own flag; -config covers the rest generically)
+    for flag, key, typ in _PARAM_SHORTHANDS:
+        p.add_argument(flag, type=typ, default=None, help=f"sets {key}")
+    p.add_argument("-pseudo_plastic", action="store_true",
+                   help="sets basal_resistance.pseudo_plastic.enabled")
     p.add_argument("-config", action="append", default=[],
                    metavar="KEY=VALUE", help="config override (repeatable)")
     p.add_argument("-config_override", metavar="FILE", default=None,
@@ -121,6 +147,20 @@ def build_parser():
                    help="enable mass-transport subcycling between expensive "
                         "energy/stress-balance updates")
     p.add_argument("-skip_max", type=int, default=None)
+    # PISM's marine-ice-sheet convenience flags (single-purpose flags in
+    # the reference; -pik enables the PIK set at once)
+    p.add_argument("-pik", action="store_true",
+                   help="enable the PIK marine mechanisms at once: "
+                        "-cfbc -part_grid -kill_icebergs -subgl")
+    p.add_argument("-cfbc", action="store_true",
+                   help="calving-front stress boundary condition")
+    p.add_argument("-part_grid", action="store_true",
+                   help="sub-grid front advance (Albrecht part-grid)")
+    p.add_argument("-kill_icebergs", action="store_true",
+                   help="remove floating cells not connected to grounded ice")
+    p.add_argument("-subgl", action="store_true",
+                   help="sub-grid grounding line (grounded cell fraction "
+                        "scales basal drag)")
     p.add_argument("-max_dt", type=float, default=None,
                    help="maximum time step [years]")
     p.add_argument("-no_model_strip", type=float, default=None, metavar="KM",
@@ -524,6 +564,20 @@ def main(argv=None):
     if args.skip_max is not None:
         cfg.update({"time_stepping.skip.enabled": True,
                     "time_stepping.skip.max": args.skip_max})
+    for flag, key, _typ in _PARAM_SHORTHANDS:
+        val = getattr(args, flag.lstrip("-"))
+        if val is not None:
+            cfg.update({key: val})
+    if args.pseudo_plastic:
+        cfg.update({"basal_resistance.pseudo_plastic.enabled": True})
+    if args.pik or args.cfbc:
+        cfg.update({"stress_balance.calving_front_stress_bc": True})
+    if args.pik or args.part_grid:
+        cfg.update({"geometry.part_grid.enabled": True})
+    if args.pik or args.kill_icebergs:
+        cfg.update({"geometry.remove_icebergs": True})
+    if args.pik or args.subgl:
+        cfg.update({"geometry.grounded_cell_fraction": True})
     if args.max_dt is not None:   # stored in years (parameters.py)
         cfg.update({"time_stepping.maximum_time_step": args.max_dt})
     _apply_config_overrides(cfg, args.config)
