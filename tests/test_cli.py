@@ -162,3 +162,26 @@ def test_cli_inverse_smoke(tmp_path):
         hist = np.asarray(f.read("inv_misfit"))
     assert np.isfinite(tauc).all() and (tauc >= 0).all()
     assert np.isfinite(hist).all() and hist.size >= 1
+
+
+def test_cli_pik_and_param_shorthands(tmp_path):
+    """-pik enables the four marine mechanisms; the reference's common
+    parameter shorthands (-sia_e, -pseudo_plastic_q, ...) land in the
+    config stored in the output file."""
+    out = tmp_path / "pik.nc"
+    rc = main(["-eisII", "A", "-Mx", "19", "-Mz", "11", "-y", "5",
+               "-pik", "-sia_e", "2.0", "-pseudo_plastic",
+               "-pseudo_plastic_q", "0.4", "-plastic_phi", "25",
+               "-o", str(out), "-verbose", "1"])
+    assert rc in (0, None)
+    from pism_tpu.io import checkpoint as ckpt
+    cfg = ckpt.load_config(str(out))
+    assert cfg.get_flag("stress_balance.calving_front_stress_bc")
+    assert cfg.get_flag("geometry.part_grid.enabled")
+    assert cfg.get_flag("geometry.remove_icebergs")
+    assert cfg.get_flag("geometry.grounded_cell_fraction")
+    assert cfg.get_number("stress_balance.sia.enhancement_factor") == 2.0
+    assert cfg.get_flag("basal_resistance.pseudo_plastic.enabled")
+    assert cfg.get_number("basal_resistance.pseudo_plastic.q") == 0.4
+    assert cfg.get_number(
+        "basal_yield_stress.mohr_coulomb.till_phi_default") == 25.0
