@@ -82,7 +82,7 @@ PARAMETERS = {
     "stress_balance.ssa.fd.solve_dtype": ("mixed", None, "mixed (default; iterative refinement: f64 iterate + outer residual, f32 Krylov — velocities match float64 to ~1e-6 and the full hybrid chain runs 2.6x faster on TPU at 20 km Greenland scale) | float64 (full f64 solve island)"),
     "stress_balance.ssa.fd.newton_max_iterations": (100, None, "max Newton iterations"),
     "stress_balance.ssa.fd.picard_warmup": (5, None, "Picard iterations before Newton"),
-    "stress_balance.ssa.fd.drag_jacobian": ("picard", None, "basal-drag linearization in the Newton sweeps: picard (frozen beta; robust at u -> 0) | exact (d(beta u)/du; plastic drag vanishes from the along-flow Jacobian, essential for drag-dominated streams like test N)"),
+    "stress_balance.ssa.fd.drag_jacobian": ("picard", None, "basal-drag linearization in the Newton sweeps: picard (default; frozen beta - robust at u -> 0 and 2x faster over full 5 km trajectories, where the exact direction triggers line-search/safeguard work on melt-season steps) | exact (d(beta u)/du; essential for drag-dominated streams like test N and fully-converged verification solves)"),
     "stress_balance.ssa.fd.max_speed": (50.0e3, "m year-1", "hard clamp on SSA speeds (guards CFL dt collapse)"),
     "stress_balance.blatter.metric_terms": (True, None, "sigma-coordinate chain-rule metric corrections in the Blatter membrane terms (vanish on flat base/uniform thickness)"),
     "time_stepping.max_steps_per_segment": (2000000, None, "while_loop runaway guard"),
