@@ -1100,6 +1100,19 @@ def _ftt_target(state, model, t):
                        state.geometry.ice_thickness.dtype)
 
 
+@spatial("climatic_mass_balance_original", "kg m-2 s-1",
+         "surface mass balance before the -surface ...,forcing "
+         "(force-to-thickness) adjustment")
+def _ftt_original_smb(state, model, t):
+    # reference ``src/coupler/surface/ForceThickness.cc``: the inner
+    # chain's SMB, i.e. what the run would apply without the nudging term
+    f = _ftt_of(model)
+    if f is None:
+        return SPATIAL["effective_climatic_mass_balance"].func(
+            state, model, t)
+    return f.inner(state.geometry, t).smb * model.rho_i
+
+
 # --------------------------------------------------------------------------
 # remaining plain coupler-output names (reference registers both the
 # coupler's own output fields and the effective_* copies saved by the
