@@ -1102,7 +1102,10 @@ def _ftt_target(state, model, t):
 
 @spatial("climatic_mass_balance_original", "kg m-2 s-1",
          "surface mass balance before the -surface ...,forcing "
-         "(force-to-thickness) adjustment")
+         "(force-to-thickness) adjustment; instantaneous climatology of the "
+         "inner chain at time t (stateful PDD/dEBM inner models report their "
+         "climatology, not the window-integrated SMB); equals the effective "
+         "SMB when -surface ...,forcing is not used")
 def _ftt_original_smb(state, model, t):
     # reference ``src/coupler/surface/ForceThickness.cc``: the inner
     # chain's SMB, i.e. what the run would apply without the nudging term
