@@ -82,6 +82,8 @@ PARAMETERS = {
     "stress_balance.ssa.fd.solve_dtype": ("mixed", None, "mixed (default; iterative refinement: f64 iterate + outer residual, f32 Krylov — velocities match float64 to ~1e-6 and the full hybrid chain runs 2.6x faster on TPU at 20 km Greenland scale) | float64 (full f64 solve island)"),
     "stress_balance.ssa.fd.newton_max_iterations": (100, None, "max Newton iterations"),
     "stress_balance.ssa.fd.picard_warmup": (5, None, "Picard iterations before Newton"),
+    "stress_balance.ssa.fd.warmup_skip_rtol": (0.5, None, "skip the Picard warmup (drag-regularization continuation) when the initial residual is already below this fraction of |b| - a warm start from the previous step's velocity; the continuation's nearly-linear-drag first sweeps would move such an iterate AWAY from the solution (0 = never skip)"),
+    "stress_balance.ssa.fd.eta_endgame_range": (0.0, None, "endgame tightening of the Eisenstat-Walker forcing: once |F| <= range * tol, set the inner tolerance to land at ~tol/2 in one sweep (the per-sweep fixed cost dominates the per-Krylov cost, so few tight sweeps beat many eta_max-loose ones near convergence); 0 disables"),
     "stress_balance.ssa.fd.drag_jacobian": ("picard", None, "basal-drag linearization in the Newton sweeps: picard (default; frozen beta - robust at u -> 0 and 2x faster over full 5 km trajectories, where the exact direction triggers line-search/safeguard work on melt-season steps) | exact (d(beta u)/du; essential for drag-dominated streams like test N and fully-converged verification solves)"),
     "stress_balance.ssa.fd.max_speed": (50.0e3, "m year-1", "hard clamp on SSA speeds (guards CFL dt collapse)"),
     "stress_balance.blatter.metric_terms": (True, None, "sigma-coordinate chain-rule metric corrections in the Blatter membrane terms (vanish on flat base/uniform thickness)"),

@@ -1676,6 +1676,9 @@ class Window(NamedTuple):
     d_calving: float = 0.0
     d_frontal_melt: float = 0.0
     d_forced_retreat: float = 0.0
+    # glacierized (H > thickness_threshold) volume change over the window
+    # (reference ts variables tendency_of_ice_{volume,mass}_glacierized)
+    d_volume_glacierized: float = 0.0
 
 
 RATE: Dict[str, Diagnostic] = {}
@@ -1698,6 +1701,20 @@ def _dvol(w):
       "rate of change of ice mass over the reporting interval")
 def _dmass(w):
     return w.rho_i * w.d_volume / w.dt
+
+
+@rate("tendency_of_ice_volume_glacierized", "m3 s-1",
+      "rate of change of the volume of ice thicker than the glacierized "
+      "threshold over the reporting interval")
+def _dvol_gl(w):
+    return w.d_volume_glacierized / w.dt
+
+
+@rate("tendency_of_ice_mass_glacierized", "kg s-1",
+      "rate of change of the mass of ice thicker than the glacierized "
+      "threshold over the reporting interval")
+def _dmass_gl(w):
+    return w.rho_i * w.d_volume_glacierized / w.dt
 
 
 @rate("dt", "s",

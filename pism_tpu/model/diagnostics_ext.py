@@ -948,6 +948,7 @@ def _s_bmf_total(state, model, t):
 
 scalar_alias("lim", "ice_mass", long_name="total land ice mass (ISMIP6)")
 scalar_alias("slvol", "sea_level_rise_potential")
+scalar_alias("max_horizontal_velocity", "max_hor_vel")
 
 
 @scalar("iareagr", "m2", "area covered by grounded ice (ISMIP6)",

@@ -154,6 +154,8 @@ class OutputManager:
         s = {"t": float(t)}
         if scalars:
             s["vol"] = float(diag.SCALAR["ice_volume"].func(state, model, t))
+            s["vol_gl"] = float(
+                diag.SCALAR["ice_volume_glacierized"].func(state, model, t))
             s["sums"] = self._stats_sums(stats)
         if cells:
             cell = None
@@ -189,7 +191,9 @@ class OutputManager:
                            d_discharge=d[4], rho_i=model.rho_i,
                            d_calving=d[5], d_frontal_melt=d[6],
                            d_forced_retreat=d[7],
-                           d_nsteps=d[8] if len(d) > 8 else 0.0)
+                           d_nsteps=d[8] if len(d) > 8 else 0.0,
+                           d_volume_glacierized=cur.get("vol_gl", 0.0)
+                           - prev.get("vol_gl", 0.0))
 
     @staticmethod
     def _window2d(prev, cur, model):

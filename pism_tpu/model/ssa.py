@@ -78,6 +78,9 @@ class SSAFD:
         self.ksp_rtol = cfg.get_number("stress_balance.ssa.fd.ksp_rtol")
         self.ksp_rtol_max = cfg.get_number("stress_balance.ssa.fd.ksp_rtol_max")
         self.warmup_ksp_rtol = cfg.get_number("stress_balance.ssa.fd.warmup_ksp_rtol")
+        self.warmup_skip_rtol = cfg.get_number("stress_balance.ssa.fd.warmup_skip_rtol")
+        self.eta_endgame_range = cfg.get_number(
+            "stress_balance.ssa.fd.eta_endgame_range")
         self.ksp_max = cfg.get_int("stress_balance.ssa.fd.ksp_max_it")
         self.epsilon = cfg.get_number("stress_balance.ssa.epsilon")  # Pa s m
         ext_nu = cfg.get_number("stress_balance.ssa.strength_extension.constant_nu")
@@ -545,9 +548,28 @@ class SSAFD:
             chg2 = dot(d_, d_) / jnp.maximum(dot(uv_new, uv_new), 1e-300)
             return i + 1, uv_new, chg2
 
-        _, uv, _ = jax.lax.while_loop(
-            warm_cond, warm_body,
-            (jnp.asarray(0), uv, jnp.asarray(jnp.inf, jnp.float64 if ddt else dtype)))
+        # warm-start detection: the continuation's first sweeps solve a
+        # DIFFERENT (nearly-linear-drag) problem, so starting them from a
+        # converged previous-step velocity MOVES the iterate away from the
+        # solution (measured at 5 km: the initial relative residual jumps
+        # from well inside Newton's basin to |F|~5|b| and Newton spends
+        # ~12 extra sweeps recovering). Skip the warmup entirely whenever
+        # the initial true residual is already below warmup_skip_rtol*|b|;
+        # a zero cold start sits exactly at |F| = |b| (beta(0)*0 = 0,
+        # membrane(0) = 0), so cold starts keep the full continuation.
+        F0_pre = residual_hi(free_hi(hi(uv)))
+        F20_pre = dot(F0_pre, F0_pre)
+        skip_warmup = F20_pre < jnp.asarray(self.warmup_skip_rtol ** 2,
+                                            F20_pre.dtype) * b_norm2
+
+        def _run_warmup(uv0):
+            _, uvw, _ = jax.lax.while_loop(
+                warm_cond, warm_body,
+                (jnp.asarray(0), uv0,
+                 jnp.asarray(jnp.inf, jnp.float64 if ddt else dtype)))
+            return uvw
+
+        uv = jax.lax.cond(skip_warmup, lambda x: x, _run_warmup, uv)
         uv = free_hi(hi(uv))   # promote the iterate to the carry precision
 
         # ---- safeguarded Newton-Picard ----------------------------------
@@ -592,6 +614,20 @@ class SSAFD:
             progressed = F2 < stag * F2prev_c
             eta = jnp.where(progressed, eta, eta_c / 30.0)
             eta = jnp.clip(eta, self.ksp_rtol, self.ksp_rtol_max)
+            if self.eta_endgame_range > 0.0:
+                # endgame tightening: the per-sweep FIXED cost (linearize,
+                # high-precision residual, preconditioner build) dominates
+                # the per-Krylov-iteration cost, so once the target is
+                # within reach (|F| <= range * tol) solve the Newton system
+                # tight enough to land at ~tol/2 in one step instead of
+                # contracting by eta_max per sweep for many more sweeps
+                eta_finish = 0.5 * jnp.sqrt(
+                    newton_tol2 / jnp.maximum(F2, 1e-300))
+                near = F2 < self.eta_endgame_range ** 2 * newton_tol2
+                eta = jnp.where(
+                    near,
+                    jnp.clip(eta_finish, self.ksp_rtol, self.ksp_rtol_max),
+                    eta)
 
             negF = lo((-F[0], -F[1]))
             zero = (jnp.zeros_like(negF[0]), jnp.zeros_like(negF[1]))
@@ -723,8 +759,11 @@ class SSAFD:
             return (F2 > newton_tol2) & (improving | retry) \
                 & (it < self.newton_max)
 
-        F0 = residual_hi(uv)
-        F20 = dot(F0, F0)
+        F0, F20 = jax.lax.cond(
+            skip_warmup,
+            lambda _: (F0_pre, F20_pre),
+            lambda _: (lambda F: (F, dot(F, F)))(residual_hi(uv)),
+            None)
         hdt = F20.dtype
         hist0 = (jnp.full((self.newton_max,), jnp.nan, hdt),  # F2/b2
                  jnp.full((self.newton_max,), jnp.nan, hdt),  # chg2
