@@ -19,14 +19,32 @@ import time
 
 VARIANTS = [
     ("baseline (eta_max 0.3, frozen beta)", {}),
-    ("eta_max 0.05", {"stress_balance.ssa.fd.ksp_rtol_max": 0.05}),
     ("endgame range 100", {"stress_balance.ssa.fd.eta_endgame_range": 100.0}),
-    ("endgame range 1e3", {"stress_balance.ssa.fd.eta_endgame_range": 1e3}),
-    ("endgame range 1e6", {"stress_balance.ssa.fd.eta_endgame_range": 1e6}),
-    ("exact drag J", {"stress_balance.ssa.fd.drag_jacobian": "exact"}),
-    ("exact + endgame 1e3", {"stress_balance.ssa.fd.drag_jacobian": "exact",
-                             "stress_balance.ssa.fd.eta_endgame_range": 1e3}),
+    ("endgame 100 + f32 solve", {
+        "stress_balance.ssa.fd.eta_endgame_range": 100.0,
+        "stress_balance.ssa.fd.solve_dtype": "float32"}),
+    ("endgame 100 + linemg", {
+        "stress_balance.ssa.fd.eta_endgame_range": 100.0,
+        "stress_balance.ssa.fd.preconditioner": "linemg"}),
+    ("endgame 100 + eta_max 0.15", {
+        "stress_balance.ssa.fd.eta_endgame_range": 100.0,
+        "stress_balance.ssa.fd.ksp_rtol_max": 0.15}),
+    ("endgame range 300", {"stress_balance.ssa.fd.eta_endgame_range": 300.0}),
+    ("f32 solve only", {"stress_balance.ssa.fd.solve_dtype": "float32"}),
 ]
+
+# round-3 first sweep (10 reps each, one v5e chip, warm 5 km state):
+#   baseline (eta_max 0.3, frozen beta)    52.3 ms  newton=18 krylov=75
+#   eta_max 0.05                          110.3 ms  newton=17 krylov=304
+#   endgame range 100                      47.0 ms  newton=12 krylov=92
+#   endgame range 1e3                      90.2 ms  newton=18 krylov=209
+#   endgame range 1e6                     103.5 ms  newton=13 krylov=293
+#   exact drag J                           86.7 ms  newton=13 krylov=221
+#   exact + endgame 1e3                   144.0 ms  newton=10 krylov=459
+# -> outer contraction is floored at ~0.5/sweep by the frozen-beta
+#    linearization (tight inner solves do NOT cut sweeps), so the winning
+#    strategy is loose-eta sweeps with a short tightened endgame; per-sweep
+#    fixed overhead (~1.9 ms) dominates per-Krylov cost (~0.25 ms/it).
 
 
 def main():
@@ -35,6 +53,9 @@ def main():
     ap.add_argument("--spin-years", type=float, default=10.0)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--state-cache", default=None,
+                    help="pickle path: load the spun state if present, "
+                    "else spin and save (skips the ~15 min 5 km spin-up)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -90,16 +111,33 @@ def main():
                         ocean=OceanConstant(config=cfg))
 
     base = make_model(make_cfg({}))
-    state = base.prepare_state(
-        ModelState(geometry=new_geometry(jnp.asarray(H), jnp.asarray(bed))))
-    state = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.float32)
-        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, state)
-    tic = time.time()
-    state, t, _ = base.step_once(state, 0.0, args.spin_years * SPY)
-    jax.block_until_ready(state.geometry.ice_thickness)
-    print(f"grid {Mx}x{My}x41 @ {args.km} km; spin-up+compile "
-          f"{time.time() - tic:.0f} s", flush=True)
+    cache = args.state_cache
+    if cache and __import__("os").path.exists(cache):
+        import pickle
+        with open(cache, "rb") as fh:
+            tree = pickle.load(fh)
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x, tree)
+        print(f"grid {Mx}x{My}x41 @ {args.km} km; spun state from {cache}",
+              flush=True)
+    else:
+        state = base.prepare_state(
+            ModelState(geometry=new_geometry(jnp.asarray(H),
+                                             jnp.asarray(bed))))
+        state = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, state)
+        tic = time.time()
+        state, t, _ = base.step_once(state, 0.0, args.spin_years * SPY)
+        jax.block_until_ready(state.geometry.ice_thickness)
+        print(f"grid {Mx}x{My}x41 @ {args.km} km; spin-up+compile "
+              f"{time.time() - tic:.0f} s", flush=True)
+        if cache:
+            import pickle
+            tree = jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if hasattr(x, "dtype") else x, state)
+            with open(cache, "wb") as fh:
+                pickle.dump(tree, fh)
     tau_c = base.yield_stress.compute(state)
 
     print(f"{'variant':34s} {'ms':>7s} {'newton':>6s} {'krylov':>6s} "

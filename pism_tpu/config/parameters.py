@@ -79,7 +79,7 @@ PARAMETERS = {
     "stress_balance.ssa.fd.newton_rtol": (1.0e-7, None, "Newton convergence: |F| <= rtol |b|"),
     "stress_balance.ssa.fd.velocity_change_rtol": (1.0e-4, None, "hard stop when a sweep changes the velocity by less than this relative amount (matches the reference's ssafd_picard_rtol = 1e-4; 0 = run to the precision floor)"),
     "stress_balance.ssa.fd.pallas_matvec": ("auto", None, "fused Pallas Krylov matvec: auto (TPU, f32, non-periodic) | on | off"),
-    "stress_balance.ssa.fd.solve_dtype": ("mixed", None, "mixed (default; iterative refinement: f64 iterate + outer residual, f32 Krylov — velocities match float64 to ~1e-6 and the full hybrid chain runs 2.6x faster on TPU at 20 km Greenland scale) | float64 (full f64 solve island)"),
+    "stress_balance.ssa.fd.solve_dtype": ("auto", None, "auto (default): float32 when the velocity-change stop is active (production; the per-sweep f64 residual costs ~1 ms at 5 km and leaves the iteration history identical), mixed when it is disabled (verification/inverse) | mixed (iterative refinement: f64 iterate + outer residual, f32 Krylov — velocities match float64 to ~1e-6) | float64 (full f64 solve island) | float32 (pure working-precision carry: no high-precision residual at all; residuals below ~3e-5 relative are unresolvable)"),
     "stress_balance.ssa.fd.newton_max_iterations": (100, None, "max Newton iterations"),
     "stress_balance.ssa.fd.picard_warmup": (5, None, "Picard iterations before Newton"),
     "stress_balance.ssa.fd.warmup_skip_rtol": (0.5, None, "skip the Picard warmup (drag-regularization continuation) when the initial residual is already below this fraction of |b| - a warm start from the previous step's velocity; the continuation's nearly-linear-drag first sweeps would move such an iterate AWAY from the solution (0 = never skip)"),

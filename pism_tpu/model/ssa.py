@@ -96,6 +96,16 @@ class SSAFD:
         self.max_speed = cfg.get_number("stress_balance.ssa.fd.max_speed", "m s-1")
         self.subgl_drag = cfg.get_flag("geometry.grounded_cell_fraction")
         self.solve_dtype = cfg.get_string("stress_balance.ssa.fd.solve_dtype")
+        if self.solve_dtype == "auto":
+            # production runs (velocity-change stop active) never resolve
+            # residuals below the f32 noise floor, and the per-sweep f64
+            # residual costs ~1 ms at 5 km while leaving the iteration
+            # history bit-for-bit identical (examples/ssa_eta_study.py:
+            # 52.2 -> 33.0 ms warm solve). Full-convergence runs (stop
+            # disabled: verification, inverse) keep the f64-carry mixed
+            # path, which reaches ~1e-6 relative residuals.
+            chg = cfg.get_number("stress_balance.ssa.fd.velocity_change_rtol")
+            self.solve_dtype = "float32" if chg > 0.0 else "mixed"
         self.precond_kind = cfg.get_string("stress_balance.ssa.fd.preconditioner")
         # fracture-induced softening (Albrecht & Levermann 2012): the
         # reference applies it inside SSAFD::compute_nuH when
@@ -487,7 +497,12 @@ class SSAFD:
             rtol = max(self.newton_rtol,
                        1.0e-4 if chg_rtol_cfg > 0.0 else 1.0e-6)
         else:
-            rtol = max(self.newton_rtol, 3.0e-5)
+            # pure f32 carry: same production target as mixed when the
+            # velocity-change stop governs (3e-5 sits at the f32 Krylov
+            # noise floor — targeting it burns stagnation/retry sweeps on
+            # every solve; measured 45% slower on the 20 km hybrid)
+            rtol = max(self.newton_rtol,
+                       1.0e-4 if chg_rtol_cfg > 0.0 else 3.0e-5)
         newton_tol2 = jnp.maximum(
             rtol ** 2 * b_norm2,
             jnp.asarray(1e-300, cdt if mixed else dtype))

@@ -69,6 +69,11 @@ class SSAFEM:
         self.beta_floor = cfg.get_number("stress_balance.ssa.fd.beta_floor")
         self.subgl_drag = cfg.get_flag("geometry.grounded_cell_fraction")
         self.solve_dtype = cfg.get_string("stress_balance.ssa.fd.solve_dtype")
+        if self.solve_dtype == "auto":
+            # same resolution rule as SSAFD (see model/ssa.py): f32 carry
+            # under the velocity-change stop, mixed for full convergence
+            chg = cfg.get_number("stress_balance.ssa.fd.velocity_change_rtol")
+            self.solve_dtype = "float32" if chg > 0.0 else "mixed"
         if self.sliding_law is None:
             self.sliding_law = SlidingLaw.from_config(cfg)
 
