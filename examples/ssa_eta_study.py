@@ -33,6 +33,16 @@ VARIANTS = [
     ("f32 solve only", {"stress_balance.ssa.fd.solve_dtype": "float32"}),
 ]
 
+# third sweep: warmup-skip threshold sensitivity on a state spun under the
+# round-3 defaults (auto -> f32 carry)
+VARIANTS_SKIP = [
+    ("auto, skip 0.5 (default)", {}),
+    ("auto, skip 0.1", {"stress_balance.ssa.fd.warmup_skip_rtol": 0.1}),
+    ("auto, skip 0.02", {"stress_balance.ssa.fd.warmup_skip_rtol": 0.02}),
+    ("auto, never skip", {"stress_balance.ssa.fd.warmup_skip_rtol": 0.0}),
+    ("mixed, skip 0.5", {"stress_balance.ssa.fd.solve_dtype": "mixed"}),
+]
+
 # round-3 first sweep (10 reps each, one v5e chip, warm 5 km state):
 #   baseline (eta_max 0.3, frozen beta)    52.3 ms  newton=18 krylov=75
 #   eta_max 0.05                          110.3 ms  newton=17 krylov=304
@@ -56,6 +66,8 @@ def main():
     ap.add_argument("--state-cache", default=None,
                     help="pickle path: load the spun state if present, "
                     "else spin and save (skips the ~15 min 5 km spin-up)")
+    ap.add_argument("--skip-study", action="store_true",
+                    help="run the warmup-skip threshold variants instead")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -140,9 +152,10 @@ def main():
                 pickle.dump(tree, fh)
     tau_c = base.yield_stress.compute(state)
 
+    variants = VARIANTS_SKIP if args.skip_study else VARIANTS
     print(f"{'variant':34s} {'ms':>7s} {'newton':>6s} {'krylov':>6s} "
-          f"{'F2/b2':>9s}")
-    for name, extra in VARIANTS:
+          f"{'F2/b2':>9s} {'F2w/b2':>9s}")
+    for name, extra in variants:
         model = make_model(make_cfg(extra))
         f = jax.jit(lambda s, m=model: m.ssa.solve(s, tau_c,
                                                    diagnostics=True))
@@ -153,10 +166,12 @@ def main():
             u, v, info = f(state)
         jax.block_until_ready(u)
         ms = (time.time() - tic) / args.reps * 1e3
+        warm = info.get("F2_warmstart")
         print(f"{name:34s} {ms:7.1f} {int(info['newton_iters']):6d} "
               f"{int(info['krylov_iters']):6d} "
-              f"{float(info['F2_final'] / info['b_norm2']):9.2e}",
-              flush=True)
+              f"{float(info['F2_final'] / info['b_norm2']):9.2e} "
+              f"{float(warm / info['b_norm2']):9.2e}" if warm is not None
+              else f"{name:34s} {ms:7.1f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -497,12 +497,20 @@ class SSAFD:
             rtol = max(self.newton_rtol,
                        1.0e-4 if chg_rtol_cfg > 0.0 else 1.0e-6)
         else:
-            # pure f32 carry: same production target as mixed when the
-            # velocity-change stop governs (3e-5 sits at the f32 Krylov
-            # noise floor — targeting it burns stagnation/retry sweeps on
-            # every solve; measured 45% slower on the 20 km hybrid)
+            # pure f32 carry: production target 3e-4 when the velocity-
+            # change stop governs. The f32 residual floor is state-
+            # dependent (~1-2e-4 relative on hard margin-flicker states),
+            # so a 1e-4 target makes the endgame grind noise: traced at
+            # 5 km, sweeps 12-18 spent ~100 Krylov iterations (60% of the
+            # solve) pushing |F| from 5.7e-4 to 1.25e-4 with junk
+            # directions re-perturbing the iterate so the velocity-change
+            # stop could not fire. 3e-4 exits before the floor: solve
+            # 44 -> 23 ms, 25-a trajectory differs by 2.2e-4 relative
+            # volume = the front-flicker noise floor (docs/VALIDATION.md).
+            # Convergence semantics are carried by the hard velocity-
+            # change stop (the reference's ssafd_picard_rtol analog).
             rtol = max(self.newton_rtol,
-                       1.0e-4 if chg_rtol_cfg > 0.0 else 3.0e-5)
+                       3.0e-4 if chg_rtol_cfg > 0.0 else 3.0e-5)
         newton_tol2 = jnp.maximum(
             rtol ** 2 * b_norm2,
             jnp.asarray(1e-300, cdt if mixed else dtype))
@@ -518,7 +526,7 @@ class SSAFD:
         nwarm = max(self.picard_warmup, 1)
         decay = (reg_final / reg0) ** (1.0 / nwarm)
 
-        def picard_iter(i, uv, reg=None, rtol=None):
+        def picard_iter(i, uv, reg=None, rtol=None, max_iter=None):
             u, v = full(uv)
             nuH = make_nuH(u, v)
             if reg is None:
@@ -543,7 +551,8 @@ class SSAFD:
             sol, _, _ = ssa_ops.bicgstab_solve(
                 matvec, rhs, free(uv), make_precond(nuH, beta),
                 rtol=self.warmup_ksp_rtol if rtol is None else rtol,
-                max_iter=self.ksp_max, dot_dtype=ddt)
+                max_iter=self.ksp_max if max_iter is None else max_iter,
+                dot_dtype=ddt)
             return free(sol)
 
         # adaptive warmup: within the time-stepping loop the previous
@@ -646,9 +655,17 @@ class SSAFD:
 
             negF = lo((-F[0], -F[1]))
             zero = (jnp.zeros_like(negF[0]), jnp.zeros_like(negF[1]))
+            # near-tolerance Krylov cap: at the working-precision noise
+            # floor the Newton system is noise and BiCGStab grinds to
+            # ksp_max without converging (traced at 5 km: one
+            # 300-iteration sweep = 72% of the warm solve's Krylov work,
+            # zero residual change); a productive direction this close to
+            # tolerance needs only a handful of iterations
+            kmax = jnp.where(F2 < 16.0 * newton_tol2,
+                             jnp.minimum(32, self.ksp_max), self.ksp_max)
             d, kit, _ = ssa_ops.bicgstab_solve(
                 jmv, negF, zero, precond,
-                rtol=eta, max_iter=self.ksp_max, dot_dtype=ddt)
+                rtol=eta, max_iter=kmax, dot_dtype=ddt)
             d = hi(free(d))
 
             # line search: the candidate COMPARISON runs in working (f32)
@@ -698,7 +715,8 @@ class SSAFD:
                 return newton_uv, F_newton, newton_F2
 
             def with_picard(_):
-                picard_uv = free_hi(hi(picard_iter(0, uv32, reg=reg_final)))
+                picard_uv = free_hi(hi(picard_iter(0, uv32, reg=reg_final,
+                                                   max_iter=kmax)))
                 picard_F = residual_hi(picard_uv)
                 picard_F2 = dot(picard_F, picard_F)
                 take_newton = (newton_F2 < picard_F2) & (newton_F2 < F2)
@@ -718,9 +736,29 @@ class SSAFD:
                       jnp.where(take_newton, F_newton[1], cand_F[1]))
                 return cand, Fc, jnp.where(take_newton, newton_F2, cand_F2)
 
+            # near tolerance the Picard safeguard only injects noise: a
+            # rejected Newton step there means the residual is at the
+            # precision floor, and a Picard sweep moves flickering margin
+            # cells by whole percents (traced: the velocity-change stop
+            # never fires because each safeguard sweep re-perturbs the
+            # iterate). Accept any improving Newton step instead, or keep
+            # the iterate unchanged - which cleanly triggers the
+            # stagnation/velocity-change stop on the next test.
+            def newton_or_keep(_):
+                take = newton_F2 < F2
+                cand = (jnp.where(take, newton_uv[0], uv[0]),
+                        jnp.where(take, newton_uv[1], uv[1]))
+                Fc = (jnp.where(take, F_newton[0], F[0]),
+                      jnp.where(take, F_newton[1], F[1]))
+                return cand, Fc, jnp.where(take, newton_F2, F2)
+
+            near = F2 < 16.0 * newton_tol2
             sufficient = newton_F2 < 0.5 * F2
-            uv_new, F_new, F2_new = jax.lax.cond(sufficient, newton_only,
-                                                 with_picard, None)
+            uv_new, F_new, F2_new = jax.lax.cond(
+                sufficient, newton_only,
+                lambda _: jax.lax.cond(near, newton_or_keep, with_picard,
+                                       None),
+                None)
             # stagnation measure: relative velocity change of this sweep
             dchg = (uv_new[0] - uv[0], uv_new[1] - uv[1])
             chg2 = dot(dchg, dchg) / jnp.maximum(dot(uv_new, uv_new), 1e-300)
@@ -855,6 +893,7 @@ class SSAFD:
         v = jnp.clip(v, -self.max_speed, self.max_speed)
         if diagnostics:
             info = {"newton_iters": iters, "F2_initial": F20, "F2_final": F2,
+                    "F2_warmstart": F20_pre, "warmup_skipped": skip_warmup,
                     "b_norm2": b_norm2, "tol2": newton_tol2,
                     "krylov_iters": ktot,
                     "trace": {"F2_rel": hist[0], "chg2": hist[1],

@@ -509,3 +509,40 @@ def test_exact_solution_is_discrete_solution_N():
     # front) vs a ~2.4e4 Pa driving-stress scale
     interior = np.abs(x) <= tn.xc - 2 * grid.dx
     assert np.abs(np.asarray(ru)[2][interior]).max() < 0.05
+
+
+def test_warm_start_skips_continuation_warmup():
+    """A warm start (previous converged velocity) must skip the Picard
+    drag-continuation warmup - its nearly-linear-drag first sweeps move a
+    converged iterate AWAY from the solution (round-3 trace: initial
+    F2/b2 jumped to ~30, ~12 recovery sweeps) - while a cold start keeps
+    it. Production config (velocity-change stop active)."""
+    ti = ExactI()
+    Mx, My = 11, 31
+    grid = Grid(Mx=Mx, My=My, Lx=10e3, Ly=60e3, periodicity="x")
+    tau_c = jnp.asarray(np.tile(ti.tau_c(grid.y)[:, None], (1, Mx)))
+    cfg = Config({})     # production defaults
+    law = IsothermalGlen(A=float(ti.B) ** -3.0)
+    geom = new_geometry(jnp.full(grid.shape2, ti.H0), jnp.zeros(grid.shape2))
+    state = ModelState(geometry=geom)
+    bc = np.zeros(grid.shape2, bool)
+    bc[0, :] = bc[-1, :] = True
+    ssa = SSAFD(grid=grid, config=cfg, flow_law=law,
+                bc_mask=jnp.asarray(bc),
+                bc_u=jnp.zeros(grid.shape2), bc_v=jnp.zeros(grid.shape2),
+                taud_x=jnp.full(grid.shape2, ti.f),
+                taud_y=jnp.zeros(grid.shape2))
+    solve = jax.jit(lambda s, u0, v0: ssa.solve(s, tau_c, u0=u0, v0=v0,
+                                                diagnostics=True))
+    zero = jnp.zeros(grid.shape2)
+    u, v, cold = solve(state, zero, zero)
+    assert not bool(cold["warmup_skipped"])      # cold: |F(0)| = |b|
+    assert float(cold["F2_warmstart"]) == pytest.approx(
+        float(cold["b_norm2"]), rel=1e-6)
+    u2, v2, warm = solve(state, u, v)
+    assert bool(warm["warmup_skipped"])
+    assert float(warm["F2_warmstart"]) < 0.25 * float(warm["b_norm2"])
+    assert int(warm["newton_iters"]) <= int(cold["newton_iters"])
+    # the warm re-solve stays at the converged stream speed
+    assert np.asarray(u2)[:, 5].max() * SPY == pytest.approx(
+        np.asarray(u)[:, 5].max() * SPY, rel=1e-3)
