@@ -9,14 +9,13 @@ whole-(My, Mx)-plane operations over the z axis. Two algorithms:
   ``lax.scan``s (2n sequential elementwise steps). Best on CPU.
 - :func:`solve_batched_pcr` — parallel cyclic reduction: ceil(log2 n)
   full-tensor elimination rounds with NO sequential dependence along z.
-  On TPU the Thomas scan serializes 2n tiny steps (each underutilizes the
-  vector units at ice-sheet grid widths); PCR replaces them with ~6 large
-  fused elementwise rounds — it is where the 4x energy-step speedup of the
-  hybrid chain comes from. Stable for the diagonally dominant systems the
-  energy/age columns produce.
+  Stable for the diagonally dominant systems the energy/age columns
+  produce.
 
-:func:`solve_batched` dispatches by backend at trace time (PCR on TPU,
-Thomas elsewhere).
+:func:`solve_batched` dispatches by shape at trace time: on TPU, Thomas
+for short widely-batched systems (z-columns, each scan step saturates the
+vector units on a whole plane), PCR for long narrowly-batched ones (the
+SSA line preconditioner's x/y lines); Thomas everywhere on CPU.
 
 System per column: a[k] x[k-1] + b[k] x[k] + c[k] x[k+1] = d[k], k = 0..n-1
 (a[0] and c[n-1] ignored). Batch axes lead: coefficients are (..., n).
@@ -117,8 +116,18 @@ def solve_batched_pcr(a, b, c, d):
 
 
 def solve_batched(a, b, c, d):
-    """Backend-dispatched batched tridiagonal solve (PCR on TPU, Thomas
-    scan elsewhere); all inputs (..., n) with the z axis last."""
-    if jax.default_backend() == "tpu":
+    """Shape-dispatched batched tridiagonal solve; inputs (..., n), z last.
+
+    On TPU the crossover is the system length vs the batch width: for the
+    SHORT, WIDELY-batched z-columns of the energy/age steps (n ~ 31-61,
+    ~1e5 columns) the Thomas scan's 2n sequential steps each saturate the
+    vector units on a whole (My, Mx) plane and touch every coefficient
+    exactly once — measured 1.6x faster than PCR's ~log2(n) full-tensor
+    elimination rounds at the 5 km Greenland shape (chained-input timing,
+    one v5e chip). PCR wins for LONG systems with narrow batches (the SSA
+    line preconditioner: n ~ 300-560 lines batched over the transverse
+    axis), where 2n scan steps would serialize ~600 tiny kernels.
+    """
+    if jax.default_backend() == "tpu" and d.shape[-1] > 64:
         return solve_batched_pcr(a, b, c, d)
     return solve_batched_thomas(a, b, c, d)
