@@ -49,6 +49,7 @@ PARAMETERS = {
     "time_stepping.hit_multiples": (0.0, "years", "if > 0, snap dt so model time hits integer multiples of this period (reference -timestep_hit_multiples)"),
     "time_stepping.skip.enabled": (False, None, "subcycle mass transport between energy steps"),
     "time_stepping.skip.max": (10, None, "max mass-transport substeps per energy step"),
+    "time_stepping.skip.refresh_diffusivity": (False, None, "recompute the SIA diffusive flux from the evolving geometry on every skip substep (more accurate at fast-evolving fronts); False = reference parity: the whole stress balance, including D, stays frozen across the substeps"),
     "time.calendar": ("365_day", None, "CF calendar"),
 
     # --- flow laws ----------------------------------------------------------

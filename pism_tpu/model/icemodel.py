@@ -465,9 +465,21 @@ class IceModel:
                 # mass-step limit, selected in _compute_dt)
                 dt_sub = dt_f / self.skip_max
 
+                # reference parity: PISM's skip freezes the WHOLE stress
+                # balance - including the SIA diffusive flux - across the
+                # substeps (src/icemodel/timestepping.cc skip semantics);
+                # refresh_diffusivity recomputes D(H) per substep instead
+                # (more accurate at strongly-evolving fronts, ~10 extra
+                # z-integral stencils per mega-step at skip 10)
+                refresh = self.config.get_flag(
+                    "time_stepping.skip.refresh_diffusivity")
+                qe_frozen = None if refresh else sb.qe
+                qn_frozen = None if refresh else sb.qn
+
                 def body(_, carry):
                     geometry, iso_c, acc = carry
-                    geometry, iso_c, vals = mass_substep(geometry, iso_c, dt_sub)
+                    geometry, iso_c, vals = mass_substep(
+                        geometry, iso_c, dt_sub, qe_frozen, qn_frozen)
                     return geometry, iso_c, tuple(a + v for a, v in zip(acc, vals))
 
                 z = jnp.zeros((), self.dtype)

@@ -715,8 +715,13 @@ class SSAFD:
                 return newton_uv, F_newton, newton_F2
 
             def with_picard(_):
-                picard_uv = free_hi(hi(picard_iter(0, uv32, reg=reg_final,
-                                                   max_iter=kmax)))
+                # safeguard sweeps solve a frozen-coefficient system to the
+                # loose warmup tolerance; if the line-preconditioned
+                # BiCGStab cannot get there in 48 iterations the system is
+                # ill-posed noise and more iterations only burn wall time
+                picard_uv = free_hi(hi(picard_iter(
+                    0, uv32, reg=reg_final,
+                    max_iter=jnp.minimum(48, kmax))))
                 picard_F = residual_hi(picard_uv)
                 picard_F2 = dot(picard_F, picard_F)
                 take_newton = (newton_F2 < picard_F2) & (newton_F2 < F2)
