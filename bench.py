@@ -8,22 +8,31 @@ Measures two throughputs and reports the flagship one:
    20 km geometry; the real SeaRISE dataset is not available offline), as
    model-years per wall-hour. Runs fully on device (adaptive-dt
    lax.while_loop segments; zero host sync inside a segment) in float32
-   with the mixed-precision SSA solve (f64 iterate + outer residual, f32
-   Krylov).
+   with the pure-f32 production SSA solve.
 2. SECONDARY (in detail) — EISMINT II experiment A, thermomechanically
-   coupled SIA on a 61x61x61 grid (the CPU-runnable reference config).
+   coupled SIA on a 61x61x61 grid (the CPU-runnable reference config),
+   plus the 5 km north-star shape (301x561x41).
 
 Baseline provenance: the reference mount is empty and
 BASELINE.json.published is {}. BASELINE.md records (from-memory,
 unverified) that 64-rank MPI PISM sustains order 1e3-1e4 model-years/hour
 on 5-20 km Greenland grids; we take 3,000 model-years/wall-hour as the
 indicative 64-rank 20 km baseline (PISM manual-scale numbers), so
-vs_baseline is measured/3000 with that caveat.
+vs_baseline is measured/3000 with that caveat. detail.roofline grounds
+the per-step number in chip capability instead (docs/VALIDATION.md).
+
+Every emitted JSON carries the git commit measured ("commit").
+
+``python bench.py --smoke`` runs the large-shape TPU smoke gate (one warm
+multi-step segment at 20 and 5 km, ~2 min) — run it before any
+perf-affecting commit; the round-3 regression crashed the TPU worker only
+on multi-step segments at 5/10 km and was invisible to the test suite.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
 import json
+import subprocess
 import sys
 import time
 
@@ -32,12 +41,36 @@ BASELINE_SIA_MODEL_YEARS_PER_HOUR = 1.2e6      # 1-core PISM EISMINT II estimate
 SPY = 3.15569259747e7
 
 
+def git_commit() -> str:
+    try:
+        return subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=__file__.rsplit("/", 1)[0] or ".",
+                              timeout=10).stdout.strip()
+    except Exception:   # noqa: BLE001
+        return "unknown"
+
+
 def _to_f32(state):
     import jax
     import jax.numpy as jnp
     return jax.tree_util.tree_map(
         lambda x: x.astype(jnp.float32)
         if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, state)
+
+
+def _dt_detail(stats, years, wall):
+    """steps/yr + dt stats + binding-limit counts (VERDICT r3 item 4)."""
+    d = {
+        "steps_per_model_year": round(int(stats.nsteps) / max(years, 1e-9), 2),
+        "dt_min_days": round(float(stats.dt_min) / 86400.0, 4),
+        "dt_mean_days": round(
+            years * SPY / max(int(stats.nsteps), 1) / 86400.0, 4),
+        "dt_max_days": round(float(stats.dt_max) / 86400.0, 4),
+    }
+    if hasattr(stats, "limit_hits_dict"):
+        d["dt_limit_hits"] = stats.limit_hits_dict()
+    return d
 
 
 def bench_eismint_sia(dtype):
@@ -56,26 +89,31 @@ def bench_eismint_sia(dtype):
 
     years = 2000.0
     state0, t0 = state, t
-    best = None
+    best, walls = None, []
     for _ in range(3):   # best-of-3 of the same window (see hybrid bench)
         tic = time.time()
         state, t, stats = model.step_once(state0, t0, years * SPY)
         jax.block_until_ready(state.geometry.ice_thickness)
         wall = time.time() - tic
+        walls.append(round(wall, 3))
         if best is None or wall < best[0]:
-            best = (wall, int(stats.nsteps))
-    wall, nsteps = best
+            best = (wall, stats)
+    wall, stats = best
+    nsteps = int(stats.nsteps)
     cells = es.grid.Mx * es.grid.My * es.grid.Mz
     return {
         "model_years_per_hour": round(years / wall * 3600.0, 1),
         "steps": nsteps,
         "wall_s": round(wall, 3),
+        "rep_walls_s": walls,
         "cell_updates_per_s": round(nsteps * cells / wall, 0),
+        **_dt_detail(stats, years, wall),
     }
 
 
-def bench_hybrid_greenland(dtype, years=50.0, km=20.0):
-    import jax
+def hybrid_greenland_model(dtype, km=20.0):
+    """The north-star synthetic-Greenland hybrid chain (model + initial
+    state), shared by the bench, the smoke gate, and the dt studies."""
     import jax.numpy as jnp
     import numpy as np
     from pism_tpu import Config, Grid
@@ -121,9 +159,16 @@ def bench_hybrid_greenland(dtype, years=50.0, km=20.0):
         jnp.asarray(H), jnp.asarray(bed))))
     if dtype == "float32":
         state = _to_f32(state)
+    return model, state, grid
+
+
+def bench_hybrid_greenland(dtype, years=50.0, km=20.0, warm_years=10.0):
+    import jax
+
+    model, state, grid = hybrid_greenland_model(dtype, km=km)
 
     # warm up: compile + let the fronts/dt settle
-    state, t, _ = model.step_once(state, 0.0, 10.0 * SPY)
+    state, t, _ = model.step_once(state, 0.0, warm_years * SPY)
     jax.block_until_ready(state.geometry.ice_thickness)
 
     years = float(years)
@@ -131,13 +176,15 @@ def bench_hybrid_greenland(dtype, years=50.0, km=20.0):
     # post-warmup snapshot, so all reps are identical work): the shared
     # TPU tunnel shows up to ~3x wall-clock variance between runs
     # (observed 2026-08-21); the best rep is the least-interfered
-    # measurement of the same computation
+    # measurement of the same computation. All rep walls are recorded so
+    # the JSON carries the variance alongside the best rep.
     state0, t0 = state, t
-    best = None
+    best, walls = None, []
     for _ in range(3):
         state, t = state0, t0
         tic = time.time()
         nsteps = 0
+        seg_stats = None
         t_end = t + years * SPY
         while t < t_end - 1.0:
             # segment the device dispatches: multi-minute single XLA
@@ -145,16 +192,21 @@ def bench_hybrid_greenland(dtype, years=50.0, km=20.0):
             state, t, stats = model.step_once(state, t, min(10.0 * SPY,
                                                             t_end - t))
             nsteps += int(stats.nsteps)
+            from pism_tpu.model.icemodel import _merge_stats
+            seg_stats = _merge_stats(seg_stats, stats)
         jax.block_until_ready(state.geometry.ice_thickness)
         wall = time.time() - tic
+        walls.append(round(wall, 3))
         if best is None or wall < best[0]:
-            best = (wall, nsteps)
-    wall, nsteps = best
+            best = (wall, nsteps, seg_stats)
+    wall, nsteps, stats = best
     return {
         "model_years_per_hour": round(years / wall * 3600.0, 1),
         "steps": nsteps,
         "wall_s": round(wall, 3),
-        "grid": f"{Mx}x{My}x41 @ {km:.0f} km",
+        "rep_walls_s": walls,
+        "grid": f"{grid.Mx}x{grid.My}x41 @ {km:.0f} km",
+        **_dt_detail(stats, years, wall),
     }
 
 
@@ -164,8 +216,6 @@ def _backend_alive(timeout_s: float = 180.0) -> bool:
     inside backend init in a connection-retry nanosleep loop at ~0% CPU);
     probing in-process would wedge this process permanently, so probe in a
     child and fall back to CPU when it never comes up."""
-    import subprocess
-
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -176,7 +226,40 @@ def _backend_alive(timeout_s: float = 180.0) -> bool:
         return False
 
 
+def smoke():
+    """Large-shape TPU smoke gate: one warm multi-step segment at 20 km and
+    5 km. The round-3 regression (traced Krylov bound) crashed the worker
+    only in this mode; the suite and single steps stayed green."""
+    import jax
+
+    results = {}
+    ok = True
+    for km, years in ((20.0, 5.0), (5.0, 0.25)):
+        try:
+            model, state, grid = hybrid_greenland_model("float32", km=km)
+            tic = time.time()
+            t = 0.0
+            nsteps = 0
+            for _ in range(2):   # two dispatches: multi-step + donation reuse
+                state, t, stats = model.step_once(state, t, years / 2 * SPY)
+                nsteps += int(stats.nsteps)
+            jax.block_until_ready(state.geometry.ice_thickness)
+            import jax.numpy as jnp
+            assert bool(jnp.isfinite(state.geometry.ice_thickness).all())
+            results[f"{km:g}km"] = {"steps": nsteps,
+                                    "wall_s": round(time.time() - tic, 2)}
+        except Exception as e:   # noqa: BLE001
+            results[f"{km:g}km"] = {"error": repr(e)[:500]}
+            ok = False
+    out = {"smoke": "ok" if ok else "FAIL", "commit": git_commit(),
+           "platform": jax.devices()[0].platform, "results": results}
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
 def main():
+    if "--smoke" in sys.argv:
+        return smoke()
     tpu_dead_note = None
     if not _backend_alive():
         tpu_dead_note = ("default (TPU) backend failed to initialize within "
@@ -209,6 +292,7 @@ def main():
         "value": value,
         "unit": "model_years/hour",
         "vs_baseline": round(value / BASELINE_HYBRID_MODEL_YEARS_PER_HOUR, 3),
+        "commit": git_commit(),
         "detail": {
             "hybrid": hybrid,
             "hybrid_5km": hybrid5,

@@ -58,6 +58,13 @@ class CellBudget(NamedTuple):
         return CellBudget(z, z, z, z, z, z, z, z)
 
 
+# Which adaptive-dt limit bound the step (reference: PISM prints the
+# binding restriction per step in its summary line; src/icemodel/
+# timestepping.cc max_timestep accounting). Indexes into StepStats.limit_hits.
+DT_LIMITS = ("max_dt", "sia_diffusivity", "cfl_2d", "cfl_3d", "hydrology",
+             "surface", "hit_multiples", "min_dt_floor", "end_of_segment")
+
+
 class StepStats(NamedTuple):
     """Per-segment accumulated statistics (a pytree carried in the loop)."""
     nsteps: jnp.ndarray
@@ -72,13 +79,24 @@ class StepStats(NamedTuple):
     sum_frontal_melt: jnp.ndarray   # frontal-melt-driven retreat part [m^3]
     sum_forced_retreat: jnp.ndarray  # prescribed-retreat part [m^3]
     cell: Optional[CellBudget] = None   # per-cell budget (None = not tracked)
+    # count of steps each DT_LIMITS entry was the binding dt restriction
+    limit_hits: Optional[jnp.ndarray] = None
 
     @staticmethod
     def zero(dtype=jnp.float64, shape2=None):
         z = jnp.zeros((), dtype)
         cell = CellBudget.zero(shape2, dtype) if shape2 is not None else None
         return StepStats(jnp.zeros((), jnp.int64), jnp.full((), jnp.inf, dtype),
-                         jnp.zeros((), dtype), z, z, z, z, z, z, z, z, cell)
+                         jnp.zeros((), dtype), z, z, z, z, z, z, z, z, cell,
+                         jnp.zeros((len(DT_LIMITS),), jnp.int32))
+
+    def limit_hits_dict(self):
+        """Host-side {limit_name: count} for the limits that ever bound."""
+        if self.limit_hits is None:
+            return {}
+        import numpy as np
+        h = np.asarray(self.limit_hits)
+        return {name: int(n) for name, n in zip(DT_LIMITS, h) if n > 0}
 
 
 @dataclass
@@ -270,31 +288,37 @@ class IceModel:
         the step dt is skip_max times the mass limit (substeps divide it
         back down)."""
         grid = self.grid
-        limits = [jnp.asarray(self.max_dt, jnp.float64)]
-        mass_limits = []
+        inf = jnp.asarray(jnp.inf, jnp.float64)
+        # candidate limits indexed by DT_LIMITS (inf = not applicable); the
+        # argmin attributes each step to its binding restriction, the
+        # analog of the per-step restriction PISM prints in its summary
+        cand = [inf] * len(DT_LIMITS)
+        cand[0] = jnp.asarray(self.max_dt, jnp.float64)
+        # mass-transport limits allow skip_max substeps per expensive update
         if self.stress_balance.has_sia:
-            mass_limits.append(sia_ops.max_timestep_diffusivity(
-                sb.max_diffusivity, grid.dx, grid.dy, self.adaptive_ratio))
+            cand[1] = self.skip_max * jnp.asarray(
+                sia_ops.max_timestep_diffusivity(
+                    sb.max_diffusivity, grid.dx, grid.dy,
+                    self.adaptive_ratio), jnp.float64)
         if self.stress_balance.model not in ("sia", "none"):
-            mass_limits.append(self.cfl_factor * ge.max_timestep_cfl_2d(
-                sb.u_face_e, sb.v_face_n, grid.dx, grid.dy))
-        if mass_limits:
-            mass_dt = functools.reduce(
-                jnp.minimum, [jnp.asarray(l, jnp.float64) for l in mass_limits])
-            limits.append(self.skip_max * mass_dt)
+            cand[2] = self.skip_max * jnp.asarray(
+                self.cfl_factor * ge.max_timestep_cfl_2d(
+                    sb.u_face_e, sb.v_face_n, grid.dx, grid.dy), jnp.float64)
         if sb.sia3 is not None:
             from ..ops.sia3d import max_timestep_cfl_3d
-            limits.append(self.cfl_factor * max_timestep_cfl_3d(
-                sb.sia3.max_u, sb.sia3.max_v, grid.dx, grid.dy))
+            cand[3] = jnp.asarray(self.cfl_factor * max_timestep_cfl_3d(
+                sb.sia3.max_u, sb.sia3.max_v, grid.dx, grid.dy), jnp.float64)
         if self.hydrology is not None:
             lim = self.hydrology.max_timestep()
             if lim is not None:
-                limits.append(jnp.asarray(lim, jnp.float64))
+                cand[4] = jnp.asarray(lim, jnp.float64)
         if self.surface is not None:
             lim = self.surface.max_timestep(t)
             if lim is not None and float(lim) != float(jnp.inf):
-                limits.append(jnp.asarray(lim, jnp.float64))
-        dt = functools.reduce(jnp.minimum, [jnp.asarray(l, jnp.float64) for l in limits])
+                cand[5] = jnp.asarray(lim, jnp.float64)
+        stack = jnp.stack(cand)
+        dt = jnp.min(stack)
+        idx = jnp.argmin(stack).astype(jnp.int32)
         # reference -timestep_hit_multiples: truncate dt so the step lands
         # exactly on integer multiples of the period (forcing-update epochs)
         hit = self.config.get_number("time_stepping.hit_multiples", "seconds")
@@ -302,11 +326,17 @@ class IceModel:
             # the +1e-9 tolerance keeps a step that landed on a multiple
             # from producing a zero-length follow-up step
             next_mult = (jnp.floor(t / hit + 1e-9) + 1.0) * hit
-            dt = jnp.where(next_mult - t <= dt, next_mult - t, dt)
+            truncated = next_mult - t <= dt
+            dt = jnp.where(truncated, next_mult - t, dt)
+            idx = jnp.where(truncated, 6, idx)
         # guards: guaranteed progress (dt floor) and NaN containment
         min_dt = self.config.get_number("time_stepping.minimum_time_step", "seconds")
+        floored = ~jnp.isfinite(dt) | (dt < min_dt)
         dt = jnp.where(jnp.isfinite(dt), jnp.maximum(dt, min_dt), min_dt)
-        return jnp.minimum(dt, t_end - t)
+        idx = jnp.where(floored, 7, idx)
+        ends = t_end - t <= dt
+        idx = jnp.where(ends, 8, idx)
+        return jnp.minimum(dt, t_end - t), idx
 
     def _step(self, state: S.ModelState, t, t_end, stats: StepStats):
         grid, sh, cfg = self.grid, self.sh, self.config
@@ -339,7 +369,7 @@ class IceModel:
             wcp = self.ocean.water_column_pressure(state.geometry, t)
         sb = self.stress_balance.update(state, tau_c,
                                         water_column_pressure=wcp)
-        dt = self._compute_dt(sb, t, t_end)
+        dt, dt_limit_idx = self._compute_dt(sb, t, t_end)
         dt_f = dt.astype(state.geometry.ice_thickness.dtype)
 
         if getattr(self.surface, "stateful", False) \
@@ -578,6 +608,8 @@ class IceModel:
                 forced_retreat=stats.cell.forced_retreat
                 + parts_2d["forced_retreat"],
             ),
+            limit_hits=None if stats.limit_hits is None
+            else stats.limit_hits.at[dt_limit_idx].add(1),
         )
         return state, t + dt, stats
 
@@ -828,4 +860,7 @@ def _merge_stats(a: Optional[StepStats], b: StepStats) -> StepStats:
         cell=b.cell if a.cell is None else (
             a.cell if b.cell is None else CellBudget(
                 *(x + y for x, y in zip(a.cell, b.cell)))),
+        limit_hits=b.limit_hits if a.limit_hits is None
+        else (a.limit_hits if b.limit_hits is None
+              else a.limit_hits + b.limit_hits),
     )
