@@ -111,9 +111,15 @@ def bench_eismint_sia(dtype):
     }
 
 
-def hybrid_greenland_model(dtype, km=20.0):
+def hybrid_greenland_model(dtype, km=20.0, mesh=None):
     """The north-star synthetic-Greenland hybrid chain (model + initial
-    state), shared by the bench, the smoke gate, and the dt studies."""
+    state), shared by the bench, the smoke gate, and the dt studies.
+
+    ``mesh``: a ("y", "x") jax.sharding.Mesh. JAX explicit shardings need
+    grid dims divisible by the mesh (the DMDA-ownership analog), so My/Mx
+    are rounded UP to mesh multiples (a row/column of extra ocean at the
+    domain edge) and the mesh is passed to the model so the fused Pallas
+    stencils route through shard_map + ppermute halos."""
     import jax.numpy as jnp
     import numpy as np
     from pism_tpu import Config, Grid
@@ -126,6 +132,10 @@ def hybrid_greenland_model(dtype, km=20.0):
     Lx, Ly = 750e3, 1400e3
     Mx = int(2 * Lx / (km * 1e3)) + 1
     My = int(2 * Ly / (km * 1e3)) + 1
+    if mesh is not None:
+        ny, nx = mesh.shape["y"], mesh.shape["x"]
+        My += (-My) % ny
+        Mx += (-Mx) % nx
     grid = Grid(Mx=Mx, My=My, Lx=Lx, Ly=Ly, Mz=41, Lz=4000.0)
     cfg = Config({
         "stress_balance.model": "ssa+sia",
@@ -154,7 +164,7 @@ def hybrid_greenland_model(dtype, km=20.0):
                              precipitation=jnp.asarray(precip))
     surface = TemperatureIndex(atmosphere=a, config=cfg)
     model = IceModel(grid=grid, config=cfg, surface=surface,
-                     ocean=OceanConstant(config=cfg))
+                     ocean=OceanConstant(config=cfg), mesh=mesh)
     state = model.prepare_state(ModelState(geometry=new_geometry(
         jnp.asarray(H), jnp.asarray(bed))))
     if dtype == "float32":

@@ -683,10 +683,38 @@ def main(argv=None):
         ye = ys
     run_time = Time(start=ys, end=ye)
 
+    # multi-device spatial decomposition (the PETSc DMDA rank layout the
+    # reference fixes at -Nx/-Ny): build a ("y", "x") mesh when more than
+    # one accelerator is visible, shard the state over it (GSPMD inserts
+    # the halo collectives) and hand the mesh to the model so the fused
+    # Pallas stencils run per shard (ops.pallas_sharded)
+    mesh = None
+    import jax as _jax
+    n_dev = len(_jax.devices())
+    nx_cfg = cfg.get_int("grid.Nx")
+    ny_cfg = cfg.get_int("grid.Ny")
+    if n_dev > 1 or nx_cfg or ny_cfg:
+        from .parallel.mesh import best_factorization, make_mesh
+        ny_m, nx_m = ((ny_cfg, nx_cfg) if (nx_cfg and ny_cfg)
+                      else best_factorization(n_dev))
+        if grid.My % ny_m or grid.Mx % nx_m:
+            log.message(
+                1, "grid %dx%d not divisible by device mesh %dx%d; "
+                "running unsharded (choose -Mx/-My multiples of the mesh, "
+                "or set grid.Nx/grid.Ny)", grid.Mx, grid.My, nx_m, ny_m)
+        else:
+            mesh = make_mesh(shape=(ny_m, nx_m))
+
     model = IceModel(grid=grid, config=cfg, surface=surface,
                      ocean=ocean_model, sea_level=sl_model,
                      no_model_mask=no_model_mask, sliding_mu=sliding_mu,
-                     usurf_store=usurf_store, thk_store=thk_store)
+                     usurf_store=usurf_store, thk_store=thk_store,
+                     mesh=mesh)
+    if mesh is not None:
+        from .parallel.mesh import shard_state
+        state = shard_state(state, mesh)
+        log.message(2, "spatial decomposition: %d devices as %s mesh",
+                    mesh.size, dict(mesh.shape))
 
     if args.inverse:
         return _run_inversion(args, model, state, grid, cfg)

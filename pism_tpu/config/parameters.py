@@ -38,11 +38,14 @@ PARAMETERS = {
     "grid.ice_vertical_spacing": ("quadratic", None, "equal | quadratic"),
     "grid.lambda": (4.0, None, "quadratic spacing refinement parameter"),
     "grid.periodicity": ("none", None, "none | x | y | xy"),
+    "grid.Nx": (0, None, "device-mesh columns for spatial sharding (0 = auto factorization; the PETSc DMDA -Nx analog). Grid Mx must be divisible by it"),
+    "grid.Ny": (0, None, "device-mesh rows for spatial sharding (0 = auto factorization; the PETSc DMDA -Ny analog). Grid My must be divisible by it"),
     "grid.registration": ("center", None, "center | corner"),
     "grid.projection": ("", None, "PROJ string of the grid mapping (e.g. +proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45); stored as the proj attribute of output files, used to compute lat/lon"),
 
     # --- time stepping ------------------------------------------------------
     "time_stepping.adaptive_ratio": (0.12, None, "SIA diffusivity stability multiplier"),
+    "time_stepping.resolution": (1.0, "seconds", "round the adaptive dt DOWN to a multiple of this (reference time_stepping.resolution: reproducible step sequences independent of floating-point noise in the limits); 0 = off"),
     "time_stepping.maximum_time_step": (60.0, "years", "maximum allowed dt"),
     "time_stepping.minimum_time_step": (1.0e-3, "seconds", "minimum allowed dt"),
     "time_stepping.cfl_factor": (1.0, None, "2D CFL multiplier for mass transport"),
@@ -59,7 +62,8 @@ PARAMETERS = {
     "stress_balance.sia.enhancement_factor": (1.0, None, "SIA enhancement factor"),
     "stress_balance.sia.surface_gradient_method": ("haseloff", None, "eta | haseloff | mahaffy"),
     "stress_balance.sia.bed_smoother.range": (5.0e3, "m", "Schoof bed smoother half-width (0 disables)"),
-    "stress_balance.sia.limit_diffusivity": (False, None, "cap SIA diffusivity"),
+    "stress_balance.sia.limit_diffusivity": (False, None, "cap the SIA diffusivity (and, in this framework, the 3D SIA shear velocities' column flux) at stress_balance.sia.max_diffusivity instead of letting margin cliffs collapse the adaptive dt (reference SIAFD limit_diffusivity)"),
+    "stress_balance.sia.pallas": ("auto", None, "fused Pallas SIA diffusivity+flux kernel: auto (TPU, f32, mahaffy, Paterson-Budd family) | on | off; with a device mesh the kernel runs per shard under shard_map with ppermute halos"),
     "stress_balance.sia.max_diffusivity": (100.0, "m2 s-1", "SIA diffusivity cap / sanity limit"),
     "stress_balance.ssa.flow_law": ("gpbld", None, "flow law for SSA"),
     "stress_balance.ssa.Glen_exponent": (3.0, None, "Glen exponent n (SSA)"),
@@ -87,8 +91,12 @@ PARAMETERS = {
     "stress_balance.ssa.fd.eta_endgame_range": (0.0, None, "endgame tightening of the Eisenstat-Walker forcing: once |F| <= range * tol, set the inner tolerance to land at ~tol/2 in one sweep (the per-sweep fixed cost dominates the per-Krylov cost, so few tight sweeps beat many eta_max-loose ones near convergence); 0 disables"),
     "stress_balance.ssa.fd.drag_jacobian": ("picard", None, "basal-drag linearization in the Newton sweeps: picard (default; frozen beta - robust at u -> 0 and 2x faster over full 5 km trajectories, where the exact direction triggers line-search/safeguard work on melt-season steps) | exact (d(beta u)/du; essential for drag-dominated streams like test N and fully-converged verification solves)"),
     "stress_balance.ssa.fd.max_speed": (50.0e3, "m year-1", "hard clamp on SSA speeds (guards CFL dt collapse)"),
+    "stress_balance.ssa.fd.near_ksp_cap": (32, None, "Krylov iteration cap for Newton systems within 4x of the convergence target on the pure-f32 production path - near the f32 noise floor the system is noise and BiCGStab otherwise grinds to ksp_max_it (traced at 5 km: one 300-iteration breakdown sweep = 72% of a warm solve's Krylov work); ignored on float64/mixed/full-convergence solves"),
+    "stress_balance.ssa.fd.safeguard_ksp_cap": (48, None, "Krylov iteration cap for Picard safeguard sweeps on the pure-f32 production path (frozen-coefficient systems solved to the loose warmup tolerance; more iterations on ill-posed noise only burn wall time); ignored on float64/mixed/full-convergence solves"),
+    "stress_balance.ssa.fd.f32_production_rtol": (3.0e-4, None, "Newton residual target floor for the pure-f32 production carry (velocity-change stop active); the f32 residual floor is state-dependent (~1-2e-4 relative on margin-flicker states), so tighter targets grind noise (see docs/VALIDATION.md)"),
+    "stress_balance.ssa.fd.mixed_production_rtol": (1.0e-4, None, "Newton residual target floor for the mixed (f64-carry) production solve when the velocity-change stop is active"),
     "stress_balance.blatter.metric_terms": (True, None, "sigma-coordinate chain-rule metric corrections in the Blatter membrane terms (vanish on flat base/uniform thickness)"),
-    "time_stepping.max_steps_per_segment": (2000000, None, "while_loop runaway guard"),
+    "time_stepping.max_steps_per_segment": (600, None, "max adaptive steps per device while_loop dispatch; bounds single-XLA-execution wall time (the TPU runtime watchdog kills multi-minute dispatches) - callers re-dispatch until t_end, so the trajectory is unchanged"),
     "stress_balance.ssa.Schoof_regularizing_velocity": (1.0, "m year-1", "SSA strain-rate regularization velocity"),
     "stress_balance.ssa.Schoof_regularizing_length": (1000.0, "km", "SSA strain-rate regularization length"),
     "stress_balance.calving_front_stress_bc": (True, None, "apply calving-front pressure BC"),
@@ -334,6 +342,7 @@ PARAMETERS = {
 
     # --- output / runtime ----------------------------------------------------
     "runtime.verbosity": (2, None, "logging verbosity (PISM levels: 1 warnings, 2 summaries, 3 component detail, 4 solver detail, 5 trace)"),
+    "runtime.matmul_precision": ("highest", None, "jax default_matmul_precision for the f32 compute path: highest (f32 accumulate; required - bf16 MXU passes lose the SSA residual) | high | default"),
     "runtime.float_dtype": ("float64", None, "float32 | float64: dtype of model fields"),
     "runtime.segment_years": (50.0, "years", "max model-years per jitted while_loop segment"),
     "runtime.device_loop": (True, None, "run segments as on-device while_loops; False = host-dispatched steps (workaround for TPU runtimes that mishandle long nested while_loops)"),
@@ -553,6 +562,15 @@ PARAMETERS.update({
     "ocean.runoff_to_ocean_melt_factor": (0.0, "m year-1", "runoff_SMB melt prefactor"),
     "ocean.pico.exclude_ice_rises": (True, None, "PICO: ice rises do not count as grounding-line boxes"),
     "ocean.pico.maximize_grounding_line_distance": (False, None, "PICO box assignment uses the max GL distance convention"),
+    "ocean.pico.file": ("", None, "NetCDF file with theta_ocean / salinity_ocean (and optionally basins) for PICO (reference -ocean pico input file)"),
+    "ocean.pico.periodic": (False, None, "treat the PICO forcing file as periodic in time"),
+    "ocean.given.period": (0.0, "years", "period of the ocean given forcing (0 = not periodic)"),
+    "frontal_melt.discharge_given.file": ("", None, "NetCDF file with theta_ocean and subglacial water flux for the discharge_given plume parameterization"),
+    "frontal_melt.discharge_given.periodic": (False, None, "treat the discharge_given forcing file as periodic in time"),
+    "stress_balance.prescribed_sliding.file": ("", None, "NetCDF file with u_ssa/v_ssa (or ubar/vbar) for -stress_balance prescribed_sliding"),
+    "stress_balance.prescribed_sliding.periodic": (False, None, "treat the prescribed-sliding file as periodic in time"),
+    "surface.given.smb_max": (9.1e3, "kg m-2 year-1", "error cap on the climatic mass balance read from surface.given.file (reference surface.given.smb_max: catches unit mistakes in input files)"),
+    "surface.debm_simple.max_evals_per_year": (52, None, "dEBM-simple insolation/melt evaluations per year (the reference's pdd max_evals analog)"),
     "ocean.pico.basins_file": ("", None, "file with the drainage-basin index field (variable basins)"),
     "ocean.th.clip_salinity": (True, None, "GivenTH: clip the interface salinity into [0, S_ocean]"),
     "ocean.models_allow_empty": (False, None, "tolerate an empty -ocean chain"),

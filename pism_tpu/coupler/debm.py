@@ -155,11 +155,11 @@ class DEBMSimple(SurfaceModel):
     config: object = None
     albedo_field: object = None      # optional prescribed albedo (2D)
     paleo_series: object = None      # optional (t, ecc, obl, peri) arrays
-    n_intervals: int = 26            # sub-intervals per update window (the
-    #                                  reference samples weekly via
-    #                                  max_evals_per_year; every [t,t+dt]
-    #                                  window here gets 26 midpoints, at
-    #                                  least bi-weekly for dt <= 1 a)
+    n_intervals: int = 0             # sub-intervals per update window; 0 =
+    #                                  surface.debm_simple.max_evals_per_year
+    #                                  / 2 (every [t,t+dt] window gets that
+    #                                  many midpoints, at least bi-weekly
+    #                                  for dt <= 1 a at the default 52)
 
     stateful = True
     uses_albedo = True
@@ -167,6 +167,10 @@ class DEBMSimple(SurfaceModel):
     def __post_init__(self):
         cfg = self.config
         g = cfg.get_number
+        if self.n_intervals <= 0:
+            self.n_intervals = max(
+                int(cfg.get_number(
+                    "surface.debm_simple.max_evals_per_year")) // 2, 2)
         deg = jnp.pi / 180.0
         self.albedo_max = g("surface.debm_simple.albedo_max")
         self.albedo_min = g("surface.debm_simple.albedo_min")

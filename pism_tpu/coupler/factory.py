@@ -387,6 +387,11 @@ def inputs_from_files(config, grid, group: str) -> dict:
             inputs[input_key] = ScalarForcing.from_file(
                 path, variable or input_key)
 
+    if group == "surface":
+        # reference surface.given.smb_max: error on implausible SMB input
+        # magnitudes (catches unit mistakes in forcing files)
+        smb_cap = config.get_number("surface.given.smb_max", "m s-1")
+
     if group == "atmosphere":
         spatial("atmosphere.given.file",
                 ["air_temp", "precipitation", "air_temp_summer"])
@@ -396,6 +401,15 @@ def inputs_from_files(config, grid, group: str) -> dict:
     elif group == "surface":
         spatial("surface.given.file",
                 ["climatic_mass_balance", "ice_surface_temp"])
+        if "climatic_mass_balance" in inputs:
+            import numpy as _np
+            m = float(_np.abs(_np.asarray(
+                inputs["climatic_mass_balance"])).max())
+            if m > smb_cap:
+                raise ValueError(
+                    f"surface.given.file SMB magnitude {m:.3e} m/s exceeds "
+                    f"surface.given.smb_max ({smb_cap:.3e} m/s) - check the "
+                    "input units")
         scalar("surface.delta_T.file", "delta_T")
         sd_path = config.get_string("surface.pdd.std_dev.file")
         if sd_path:
@@ -431,6 +445,8 @@ def inputs_from_files(config, grid, group: str) -> dict:
         spatial("ocean.given.file",
                 ["shelf_base_mass_flux", "shelf_base_temperature"])
         spatial("ocean.th.file", ["theta_ocean", "salinity_ocean"])
+        spatial("ocean.pico.file",
+                ["theta_ocean", "salinity_ocean", "basins"])
         scalar("ocean.delta_T.file", "delta_T")
         scalar("ocean.frac_MBP.file", "frac_MBP")
         scalar("ocean.delta_MBP.file", "delta_MBP")

@@ -134,6 +134,16 @@ class IceModel:
     # prescribed per-cell linear sliding coefficient for the Weertman
     # path (EISMINT II experiment E sector patch)
     sliding_mu: object = None
+    # prescribed sliding velocity fields (-stress_balance
+    # prescribed_sliding[+sia]; read from
+    # stress_balance.prescribed_sliding.file by the CLI)
+    prescribed_u: object = None
+    prescribed_v: object = None
+    # ("y", "x") jax.sharding.Mesh for spatially-sharded runs. GSPMD
+    # partitions the jnp compute path from the input shardings alone; the
+    # mesh is only needed to route the fused Pallas stencils through
+    # shard_map + ppermute halos (ops.pallas_sharded, SURVEY §2.5)
+    mesh: object = None
 
     def __post_init__(self):
         cfg = self.config
@@ -238,11 +248,25 @@ class IceModel:
             nmm = jnp.asarray(self.no_model_mask, bool)
             if self.ssa is not None and hasattr(self.ssa, "no_model_mask"):
                 self.ssa.no_model_mask = nmm
+        if self.mesh is not None and self.ssa is not None \
+                and hasattr(self.ssa, "mesh"):
+            self.ssa.mesh = self.mesh
+        if sb_model.startswith("prescribed_sliding") \
+                and self.prescribed_u is None:
+            path = cfg.get_string("stress_balance.prescribed_sliding.file")
+            if path:
+                from ..io.bootstrap import read_and_regrid
+                flds = read_and_regrid(path, self.grid,
+                                       ["u_ssa", "v_ssa", "ubar", "vbar"])
+                self.prescribed_u = flds.get("u_ssa", flds.get("ubar"))
+                self.prescribed_v = flds.get("v_ssa", flds.get("vbar"))
         self.stress_balance = StressBalance(
             grid=self.grid, config=cfg, sia_flow_law=sia_law, ssa=self.ssa,
             blatter=self.blatter, model=sb_model,
             compute_3d=self.energy_model is not None,
-            no_model_mask=self.no_model_mask, sliding_mu=self.sliding_mu)
+            no_model_mask=self.no_model_mask, sliding_mu=self.sliding_mu,
+            prescribed_u=self.prescribed_u, prescribed_v=self.prescribed_v,
+            mesh=self.mesh)
         self.nmm_tauc = cfg.get_number("regional.no_model_yield_stress", "Pa")
 
         self.rho_i = cfg.get_number("constants.ice.density")
@@ -329,6 +353,13 @@ class IceModel:
             truncated = next_mult - t <= dt
             dt = jnp.where(truncated, next_mult - t, dt)
             idx = jnp.where(truncated, 6, idx)
+        # reference time_stepping.resolution: round dt down to a whole
+        # multiple so the step sequence is reproducible across restarts
+        # and independent of fp noise in the limits
+        res = self.config.get_number("time_stepping.resolution", "seconds")
+        if res > 0.0:
+            dt_r = jnp.floor(dt / res) * res
+            dt = jnp.where(dt_r >= res, dt_r, dt)
         # guards: guaranteed progress (dt floor) and NaN containment
         min_dt = self.config.get_number("time_stepping.minimum_time_step", "seconds")
         floored = ~jnp.isfinite(dt) | (dt < min_dt)
@@ -448,7 +479,9 @@ class IceModel:
                         n=self.stress_balance.n_sia,
                         enhancement=self.stress_balance.e_sia,
                         rho=self.rho_i, g=self.stress_balance.g,
-                        gradient_method=self.stress_balance.gradient_method)
+                        gradient_method=self.stress_balance.gradient_method,
+                        mesh=self.mesh,
+                        d_limit=self.stress_balance.d_limit)
                     qe_d, qn_d = flux.qe, flux.qn
                 elif qe_d is None:
                     qe_d = jnp.zeros_like(geometry.ice_thickness)
@@ -836,10 +869,27 @@ class IceModel:
         return state, total_stats
 
     def step_once(self, state: S.ModelState, t: float, dt_cap: float):
-        """Advance by up to dt_cap seconds (adaptive steps inside)."""
+        """Advance by up to dt_cap seconds (adaptive steps inside).
+
+        The device while_loop is bounded by
+        ``time_stepping.max_steps_per_segment``; when the adaptive dt
+        collapses (margin flicker at fine grids) a long advance becomes
+        several device dispatches instead of one arbitrarily-long XLA
+        execution — unbounded dispatches were killed by the TPU runtime
+        watchdog (observed round 3/4: multi-thousand-step segments at
+        5/10 km crash the worker; the same trajectory split into bounded
+        dispatches completes). The trajectory is identical either way —
+        dt depends on t_end, not on the dispatch split."""
         state = self.prepare_state(state)
-        state, t_new, stats = self._advance(state, t, t + dt_cap)
-        return state, float(t_new), stats
+        t_end = t + dt_cap
+        total = None
+        while True:
+            state, t_new, stats = self._advance(state, t, t_end)
+            total = _merge_stats(total, stats)
+            t = float(t_new)
+            if t >= t_end - 1e-6 or int(stats.nsteps) == 0:
+                break
+        return state, t, total
 
 
 def _merge_stats(a: Optional[StepStats], b: StepStats) -> StepStats:

@@ -62,6 +62,13 @@ class SSAFD:
     no_model_mask: Optional[jnp.ndarray] = None
     stored_surface: Optional[jnp.ndarray] = None
     stored_thickness: Optional[jnp.ndarray] = None
+    # ("y", "x") jax.sharding.Mesh: routes the fused Pallas matvec through
+    # shard_map + ppermute halos (ops.pallas_sharded) on sharded runs
+    mesh: object = None
+
+    def _sharded_mesh(self) -> bool:
+        from ..ops.sia import _sharded_mesh
+        return _sharded_mesh(self.mesh)
 
     def __post_init__(self):
         cfg = self.config
@@ -76,6 +83,13 @@ class SSAFD:
         self.newton_rtol = cfg.get_number("stress_balance.ssa.fd.newton_rtol")
         self.newton_max = cfg.get_int("stress_balance.ssa.fd.newton_max_iterations")
         self.ksp_rtol = cfg.get_number("stress_balance.ssa.fd.ksp_rtol")
+        self.near_ksp_cap = cfg.get_int("stress_balance.ssa.fd.near_ksp_cap")
+        self.safeguard_ksp_cap = cfg.get_int(
+            "stress_balance.ssa.fd.safeguard_ksp_cap")
+        self.f32_production_rtol = cfg.get_number(
+            "stress_balance.ssa.fd.f32_production_rtol")
+        self.mixed_production_rtol = cfg.get_number(
+            "stress_balance.ssa.fd.mixed_production_rtol")
         self.ksp_rtol_max = cfg.get_number("stress_balance.ssa.fd.ksp_rtol_max")
         self.warmup_ksp_rtol = cfg.get_number("stress_balance.ssa.fd.warmup_ksp_rtol")
         self.warmup_skip_rtol = cfg.get_number("stress_balance.ssa.fd.warmup_skip_rtol")
@@ -309,7 +323,15 @@ class SSAFD:
                 tc_eff = jnp.where(grounded_ice_mask, tc, 0.0)
             return self.sliding_law.beta(tc_eff, u, v, reg=reg) + self.beta_floor
 
-        if use_fused:
+        if use_fused and self._sharded_mesh():
+            from ..ops.pallas_sharded import ssa_matvec_sharded
+            interp = jax.devices()[0].platform != "tpu"
+            mesh = self.mesh
+
+            def apply_op(u, v, nuH, beta):
+                return ssa_matvec_sharded(u, v, nuH.e, nuH.n, beta,
+                                          mesh, dx, dy, interp)
+        elif use_fused:
             from ..ops.pallas_kernels import ssa_matvec_pallas
 
             def apply_op(u, v, nuH, beta):
@@ -383,13 +405,18 @@ class SSAFD:
         dx, dy = grid.dx, grid.dy
 
         # fused Pallas matvec: TPU + float32 vectors + non-periodic grid
-        # (the mixed path below keeps the f64 outer problem on XLA ops)
+        # (the mixed path below keeps the f64 outer problem on XLA ops).
+        # With a ("y", "x") mesh the sharded route runs the kernel per
+        # shard (shard_map + ppermute halos), so the VMEM bound is per
+        # local block and "on" also works in interpret mode on CPU meshes.
         pk = self.config.get_string("stress_balance.ssa.fd.pallas_matvec")
+        nshards = self.mesh.size if self._sharded_mesh() else 1
         fused = (pk == "on" or (pk == "auto"
                                 and jax.devices()[0].platform == "tpu")) \
             and dtype == jnp.float32 \
             and not (grid.periodic_x or grid.periodic_y) \
-            and (H.shape[0] + 2) * (H.shape[1] + 2) * 4 * 16 < 96 * 2 ** 20
+            and ((H.shape[0] + 2) * (H.shape[1] + 2) * 4 * 16 // nshards
+                 < 96 * 2 ** 20)
         P = self.build_problem(state, tau_c, hardness=hardness,
                                use_fused=fused,
                                differentiable_beta=(self.drag_jacobian
@@ -495,7 +522,8 @@ class SSAFD:
             rtol = self.newton_rtol
         elif mixed:
             rtol = max(self.newton_rtol,
-                       1.0e-4 if chg_rtol_cfg > 0.0 else 1.0e-6)
+                       self.mixed_production_rtol if chg_rtol_cfg > 0.0
+                       else 1.0e-6)
         else:
             # pure f32 carry: production target 3e-4 when the velocity-
             # change stop governs. The f32 residual floor is state-
@@ -510,7 +538,8 @@ class SSAFD:
             # Convergence semantics are carried by the hard velocity-
             # change stop (the reference's ssafd_picard_rtol analog).
             rtol = max(self.newton_rtol,
-                       3.0e-4 if chg_rtol_cfg > 0.0 else 3.0e-5)
+                       self.f32_production_rtol if chg_rtol_cfg > 0.0
+                       else 3.0e-5)
         newton_tol2 = jnp.maximum(
             rtol ** 2 * b_norm2,
             jnp.asarray(1e-300, cdt if mixed else dtype))
@@ -671,7 +700,8 @@ class SSAFD:
             # tolerance needs only a handful of iterations
             if noisy_floor:
                 kmax = jnp.where(F2 < 16.0 * newton_tol2,
-                                 jnp.minimum(32, self.ksp_max), self.ksp_max)
+                                 min(self.near_ksp_cap, self.ksp_max),
+                                 self.ksp_max)
             else:
                 kmax = self.ksp_max
             d, kit, _ = ssa_ops.bicgstab_solve(
@@ -735,8 +765,8 @@ class SSAFD:
                 # TPU worker on 5/10 km multi-step segments (bisected).
                 picard_uv = free_hi(hi(picard_iter(
                     0, uv32, reg=reg_final,
-                    max_iter=(min(48, self.ksp_max) if noisy_floor
-                              else self.ksp_max))))
+                    max_iter=(min(self.safeguard_ksp_cap, self.ksp_max)
+                              if noisy_floor else self.ksp_max))))
                 picard_F = residual_hi(picard_uv)
                 picard_F2 = dot(picard_F, picard_F)
                 take_newton = (newton_F2 < picard_F2) & (newton_F2 < F2)

@@ -66,6 +66,10 @@ class StressBalance:
     # for the Weertman path: u_b = -mu tau_d (EISMINT II experiment E's
     # sector-limited sliding patch; reference IceEISModel sliding map)
     sliding_mu: object = None
+    # ("y", "x") jax.sharding.Mesh for spatially-sharded runs: routes the
+    # fused Pallas stencils through shard_map + ppermute halos
+    # (ops.pallas_sharded); None = single-device / plain GSPMD
+    mesh: object = None
 
     def __post_init__(self):
         self.sh = Shifter(self.grid)
@@ -79,6 +83,14 @@ class StressBalance:
         self.bed_smoother_range = cfg.get_number(
             "stress_balance.sia.bed_smoother.range")
         self.regional_zero_gradient = cfg.get_flag("regional.zero_gradient")
+        # PISM limit_diffusivity: cap the SIA diffusivity (and the 3D shear
+        # velocities' column flux) at max_diffusivity instead of letting
+        # margin cliffs collapse the adaptive dt
+        self.d_limit = (cfg.get_number("stress_balance.sia.max_diffusivity")
+                        if cfg.get_flag("stress_balance.sia.limit_diffusivity")
+                        else None)
+        _pal = cfg.get_string("stress_balance.sia.pallas")
+        self.sia_pallas = {"auto": None, "on": True, "off": False}[_pal]
 
 
     def _weertman(self, state: S.ModelState):
@@ -224,7 +236,8 @@ class StressBalance:
                 self.sia_flow_law, geom, state.enthalpy, grid, sh,
                 n=self.n_sia, enhancement=self.e_sia, rho=self.rho, g=self.g,
                 gradient_method=self.gradient_method,
-                theta_e=th_e, theta_n=th_n,
+                theta_e=th_e, theta_n=th_n, mesh=self.mesh,
+                pallas=self.sia_pallas, d_limit=self.d_limit,
                 no_model_mask=self.no_model_mask,
                 stored_surface=self.stored_surface,
                 regional_zero_gradient=self.regional_zero_gradient)
@@ -247,7 +260,8 @@ class StressBalance:
                     n=self.n_sia, enhancement=self.e_sia, rho=self.rho, g=self.g,
                     u_base=u_b if u_ssa is not None else None,
                     v_base=v_b if u_ssa is not None else None,
-                    basal_melt_rate=state.basal_melt_rate)
+                    basal_melt_rate=state.basal_melt_rate,
+                    max_diffusivity=self.d_limit)
             if u_ssa is not None and yield_stress is not None and self.ssa is not None:
                 # tau_b . u_b = beta(|u|) |u|^2  [W/m^2]
                 beta = self.ssa.sliding_law.beta(yield_stress, u_b, v_b)

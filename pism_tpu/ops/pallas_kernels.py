@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sia_kernel(n: float, gamma: float, dx: float, dy: float,
+def _sia_kernel(n: float, gamma: float, dx: float, dy: float, d_cap: float,
                 Hp_ref, sp_ref, qe_ref, qn_ref, De_ref, Dn_ref):
     """Fused isothermal SIA diffusivity + flux.
 
@@ -64,6 +64,8 @@ def _sia_kernel(n: float, gamma: float, dx: float, dy: float,
 
     De = gamma * H_e ** (n + 2.0) * slope2_e ** ((n - 1.0) / 2.0)
     Dn = gamma * H_n ** (n + 2.0) * slope2_n ** ((n - 1.0) / 2.0)
+    De = jnp.minimum(De, jnp.asarray(d_cap, De.dtype))
+    Dn = jnp.minimum(Dn, jnp.asarray(d_cap, Dn.dtype))
 
     De_ref[:] = De
     Dn_ref[:] = Dn
@@ -73,6 +75,7 @@ def _sia_kernel(n: float, gamma: float, dx: float, dy: float,
 
 def _sia_thermo_body(n: float, C: float, dx: float, dy: float, ty: int,
                      zspec: tuple, EC_consts: tuple, pb_consts: tuple,
+                     d_cap: float,
                      Hp, sp, Ep, qe_ref, qn_ref, De_ref, Dn_ref):
     """Fused thermomechanical SIA: Mahaffy gradients + GPBLD softness
     z-integral + diffusivity + flux, one VMEM pass per y-block.
@@ -157,6 +160,8 @@ def _sia_thermo_body(n: float, C: float, dx: float, dy: float, ty: int,
     slope2_n = sx_n * sx_n + sy_n * sy_n
     De = C * slope2_e ** ((n - 1.0) / 2.0) * Ke
     Dn = C * slope2_n ** ((n - 1.0) / 2.0) * Kn
+    De = jnp.minimum(De, jnp.asarray(d_cap, De.dtype))
+    Dn = jnp.minimum(Dn, jnp.asarray(d_cap, Dn.dtype))
 
     De_ref[:] = De
     Dn_ref[:] = Dn
@@ -168,25 +173,44 @@ def sia_flux_thermo_pallas(H, s, E, *, grid, n: float = 3.0,
                            enhancement: float = 1.0, rho: float = 910.0,
                            g: float = 9.81, dx: float, dy: float,
                            EC, pb_law, block_y: int = 32,  # must be a multiple of 8
-                           interpret: bool = None):
+                           interpret: bool = None, d_cap=None):
     """Fused thermomechanical (GPBLD) SIA diffusivity + flux via Pallas,
     tiled over y-blocks with one-row halo overlap. E: (My, Mx, Mz)."""
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-    My, Mx = H.shape
-    C = 2.0 * (rho * g) ** n
-
-    # shrink the y-block so the (Mz, TY+8, Mx+2) enthalpy window fits VMEM:
-    # the pipeline double-buffers every window, so budget ~4 MB per copy
-    Mz_ = E.shape[-1]
-    bpe = jnp.dtype(H.dtype).itemsize
-    while block_y > 8 and (Mz_ + 2) * (block_y + 8) * (Mx + 2) * bpe > 4 * 2 ** 20:
-        block_y //= 2
-
     Hp = jnp.pad(H, 1, mode="edge")
     sp = jnp.pad(s, 1, mode="edge")
     Ep = jnp.moveaxis(jnp.pad(E, ((1, 1), (1, 1), (0, 0)), mode="edge"),
                       -1, 0)  # (Mz, My+2, Mx+2)
+    qe, qn, De, Dn = sia_flux_thermo_pallas_padded(
+        Hp, sp, Ep, grid=grid, n=n, enhancement=enhancement, rho=rho, g=g,
+        dx=dx, dy=dy, EC=EC, pb_law=pb_law, block_y=block_y,
+        interpret=interpret, d_cap=d_cap)
+    max_D = jnp.maximum(jnp.max(De), jnp.max(Dn))
+    return De, Dn, qe, qn, max_D
+
+
+def sia_flux_thermo_pallas_padded(Hp, sp, Ep, *, grid, n: float = 3.0,
+                                  enhancement: float = 1.0, rho: float = 910.0,
+                                  g: float = 9.81, dx: float, dy: float,
+                                  EC, pb_law, block_y: int = 32,
+                                  interpret: bool = None, d_cap=None):
+    """Core of :func:`sia_flux_thermo_pallas` on pre-ghost-padded inputs.
+
+    Hp, sp: (My+2, Mx+2); Ep: (Mz, My+2, Mx+2). The caller supplies the
+    one-cell ghost ring — ``jnp.pad(mode="edge")`` for the single-device
+    path, or ppermute-exchanged halos for the sharded path
+    (``ops.pallas_sharded``). Returns (qe, qn, De, Dn) of shape (My, Mx)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    My, Mx = Hp.shape[0] - 2, Hp.shape[1] - 2
+    C = 2.0 * (rho * g) ** n
+
+    # shrink the y-block so the (Mz, TY+8, Mx+2) enthalpy window fits VMEM:
+    # the pipeline double-buffers every window, so budget ~4 MB per copy
+    Mz_ = Ep.shape[0]
+    bpe = jnp.dtype(Hp.dtype).itemsize
+    while block_y > 8 and (Mz_ + 2) * (block_y + 8) * (Mx + 2) * bpe > 4 * 2 ** 20:
+        block_y //= 2
+
     Mz = Ep.shape[0]
 
     ny = -(-My // block_y)
@@ -209,7 +233,8 @@ def sia_flux_thermo_pallas(H, s, E, *, grid, n: float = 3.0,
              int(grid.Mz))
     body = functools.partial(
         _sia_thermo_body, float(n), float(C), float(dx), float(dy), TY,
-        zspec, EC_consts, pb_consts)
+        zspec, EC_consts, pb_consts,
+        float("inf") if d_cap is None else float(d_cap))
 
     # Pre-materialize the haloed y-windows, concatenated along rows so the
     # pallas blocks are plain non-overlapping 2D/3D tiles. Window height is
@@ -226,7 +251,7 @@ def sia_flux_thermo_pallas(H, s, E, *, grid, n: float = 3.0,
     def kernel(Hb, sb, Eb, qe_ref, qn_ref, De_ref, Dn_ref):
         body(Hb[:], sb[:], Eb[:], qe_ref, qn_ref, De_ref, Dn_ref)
 
-    shape = jax.ShapeDtypeStruct((ny * TY, Mx), H.dtype)
+    shape = jax.ShapeDtypeStruct((ny * TY, Mx), Hp.dtype)
     ms = pl.ANY if interpret else pltpu.VMEM
     # index maps use np.int32 literals: under jax_enable_x64 a python-int 0
     # traces as int64 and Mosaic fails to legalize the index-map func.return
@@ -246,38 +271,47 @@ def sia_flux_thermo_pallas(H, s, E, *, grid, n: float = 3.0,
         out_shape=(shape, shape, shape, shape),
         interpret=interpret,
     )(Hw, sw, Ew)
-    qe, qn, De, Dn = (a[:My] for a in (qe, qn, De, Dn))
-    max_D = jnp.maximum(jnp.max(De), jnp.max(Dn))
-    return De, Dn, qe, qn, max_D
+    return tuple(a[:My] for a in (qe, qn, De, Dn))
 
 
 def sia_flux_pallas(H, s, *, A: float, n: float = 3.0, enhancement: float = 1.0,
                     rho: float = 910.0, g: float = 9.81,
-                    dx: float, dy: float, interpret: bool = None):
+                    dx: float, dy: float, interpret: bool = None,
+                    d_cap=None):
     """Fused isothermal SIA (De, Dn, qe, qn) via Pallas.
 
     Equivalent to ``ops.sia.diffusivity`` with ``enthalpy=None`` and the
     Mahaffy gradient on a non-periodic grid (clamped ghosts).
     """
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
     gamma = 2.0 * enhancement * A * (rho * g) ** n / (n + 2.0)
-
     Hp = jnp.pad(H, 1, mode="edge")
     sp = jnp.pad(s, 1, mode="edge")
-    shape = jax.ShapeDtypeStruct(H.shape, H.dtype)
+    qe, qn, De, Dn = sia_flux_pallas_padded(Hp, sp, gamma=gamma, n=n,
+                                            dx=dx, dy=dy, interpret=interpret,
+                                            d_cap=d_cap)
+    max_D = jnp.maximum(jnp.max(De), jnp.max(Dn))
+    return De, Dn, qe, qn, max_D
+
+
+def sia_flux_pallas_padded(Hp, sp, *, gamma: float, n: float = 3.0,
+                           dx: float, dy: float, interpret: bool = None,
+                           d_cap=None):
+    """Core of :func:`sia_flux_pallas` on pre-ghost-padded (My+2, Mx+2)
+    inputs; returns (qe, qn, De, Dn) of shape (My, Mx)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    shape = jax.ShapeDtypeStruct((Hp.shape[0] - 2, Hp.shape[1] - 2), Hp.dtype)
 
     kernel = functools.partial(_sia_kernel, float(n), float(gamma),
-                               float(dx), float(dy))
-    qe, qn, De, Dn = pl.pallas_call(
+                               float(dx), float(dy),
+                               float("inf") if d_cap is None else float(d_cap))
+    return pl.pallas_call(
         kernel,
         out_shape=(shape, shape, shape, shape),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)] * 2,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)] * 4),
         interpret=interpret,
     )(Hp, sp)
-    max_D = jnp.maximum(jnp.max(De), jnp.max(Dn))
-    return De, Dn, qe, qn, max_D
 
 
 # ---------------------------------------------------------------------------

@@ -158,19 +158,26 @@ def _flow_integral(flow_law, E3, H_face, z, slope_face, rho, g, enhancement):
     return enhancement * 2.0 * rho * g * K
 
 
+def _sharded_mesh(mesh) -> bool:
+    """A ("y", "x") device mesh with more than one device: route the fused
+    kernels through ``ops.pallas_sharded`` (shard_map + ppermute halos)."""
+    return (mesh is not None and getattr(mesh, "size", 1) > 1
+            and tuple(mesh.axis_names) == ("y", "x"))
+
+
 def _pallas_eligible(flow_law, enthalpy, grid, H, gradient_method,
-                     theta_e, theta_n) -> bool:
+                     theta_e, theta_n, mesh=None) -> bool:
     """Route to the fused Pallas TPU kernel when it computes the identical
     quantity: Mahaffy gradients, clamped (non-periodic) ghosts, f32 fields,
     Paterson-Budd-family softness, no bed-smoother multipliers.
 
-    Single-device only: unlike the jnp stencil path, a pallas_call is not
-    auto-partitioned by GSPMD with halo exchange, and its edge-clamp ghost
-    padding would clamp at shard (not domain) boundaries. Spatially-sharded
-    callers that wrap the stencil in shard_map with explicit halos may pass
-    ``pallas=True`` to override."""
+    Without a mesh, single-device only: a bare pallas_call is not
+    auto-partitioned by GSPMD, and its edge-clamp ghost padding would clamp
+    at shard (not domain) boundaries. With a ("y", "x") mesh the sharded
+    route (``ops.pallas_sharded``: per-shard kernels on ppermute-haloed
+    blocks) lifts that restriction — the SURVEY §2.5 solver-comm target."""
     import jax
-    return (jax.device_count() == 1
+    return ((jax.device_count() == 1 or _sharded_mesh(mesh))
             and jax.devices()[0].platform == "tpu"
             and H.dtype == jnp.float32
             and gradient_method == "mahaffy"
@@ -188,6 +195,8 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
                 theta_e: Optional[jnp.ndarray] = None,
                 theta_n: Optional[jnp.ndarray] = None,
                 pallas: Optional[bool] = None,
+                mesh=None,
+                d_limit: Optional[float] = None,
                 no_model_mask: Optional[jnp.ndarray] = None,
                 stored_surface: Optional[jnp.ndarray] = None,
                 regional_zero_gradient: bool = False) -> SIAFlux:
@@ -197,6 +206,10 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
     (1 = no roughness correction).
     pallas: force the fused Pallas kernel on/off; None = auto (TPU, f32,
     mahaffy, non-periodic, Paterson-Budd-family law).
+    d_limit: cap the staggered diffusivity at this value (PISM
+    ``stress_balance.sia.limit_diffusivity`` + ``max_diffusivity``); the
+    flux uses the capped D, so margin cliffs stop collapsing the adaptive
+    dt to seconds (see docs/VALIDATION.md dt study).
     no_model_mask / stored_surface: regional mode (reference
     ``SIAFD_Regional::compute_surface_gradient``): on staggered faces
     touching the no-model strip the surface gradient is replaced by the
@@ -207,14 +220,33 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
     """
     H = geometry.ice_thickness
 
+    sharded = _sharded_mesh(mesh)
     use_pallas = pallas
     if use_pallas is None:
         use_pallas = _pallas_eligible(flow_law, enthalpy, grid, H,
-                                      gradient_method, theta_e, theta_n)
+                                      gradient_method, theta_e, theta_n,
+                                      mesh=mesh)
         if no_model_mask is not None:
             use_pallas = False   # regional gradient override: jnp path
-        if use_pallas and enthalpy is None and H.size > 490_000:
+        local_size = H.size // (mesh.size if sharded else 1)
+        if use_pallas and enthalpy is None and local_size > 490_000:
             use_pallas = False  # isothermal kernel is single-block VMEM
+    if use_pallas and sharded:
+        from . import pallas_sharded as ps
+        s = geometry.ice_surface_elevation
+        if enthalpy is not None:
+            De, Dn, qe, qn, max_D = ps.sia_flux_thermo_sharded(
+                H, s, enthalpy, mesh, grid=grid, n=n,
+                enhancement=enhancement, rho=rho, g=g,
+                dx=grid.dx, dy=grid.dy, EC=flow_law.EC, pb_law=flow_law,
+                d_cap=d_limit)
+        else:
+            A = float(flow_law.softness(jnp.zeros((), H.dtype),
+                                        jnp.zeros((), H.dtype)))
+            De, Dn, qe, qn, max_D = ps.sia_flux_sharded(
+                H, s, mesh, A=A, n=n, enhancement=enhancement, rho=rho,
+                g=g, dx=grid.dx, dy=grid.dy, d_cap=d_limit)
+        return SIAFlux(De=De, Dn=Dn, qe=qe, qn=qn, max_D=max_D)
     if use_pallas:
         from . import pallas_kernels as pk
         s = geometry.ice_surface_elevation
@@ -222,13 +254,13 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
             De, Dn, qe, qn, max_D = pk.sia_flux_thermo_pallas(
                 H, s, enthalpy, grid=grid, n=n, enhancement=enhancement,
                 rho=rho, g=g, dx=grid.dx, dy=grid.dy,
-                EC=flow_law.EC, pb_law=flow_law)
+                EC=flow_law.EC, pb_law=flow_law, d_cap=d_limit)
         else:
             A = float(flow_law.softness(jnp.zeros((), H.dtype),
                                         jnp.zeros((), H.dtype)))
             De, Dn, qe, qn, max_D = pk.sia_flux_pallas(
                 H, s, A=A, n=n, enhancement=enhancement, rho=rho, g=g,
-                dx=grid.dx, dy=grid.dy)
+                dx=grid.dx, dy=grid.dy, d_cap=d_limit)
         return SIAFlux(De=De, Dn=Dn, qe=qe, qn=qn, max_D=max_D)
     grad = surface_gradient(geometry, grid, sh, gradient_method, n)
 
@@ -271,6 +303,9 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
             De = De * theta_e
         if theta_n is not None:
             Dn = Dn * theta_n
+        if d_limit is not None:
+            De = jnp.minimum(De, d_limit)
+            Dn = jnp.minimum(Dn, d_limit)
         qe = -De * grad.sx_e
         qn = -Dn * grad.sy_n
         max_D = jnp.maximum(jnp.max(De), jnp.max(Dn))
@@ -294,6 +329,13 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
         De = De * theta_e
     if theta_n is not None:
         Dn = Dn * theta_n
+    if d_limit is not None:
+        # PISM limit_diffusivity: cap D (and with it the diffusive flux
+        # and the stability limit). SIA is invalid at margin cliffs anyway;
+        # uncapped cliff diffusivities (1e6 m^2/s observed on flickering
+        # 5-10 km fronts) only collapse dt, they don't add accuracy.
+        De = jnp.minimum(De, d_limit)
+        Dn = jnp.minimum(Dn, d_limit)
 
     qe = -De * grad.sx_e
     qn = -Dn * grad.sy_n

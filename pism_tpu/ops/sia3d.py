@@ -45,8 +45,16 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
            rho: float = 910.0, g: float = 9.81,
            u_base: Optional[jnp.ndarray] = None,
            v_base: Optional[jnp.ndarray] = None,
-           basal_melt_rate: Optional[jnp.ndarray] = None) -> SIA3D:
-    """Cell-centered 3D velocities and strain heating."""
+           basal_melt_rate: Optional[jnp.ndarray] = None,
+           max_diffusivity: Optional[float] = None) -> SIA3D:
+    """Cell-centered 3D velocities and strain heating.
+
+    ``max_diffusivity``: when the SIA diffusivity is capped
+    (``stress_balance.sia.limit_diffusivity``), the 3D shear velocities
+    are scaled per column so the column flux integral int phi dz matches
+    the same cap — otherwise uncapped cliff velocities (1e8 m/a observed
+    at flickering 5-10 km margins) keep collapsing the 3D CFL dt even
+    though the mass transport they would imply is already capped."""
     H = geometry.ice_thickness
     s = geometry.ice_surface_elevation
     b = geometry.bed_elevation
@@ -80,6 +88,16 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
         integrand = A3 * depth ** n
         I = _cumtrapz_z(integrand, z)                       # (My, Mx, Mz)
         phi = C * slope[..., None] ** (n - 1.0) * I
+
+    if max_diffusivity is not None:
+        # column diffusivity D = int_0^H phi dz (q = -D grad s); scale the
+        # shear profile so it respects the same cap as the 2D flux
+        z_c = jnp.minimum(z, Hc)
+        wgt = jnp.diff(z_c, axis=-1)
+        D_col = jnp.sum(0.5 * (phi[..., 1:] + phi[..., :-1]) * wgt, axis=-1)
+        scale = jnp.minimum(1.0, max_diffusivity
+                            / jnp.maximum(D_col, 1e-30))
+        phi = phi * scale[..., None]
 
     ub = u_base if u_base is not None else jnp.zeros_like(H)
     vb = v_base if v_base is not None else jnp.zeros_like(H)

@@ -62,7 +62,14 @@ class EnsembleRunner:
         return fn(batched_state)
 
     def shard(self, batched_state, mesh):
-        """Place the batch on an ("e"[, "y", "x"]) mesh."""
+        """Place the batch on an ("e"[, "y", "x"]) mesh.
+
+        The combined layout — members over "e" (pod slices / DCN) AND each
+        member's domain over ("y", "x") (ICI) simultaneously — is the
+        BASELINE config-5 pod layout: ``make_mesh(devices, shape=(ny, nx),
+        ensemble=ne)`` with ne*ny*nx = device count. Validated by
+        ``__graft_entry__.dryrun_multichip`` (2 members x 2x2 spatial on
+        the 8-device CPU mesh, full hybrid chain)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         def spec(x):

@@ -128,6 +128,22 @@ def solve_batched(a, b, c, d):
     line preconditioner: n ~ 300-560 lines batched over the transverse
     axis), where 2n scan steps would serialize ~600 tiny kernels.
     """
-    if jax.default_backend() == "tpu" and d.shape[-1] > 64:
+    batch = 1
+    for s_ in d.shape[:-1]:
+        batch *= int(s_)
+    if jax.default_backend() == "tpu" and d.shape[-1] > THOMAS_MAX_N \
+            and batch < THOMAS_MIN_BATCH:
         return solve_batched_pcr(a, b, c, d)
     return solve_batched_thomas(a, b, c, d)
+
+
+# Thomas/PCR crossover (measured 2026-08-21, one v5e chip, chained-input
+# timing): Thomas won by 1.6x at n=41 x 169k columns (5 km energy step) and
+# loses for the line preconditioner's n=301-561 lines batched over only the
+# transverse axis. The dispatch prefers Thomas whenever the batch is wide
+# (>= THOMAS_MIN_BATCH columns keep the VPU saturated per scan step even
+# for larger n); PCR only for long, narrowly-batched systems. Retune these
+# two constants if a new shape class appears (e.g. Mz = 65-129 fine
+# vertical grids).
+THOMAS_MAX_N = 64
+THOMAS_MIN_BATCH = 16384
