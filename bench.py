@@ -220,6 +220,51 @@ def bench_hybrid_greenland(dtype, years=50.0, km=20.0, warm_years=10.0):
     }
 
 
+V5E_HBM_GBPS = 819.0       # TPU v5e HBM bandwidth
+V5E_PEAK_TFLOPS = 197.0    # v5e bf16 peak (f32 stencil work runs on the
+#                            VPU well below this; the HBM fraction is the
+#                            meaningful roofline for stencil codes)
+
+
+def roofline_estimate(km: float, ms_per_step: float):
+    """Ground the per-step wall time in chip capability (VERDICT r3 item
+    8): lower ONE adaptive step of the hybrid chain for the current
+    backend and read XLA's static cost analysis (flops / bytes accessed).
+
+    Caveat recorded in the output: XLA's static analysis counts the body
+    of inner ``while_loop``s (the SSA Krylov iteration) once, so bytes
+    and flops are LOWER bounds; the achieved-fraction numbers are
+    correspondingly upper bounds on efficiency."""
+    import jax
+    import jax.numpy as jnp
+    from pism_tpu.model.icemodel import StepStats
+
+    model, state, grid = hybrid_greenland_model("float32", km=km)
+    state = model.prepare_state(state)
+    try:
+        low = jax.jit(model._step).lower(
+            state, jnp.float64(0.0), jnp.float64(1e12),
+            StepStats.zero(shape2=grid.shape2))
+        c = low.compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        flops = float(c.get("flops", 0.0))
+        nbytes = float(c.get("bytes accessed", 0.0))
+    except Exception as e:   # noqa: BLE001
+        return {"error": f"cost_analysis unavailable: {e!r}"}
+    sec = ms_per_step / 1e3
+    return {
+        "hbm_gb_per_step_lower_bound": round(nbytes / 1e9, 3),
+        "gflop_per_step_lower_bound": round(flops / 1e9, 3),
+        "achieved_hbm_gbps": round(nbytes / 1e9 / sec, 1),
+        "hbm_roofline_fraction": round(nbytes / 1e9 / sec / V5E_HBM_GBPS, 4),
+        "mfu_estimate": round(flops / sec / (V5E_PEAK_TFLOPS * 1e12), 5),
+        "note": "XLA static cost analysis; inner Krylov while_loop bodies "
+                "counted once, so bytes/flops are lower bounds and the "
+                "fractions are optimistic",
+    }
+
+
 def _backend_alive(timeout_s: float = 180.0) -> bool:
     """Probe the default jax backend in a SUBPROCESS. The axon TPU tunnel
     can wedge server-side (observed 2026-08-18: every client blocks forever
@@ -293,6 +338,8 @@ def main():
             hybrid5 = bench_hybrid_greenland(dtype, years=1.0, km=5.0)
             hybrid5["ms_per_step"] = round(
                 hybrid5["wall_s"] / max(hybrid5["steps"], 1) * 1e3, 1)
+            hybrid5["roofline"] = roofline_estimate(
+                5.0, hybrid5["ms_per_step"])
         except Exception as e:   # noqa: BLE001 — keep the primary metric
             hybrid5 = {"error": repr(e)}
 

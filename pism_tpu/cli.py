@@ -775,8 +775,14 @@ def main(argv=None):
     ckpt.save_state(args.o, state, grid, t_reached, config=cfg,
                     format=args.o_format, extra_2d=regional_2d)
     if args.o_size != "small":
-        names = ckpt.O_SIZE_MEDIUM if args.o_size == "medium" \
-            else ckpt.O_SIZE_BIG
+        # variable sets from the config DB (reference output.sizes.*)
+        med = tuple(cfg.get_string("output.sizes.medium").split())
+        names = med
+        if args.o_size in ("big_2d", "big"):
+            names = names + tuple(
+                cfg.get_string("output.sizes.big_2d").split())
+        if args.o_size == "big":
+            names = names + tuple(cfg.get_string("output.sizes.big").split())
         ckpt.append_diagnostics(args.o, names, state, model, t_reached)
     if args.test and args.test.upper() in ("B", "C"):
         # pismv-style error report at the final time (Halfar similarity)

@@ -52,7 +52,7 @@ PARAMETERS = {
     "time_stepping.hit_multiples": (0.0, "years", "if > 0, snap dt so model time hits integer multiples of this period (reference -timestep_hit_multiples)"),
     "time_stepping.skip.enabled": (False, None, "subcycle mass transport between energy steps"),
     "time_stepping.skip.max": (10, None, "max mass-transport substeps per energy step"),
-    "time_stepping.skip.refresh_diffusivity": (False, None, "recompute the SIA diffusive flux from the evolving geometry on every skip substep (more accurate at fast-evolving fronts); False = reference parity: the whole stress balance, including D, stays frozen across the substeps"),
+    "time_stepping.skip.refresh_diffusivity": (True, None, "recompute the SIA diffusive flux from the evolving geometry on every skip substep (default). False = reference-parity skip semantics (the whole stress balance, including D, stays frozen across substeps) - measured to DESTABILIZE fine-grid margins in this discretization: at 16 km the frozen flux drives sustained margin flicker that collapses the adaptive dt (68 vs 4 steps/model-year, 6x throughput loss; docs/VALIDATION.md round-4 dt study). The recompute costs ~10 extra 2D z-integral stencils per mega-step and keeps the expensive SSA/energy updates skipped"),
     "time.calendar": ("365_day", None, "CF calendar"),
 
     # --- flow laws ----------------------------------------------------------
@@ -394,6 +394,9 @@ PARAMETERS.update({
     # --- output ----------------------------------------------------------------
     "output.file": ("unnamed.nc", None, "output file name (-o)"),
     "output.format": ("netcdf4", None, "netcdf4 | netcdf3: on-disk format (-o_format)"),
+    "output.sizes.medium": ("velsurf_mag velbase_mag velbar_mag taud_mag tauc bmelt tillwat temppabase diffusivity climatic_mass_balance ice_surface_temp sftgif sftgrf sftflf flux_mag", None, "diagnostics appended to the output file with -o_size medium (reference output.sizes.medium)"),
+    "output.sizes.big_2d": ("velsurf velbase wvelsurf flux_divergence dHdt surface_runoff_flux", None, "extra 2D fields for -o_size big_2d (reference output.sizes.big_2d)"),
+    "output.sizes.big": ("temp temppa liqfrac uvel vvel wvel_rel strainheating", None, "extra 3D fields for -o_size big, on top of medium + big_2d (reference output.sizes.big)"),
     "output.size": ("medium", None, "none | small | medium | big: which variable set -o writes (-o_size)"),
     "output.compression_level": (0, None, "deflate level of NetCDF-4 output variables"),
     "output.extra.file": ("", None, "spatial time-series file (-extra_file)"),

@@ -343,6 +343,14 @@ class IceModel:
         stack = jnp.stack(cand)
         dt = jnp.min(stack)
         idx = jnp.argmin(stack).astype(jnp.int32)
+        # reference time_stepping.resolution: round dt down to a whole
+        # multiple so the step sequence is reproducible and independent of
+        # fp noise in the limits. Applied BEFORE hit_multiples/segment-end
+        # truncation so exact landings stay exact.
+        res = self.config.get_number("time_stepping.resolution", "seconds")
+        if res > 0.0:
+            dt_r = jnp.floor(dt / res) * res
+            dt = jnp.where(dt_r >= res, dt_r, dt)
         # reference -timestep_hit_multiples: truncate dt so the step lands
         # exactly on integer multiples of the period (forcing-update epochs)
         hit = self.config.get_number("time_stepping.hit_multiples", "seconds")
@@ -353,13 +361,6 @@ class IceModel:
             truncated = next_mult - t <= dt
             dt = jnp.where(truncated, next_mult - t, dt)
             idx = jnp.where(truncated, 6, idx)
-        # reference time_stepping.resolution: round dt down to a whole
-        # multiple so the step sequence is reproducible across restarts
-        # and independent of fp noise in the limits
-        res = self.config.get_number("time_stepping.resolution", "seconds")
-        if res > 0.0:
-            dt_r = jnp.floor(dt / res) * res
-            dt = jnp.where(dt_r >= res, dt_r, dt)
         # guards: guaranteed progress (dt floor) and NaN containment
         min_dt = self.config.get_number("time_stepping.minimum_time_step", "seconds")
         floored = ~jnp.isfinite(dt) | (dt < min_dt)

@@ -81,10 +81,10 @@ def test_hit_multiples_dt():
     sb = model.stress_balance.update(st)
     t_end = 1e4 * SPY
     # from t = 3 yr the next multiple is 10 yr -> dt = 7 yr
-    dt = float(model._compute_dt(sb, 3.0 * SPY, t_end))
+    dt = float(model._compute_dt(sb, 3.0 * SPY, t_end)[0])
     assert dt / SPY == pytest.approx(7.0, rel=1e-9)
     # sitting exactly on a multiple -> full 10 yr to the next one
-    dt = float(model._compute_dt(sb, 20.0 * SPY, t_end))
+    dt = float(model._compute_dt(sb, 20.0 * SPY, t_end)[0])
     assert dt / SPY == pytest.approx(10.0, rel=1e-9)
     # without the option the step is max_dt-limited
     cfg2 = Config({"stress_balance.model": "sia",
@@ -92,7 +92,10 @@ def test_hit_multiples_dt():
                    "energy.model": "none",
                    "time_stepping.maximum_time_step": 60.0})
     model2 = IceModel(grid=grid, config=cfg2)
-    dt = float(model2._compute_dt(sb, 3.0 * SPY, t_end))
+    dt, idx = model2._compute_dt(sb, 3.0 * SPY, t_end)
+    from pism_tpu.model.icemodel import DT_LIMITS
+    assert DT_LIMITS[int(idx)] == "max_dt"
+    dt = float(dt)
     assert dt / SPY > 10.0
 
 
