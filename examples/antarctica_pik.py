@@ -16,9 +16,14 @@ Usage: python examples/antarctica_pik.py [--km 16] [--years 300]
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable as `python examples/antarctica_pik.py` without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -101,27 +106,51 @@ def main():
             lambda x: x.astype(jnp.float32)
             if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, state)
 
+    import subprocess
+    commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                            capture_output=True, text=True,
+                            cwd="/root/repo").stdout.strip()
     t = 0.0
     tic = time.time()
-    state, t, stats = model.step_once(state, t, 10.0 * SPY)
+    try:
+        state, t, stats = model.step_once(state, t, 10.0 * SPY)
+    except Exception as e:   # noqa: BLE001
+        # compile/runtime failure diagnostic instead of a dead number
+        # (round 3 recorded an unexplained remote-compile HTTP 500 here)
+        print(json.dumps({"error": repr(e)[:800], "phase": "compile+warmup",
+                          "commit": commit,
+                          "grid": f"{Mx}x{Mx}x31 @ {args.km:g} km"}))
+        raise
     print(f"compile+10y: {time.time() - tic:.0f} s")
 
     tic = time.time()
-    state, t, stats = model.step_once(state, t, (args.years - 10.0) * SPY)
+    nsteps = 0
+    from pism_tpu.model.icemodel import _merge_stats
+    seg = None
+    t_end = args.years * SPY
+    while t < t_end - 1.0:
+        state, t, stats = model.step_once(state, t, min(25.0 * SPY,
+                                                        t_end - t))
+        nsteps += int(stats.nsteps)
+        seg = _merge_stats(seg, stats)
     wall = time.time() - tic
     H1 = np.asarray(state.geometry.ice_thickness)
     from pism_tpu import state as S
     floating = np.asarray(S.floating_ice(state.geometry.cell_type))
-    print(json.dumps({
+    out = {
         "model_years": args.years,
-        "steps": int(stats.nsteps),
+        "steps": nsteps,
         "wall_s": round(wall, 1),
         "model_years_per_hour": round((args.years - 10.0) / wall * 3600.0, 1),
         "volume_1e6_km3": float(H1.sum() * grid.dx * grid.dy / 1e15),
         "shelf_area_1e3_km2": float(floating.sum() * grid.dx * grid.dy / 1e9),
         "max_speed_m_a": float(jnp.abs(state.u_ssa).max()) * SPY,
         "nan": bool(np.isnan(H1).any()),
-    }))
+        "commit": commit,
+        "steps_per_model_year": round(nsteps / max(args.years - 10.0, 1e-9), 2),
+        "dt_limit_hits": seg.limit_hits_dict() if seg is not None else {},
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -9,6 +9,12 @@ iteration counts.
 Usage: python examples/component_timing.py [--km 20] [--reps 20]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -10,6 +10,12 @@ Covers: Halfar similarity test B (SIA mass transport), exact test I
 Usage: python examples/convergence.py [--platform cpu] [--fast]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import math
 

@@ -12,6 +12,12 @@ Usage:
   (--experiments A,...,L; restarts B-F need A in the list)
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -13,6 +13,12 @@ Usage: python examples/greenland_debm.py [--km 20] [--years 100]
            [--warming 0] [--float32] [--paleo]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -17,6 +17,12 @@ Usage: python examples/hysteresis.py [--km 50] [--years-per-level 1500]
            [--dT-max 8] [--levels 5] [--float32]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 

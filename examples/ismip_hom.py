@@ -20,6 +20,12 @@ Usage: python examples/ismip_hom.py [--exp A|C] [--L 5,10,20,40,80,160]
            [--Mx 40] [--Mz 16]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 

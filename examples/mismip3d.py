@@ -23,6 +23,12 @@ Usage: python examples/mismip3d.py [--dx-km 10] [--stnd-years 15000]
        [--recovery-years 2000] [--platform cpu] [--float32]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 

@@ -14,6 +14,12 @@ Usage: python examples/mismip_study.py [--km 25,12.5] [--years 20000]
        [--platform cpu]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 

@@ -13,6 +13,12 @@ under a shared jitted adaptive-dt segment runner in lockstep.
 Usage: python examples/paleo_ensemble.py [--members 16] [--years 500]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

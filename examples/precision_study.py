@@ -14,6 +14,12 @@ Prints one JSON line per checkpoint per dtype plus a final summary of
 relative divergences.
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -13,6 +13,12 @@ the target is in reach should beat many loose sweeps.
 Usage: python examples/ssa_eta_study.py [--km 5] [--spin-years 10]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

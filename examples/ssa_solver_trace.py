@@ -12,6 +12,12 @@ breakdown sweeps at an unreachable tolerance; over-tight warmup solves).
 Usage: python examples/ssa_solver_trace.py [--km 5] [--platform tpu]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -12,6 +12,12 @@ fields for the real dataset via ``-i`` when available.
 Usage: python examples/synthetic_greenland.py [--km 20] [--years 500]
 """
 
+import os as _os
+import sys as _sys
+
+# runnable as `python examples/<name>.py` without installing
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -123,9 +123,16 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
         Phi = 2.0 * enhancement * A3 * tau ** (n + 1.0)
     Phi = jnp.where(z < Hc, Phi, 0.0)
 
+    # 3D CFL maxima over ICY cells only (reference max_timestep_cfl_3d
+    # loops over thk > 0): level 0 of u/v carries the margin-extension
+    # sliding velocity even at H = 0 cells (needed for transport), which
+    # must not restrict the energy-advection dt — there is no enthalpy
+    # to advect there
+    icy3 = Hc > 0.0
     return SIA3D(
         u=u, v=v, w=w, strain_heating=Phi,
-        max_u=jnp.max(jnp.abs(u)), max_v=jnp.max(jnp.abs(v)),
+        max_u=jnp.max(jnp.abs(jnp.where(icy3, u, 0.0))),
+        max_v=jnp.max(jnp.abs(jnp.where(icy3, v, 0.0))),
     )
 
 
