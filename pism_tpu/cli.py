@@ -760,6 +760,12 @@ def main(argv=None):
         state, stats = model.run(state, run_time, output=out,
                                  callback=report, signals=sigs)
     out.close()
+    if cfg.get_flag("time_stepping.count_time_steps") and stats is not None:
+        # reference -count_time_steps: report the total adaptive steps
+        # taken, with the per-limit attribution this framework records
+        log.message(1, "count_time_steps: %d adaptive steps (binding "
+                    "limits: %s)", int(stats.nsteps),
+                    stats.limit_hits_dict())
     regional_2d = None
     if no_model_mask is not None:
         # PISM regional runs carry the mask and stored frame in the output

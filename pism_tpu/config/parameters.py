@@ -91,6 +91,7 @@ PARAMETERS = {
     "stress_balance.ssa.fd.eta_endgame_range": (0.0, None, "endgame tightening of the Eisenstat-Walker forcing: once |F| <= range * tol, set the inner tolerance to land at ~tol/2 in one sweep (the per-sweep fixed cost dominates the per-Krylov cost, so few tight sweeps beat many eta_max-loose ones near convergence); 0 disables"),
     "stress_balance.ssa.fd.drag_jacobian": ("picard", None, "basal-drag linearization in the Newton sweeps: picard (default; frozen beta - robust at u -> 0 and 2x faster over full 5 km trajectories, where the exact direction triggers line-search/safeguard work on melt-season steps) | exact (d(beta u)/du; essential for drag-dominated streams like test N and fully-converged verification solves)"),
     "stress_balance.ssa.fd.max_speed": (50.0e3, "m year-1", "hard clamp on SSA speeds (guards CFL dt collapse)"),
+    "stress_balance.ssa.fd.krylov_dot_dtype": ("auto", None, "accumulation dtype for Krylov/Newton dot products under f32 vectors: auto (default: float32 on the pure-f32 production path whose 3e-4 target sits far above the f32 dot noise - measured 5 km warm solve 56 -> 46 ms with unchanged iteration counts; float64 elsewhere) | float64 (emulated on TPU) | float32"),
     "stress_balance.ssa.fd.near_ksp_cap": (32, None, "Krylov iteration cap for Newton systems within 4x of the convergence target on the pure-f32 production path - near the f32 noise floor the system is noise and BiCGStab otherwise grinds to ksp_max_it (traced at 5 km: one 300-iteration breakdown sweep = 72% of a warm solve's Krylov work); ignored on float64/mixed/full-convergence solves"),
     "stress_balance.ssa.fd.safeguard_ksp_cap": (48, None, "Krylov iteration cap for Picard safeguard sweeps on the pure-f32 production path (frozen-coefficient systems solved to the loose warmup tolerance; more iterations on ill-posed noise only burn wall time); ignored on float64/mixed/full-convergence solves"),
     "stress_balance.ssa.fd.f32_production_rtol": (3.0e-4, None, "Newton residual target floor for the pure-f32 production carry (velocity-change stop active); the f32 residual floor is state-dependent (~1-2e-4 relative on margin-flicker states), so tighter targets grind noise (see docs/VALIDATION.md)"),
@@ -394,6 +395,11 @@ PARAMETERS.update({
     # --- output ----------------------------------------------------------------
     "output.file": ("unnamed.nc", None, "output file name (-o)"),
     "output.format": ("netcdf4", None, "netcdf4 | netcdf3: on-disk format (-o_format)"),
+    "output.extra.stop_missing": (True, None, "error on unknown -extra_vars entries (reference output.extra.stop_missing); false drops them with a warning"),
+    "time_stepping.count_time_steps": (False, None, "log the total number of adaptive steps at the end of the run (reference -count_time_steps)"),
+    "surface.debm_simple.albedo_ocean": (0.1, None, "albedo of ice-free (ocean) cells in the dEBM-simple insolation melt"),
+    "runtime.tridiag.thomas_max_n": (64, None, "batched-tridiagonal dispatch: systems up to this length always use the Thomas scan on TPU (measured crossover, one v5e; see util/tridiag.py)"),
+    "runtime.tridiag.thomas_min_batch": (16384, None, "batched-tridiagonal dispatch: batches at least this wide use the Thomas scan regardless of length (each scan step saturates the VPU)"),
     "output.sizes.medium": ("velsurf_mag velbase_mag velbar_mag taud_mag tauc bmelt tillwat temppabase diffusivity climatic_mass_balance ice_surface_temp sftgif sftgrf sftflf flux_mag", None, "diagnostics appended to the output file with -o_size medium (reference output.sizes.medium)"),
     "output.sizes.big_2d": ("velsurf velbase wvelsurf flux_divergence dHdt surface_runoff_flux", None, "extra 2D fields for -o_size big_2d (reference output.sizes.big_2d)"),
     "output.sizes.big": ("temp temppa liqfrac uvel vvel wvel_rel strainheating", None, "extra 3D fields for -o_size big, on top of medium + big_2d (reference output.sizes.big)"),

@@ -175,6 +175,7 @@ class DEBMSimple(SurfaceModel):
         self.albedo_max = g("surface.debm_simple.albedo_max")
         self.albedo_min = g("surface.debm_simple.albedo_min")
         self.albedo_slope = g("surface.debm_simple.albedo_slope")  # m2 s kg-1
+        self.albedo_ocean = g("surface.debm_simple.albedo_ocean")
         self.c1 = g("surface.debm_simple.c1")                      # W m-2 K-1
         self.c2 = g("surface.debm_simple.c2")                      # W m-2
         self.T_melt_min = g("surface.debm_simple.melting_threshold_temp")
@@ -290,6 +291,11 @@ class DEBMSimple(SurfaceModel):
             snow = snow + snowfall
             alb = (jnp.asarray(self.albedo_field, dtype)
                    if self.albedo_field is not None else albedo)
+            # ice-free (ocean) cells use the fixed ocean albedo
+            # (surface.debm_simple.albedo_ocean)
+            from .. import state as S
+            alb = jnp.where(S.icy(geometry.cell_type), alb,
+                            jnp.asarray(self.albedo_ocean, dtype))
             z = geometry.ice_surface_elevation.astype(dtype)
             _, _, _, M = self.melt_components(tk, T, z, alb)
             albedo = self.albedo_from_melt(M)

@@ -291,6 +291,10 @@ class IceModel:
                 self.tillphi_target = read_and_regrid(
                     path, self.grid, ["usurf"])["usurf"]
 
+        # batched-tridiagonal dispatch crossover (util/tridiag.py)
+        from ..util import tridiag as _tri
+        _tri.THOMAS_MAX_N = cfg.get_int("runtime.tridiag.thomas_max_n")
+        _tri.THOMAS_MIN_BATCH = cfg.get_int("runtime.tridiag.thomas_min_batch")
         self.device_loop = cfg.get_flag("runtime.device_loop")
         self._advance_device = jax.jit(self._make_advance())
         self._step_jit = jax.jit(self._step)

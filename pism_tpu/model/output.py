@@ -107,6 +107,23 @@ class OutputManager:
         # requesting `velbar` writes `ubar` and `vbar`)
         self.extra_vars = diag.expand_names(self.extra_vars)
         self.view_vars = diag.expand_names(self.view_vars)
+        # reference output.extra.stop_missing: unknown -extra_vars entries
+        # stop the run up front (default) or are dropped with a warning
+        unknown = [n for n in self.extra_vars
+                   if n not in diag.SPATIAL and n not in diag.SPATIAL_RATE]
+        if unknown:
+            stop = (self.config.get_flag("output.extra.stop_missing")
+                    if self.config is not None else True)
+            if stop:
+                raise ValueError(
+                    f"unknown -extra_vars entries: {unknown}; see "
+                    "-list_diagnostics (set output.extra.stop_missing=false "
+                    "to drop them instead)")
+            from ..util.logger import log
+            log.message(1, "dropping unknown -extra_vars entries: %s",
+                        unknown)
+            self.extra_vars = tuple(n for n in self.extra_vars
+                                    if n not in unknown)
         self._writer = _AsyncWriter() if self.async_io else None
         self._snap = list(_times(self.snapshot_times))
         self._extra = list(_times(self.extra_times))

@@ -429,8 +429,23 @@ class SSAFD:
         bc_mask, bc_u, bc_v = P["bc_mask"], P["bc_u"], P["bc_v"]
         bx, by = P["bx"], P["by"]
 
+        chg_rtol_cfg_early = self.config.get_number(
+            "stress_balance.ssa.fd.velocity_change_rtol")
         # mixed precision: accumulate reductions in f64 under f32 vectors
-        ddt = jnp.float64 if dtype == jnp.float32 else None
+        # f64-emulated Krylov/Newton dot products under f32 vectors: the
+        # scalar recurrences are where f32 cancellation kills convergence.
+        # auto: f32 dots on the pure-f32 production path (target 3e-4 sits
+        # far above the f32 dot noise; measured 5 km warm solve 56 -> 46 ms
+        # with unchanged iteration counts), f64 dots wherever convergence
+        # semantics are tight (mixed / float64 / full-convergence solves).
+        kdd = self.config.get_string("stress_balance.ssa.fd.krylov_dot_dtype")
+        if kdd == "auto":
+            kdd = ("float32"
+                   if (chg_rtol_cfg_early > 0.0
+                       and self.solve_dtype == "float32")
+                   else "float64")
+        ddt = (jnp.float64 if dtype == jnp.float32 and kdd == "float64"
+               else None)
 
         # mixed = iterative refinement: the ITERATE and the outer residual
         # evaluations live in float64 (one f64 stencil apply per Newton
