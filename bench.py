@@ -32,9 +32,28 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
+
+# Persistent XLA compilation cache (runtime.jit.cache_dir role): the
+# remote-compile service behind the TPU tunnel is intermittently degraded
+# (observed: trivial-matmul compile 72 s; Antarctica 16 km HTTP 500), so
+# re-measuring a shape must not depend on re-compiling it. The container's
+# sitecustomize imports jax before any script body runs, so env vars are
+# too late — set the config directly.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def _enable_compile_cache():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR", _CACHE))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+_enable_compile_cache()
 
 BASELINE_HYBRID_MODEL_YEARS_PER_HOUR = 3.0e3   # indicative 64-rank PISM, 20 km
 BASELINE_SIA_MODEL_YEARS_PER_HOUR = 1.2e6      # 1-core PISM EISMINT II estimate

@@ -24,6 +24,15 @@ import numpy as np
 
 # runnable as `python examples/antarctica_pik.py` without installing
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# persistent XLA compilation cache (see bench.py: the remote-compile
+# service is intermittently degraded; cached executables make the
+# examples re-runnable without re-compiling)
+import jax as _jax_cc
+_jax_cc.config.update("jax_compilation_cache_dir", os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")))
+_jax_cc.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
 def main():

@@ -14,6 +14,12 @@ import sys as _sys
 
 # runnable as `python examples/<name>.py` without installing
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import jax as _jax_cc
+_jax_cc.config.update("jax_compilation_cache_dir", _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".jax_cache")))
+_jax_cc.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import argparse
 import time

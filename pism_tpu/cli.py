@@ -98,10 +98,10 @@ def build_parser():
     p.add_argument("-extra_vars", default="thk,usurf,velbar_mag,mask")
     p.add_argument("-ts_file", default=None)
     p.add_argument("-ts_times", default=None)
-    p.add_argument("-ts_vars", default="ice_volume_glacierized,"
-                   "ice_area_glacierized,max_velocity",
+    p.add_argument("-ts_vars", default=None,
                    help="scalar time-series quantities (instantaneous or "
-                        "interval-averaged tendency_* rates)")
+                        "interval-averaged tendency_* rates; default: "
+                        "config output.timeseries.variables)")
     p.add_argument("-save_file", default=None,
                    help="snapshot file pattern (e.g. snap_{kyr:.1f}.nc)")
     p.add_argument("-view", default=None, metavar="VAR[,VAR...]",
@@ -582,6 +582,27 @@ def main(argv=None):
         cfg.update({"time_stepping.maximum_time_step": args.max_dt})
     _apply_config_overrides(cfg, args.config)
 
+    # runtime flags double as config parameters (the reference pattern:
+    # every option is stored in the config that lands in the output files)
+    if args.platform:
+        cfg.update({"runtime.platform": args.platform})
+    if args.profile:
+        cfg.update({"runtime.profile.directory": args.profile})
+    if args.ts_vars:
+        cfg.update({"output.timeseries.variables": args.ts_vars})
+    if args.view:
+        cfg.update({"output.runtime.viewer.variables": args.view})
+    if args.inverse:
+        cfg.update({"inverse.method": args.inv_method})
+    cache_dir = cfg.get_string("runtime.jit.cache_dir")
+    if cache_dir:
+        # persistent XLA compilation cache: compiled executables are reused
+        # across processes (the first-compile cost of km-scale grids is the
+        # dominant startup latency on TPU)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     no_model_mask = None
     usurf_store = thk_store = None
     if args.regional and args.i:
@@ -727,13 +748,15 @@ def main(argv=None):
         extra_file=args.extra_file,
         ts_times=parse_times(args.ts_times, yl, ys / yl, ye / yl)
         if args.ts_times else (),
-        ts_vars=tuple(args.ts_vars.split(",")),
+        ts_vars=tuple(cfg.get_string("output.timeseries.variables").split(",")),
         ts_file=args.ts_file,
         snapshot_times=parse_times(args.save_times, yl, ys / yl, ye / yl)
         if args.save_times else (),
         snapshot_file=args.save_file or "snapshots_{kyr:.3f}.nc",
         backup_interval=args.backup_interval * 3600.0,
-        view_vars=tuple(args.view.split(",")) if args.view else (),
+        view_vars=tuple(v for v in cfg.get_string(
+            "output.runtime.viewer.variables").split(",") if v),
+        async_io=cfg.get_flag("output.async"),
     )
 
     wall0 = _wall.time()
@@ -864,7 +887,7 @@ def _run_inversion(args, model, state, grid, cfg):
                             obs_mask=jnp.asarray(obs_mask),
                             reg_kind=reg_kind[kind], reg_weight=w,
                             param=param)
-        if args.inv_method == "lbfgs":
+        if cfg.get_string("inverse.method") == "lbfgs":
             res, opt = inv.run_lbfgs(
                 tau0, max_iterations=max_it,
                 tauc_min=cfg.get_number("inverse.ssa.tauc_min"),

@@ -733,3 +733,51 @@ PARAMETERS.update({
     "stress_balance.ssa.fd.brutal_sliding": (False, None, "scale SSA sliding speeds by brutal_sliding_scale (experimental speed-up)"),
     "stress_balance.ssa.fd.brutal_sliding_scale": (1.0, None, "factor applied to SSA sliding speeds when brutal_sliding is on"),
 })
+
+# ---------------------------------------------------------------------------
+# Fourth tranche (round 4): the remaining reference-config tail plus the
+# rebuild-native runtime knobs that were previously hard-coded. Entries
+# marked rebuild-native in the doc string have no upstream CDL counterpart.
+# ---------------------------------------------------------------------------
+
+PARAMETERS.update({
+    # --- energy ---------------------------------------------------------------
+    "energy.enthalpy.cold_bulge_max": (6.0e4, "J kg-1", "maximum amount by which advection may cool a column below its surface enthalpy (reference enthSystem 'bulge limiter'): the column solve clamps E >= E_surface - this; 6e4 J/kg is ~30 K"),
+
+    # --- SIA age coupling (reference EDC/EemianGreenland runs) ----------------
+    "stress_balance.sia.enhancement_factor_interglacial": (1.0, None, "SIA enhancement factor applied to ice deposited during an interglacial (depositional age t - age in [time.eemian_start, time.eemian_end] or after time.holocene_start); active with stress_balance.sia.e_age_coupling, requires age.enabled"),
+    "stress_balance.ssa.enhancement_factor_interglacial": (1.0, None, "SSA enhancement factor for interglacial ice (registered for reference parity; the rebuild's SSA applies the scalar stress_balance.ssa.enhancement_factor only — the SSA vertically-averaged hardness has no per-layer age weighting)"),
+
+    # --- Blatter --------------------------------------------------------------
+    "stress_balance.blatter.Glen_exponent": (3.0, None, "Glen exponent n of the Blatter solver"),
+
+    # --- SSA inner solver ------------------------------------------------------
+    "stress_balance.ssa.fd.krylov_method": ("bicgstab", None, "inner Krylov method: bicgstab (default; the discrete operator is nonsymmetric at the CFBC/Dirichlet closure) | cg (conjugate gradients — cheaper per iteration, for symmetric interior/verification problems; the reference exposes the same choice via -ssafd_ksp_type)"),
+
+    # --- hydrology -------------------------------------------------------------
+    "hydrology.routing.cfl_factor": (0.5, None, "CFL fraction of the routing/distributed explicit subcycle (rebuild-native knob; the reference hard-codes 1/2 in Routing::max_timestep_W_cfl)"),
+
+    # --- ocean ------------------------------------------------------------------
+    "ocean.melange_back_pressure_fraction": (0.0, None, "constant melange back pressure applied at calving fronts, as a fraction of the ice-overburden minus ocean pressure difference (reference -melange_back_pressure_fraction); the frac_MBP/delta_MBP modifiers override this with time series"),
+
+    # --- geometry source gating -------------------------------------------------
+    "geometry.update.use_surface_mass_balance": (True, None, "apply the surface mass balance in the mass-continuity source term (off: dynamics-only thickness evolution)"),
+
+    # --- output ------------------------------------------------------------------
+    "output.variable_order": ("yxz", None, "in-file dimension order of output variables (-o_order); the TPU-native writer stores the CF-standard (time, z, y, x) = yxz order natively"),
+    "output.runtime.viewer.variables": ("", None, "comma list of diagnostics rendered by the runtime map viewer (-view)"),
+    "output.timeseries.variables": ("ice_volume_glacierized,ice_area_glacierized,max_velocity", None, "default scalar diagnostics written to -ts_file (-ts_vars)"),
+    "output.async": (True, None, "overlap device->host transfers and NetCDF writes with the device loop (writer thread; the reference's parallel-I/O role). False = synchronous writes"),
+
+    # --- dEBM paleo -------------------------------------------------------------
+    "surface.debm_simple.paleo.periodic": (False, None, "repeat the dEBM paleo orbital time series periodically"),
+
+    # --- inverse ----------------------------------------------------------------
+    "inverse.method": ("lbfgs", None, "optimizer of the -inverse driver: lbfgs (bounded L-BFGS with the TAO-style convergence ladder, the reference blmvm role) | adam"),
+
+    # --- runtime (rebuild-native) ----------------------------------------------
+    "runtime.jit.cache_dir": ("", None, "persistent XLA compilation-cache directory (jax compilation cache); reuses compiled executables across processes — the ~40 s first-step compile of a 5 km hybrid drops to seconds on a warm cache"),
+    "runtime.platform": ("", None, "force the JAX platform (cpu | tpu; the -platform flag). Empty = default backend"),
+    "runtime.profile.directory": ("", None, "write a jax profiler trace of the run to this directory (-profile; reference -profile/-log_view role)"),
+    "runtime.pallas.interpret": (False, None, "run all Pallas kernels in interpreter mode (debugging: same semantics on any backend, much slower)"),
+})

@@ -317,6 +317,12 @@ def ocean_from_config(config, inputs: Optional[Mapping] = None, grid=None):
                 "ocean.cache.update_interval", "seconds"))
         else:
             raise ValueError(f"unknown ocean modifier {mod!r}")
+
+    # reference -melange_back_pressure_fraction: a constant melange back
+    # pressure applied without any frac_MBP time series in the chain
+    mbp = config.get_number("ocean.melange_back_pressure_fraction")
+    if mbp > 0.0 and "frac_MBP" not in mods:
+        model = _ocn.FracMBP(inner=model, fraction=lambda t, _f=mbp: _f)
     return model
 
 

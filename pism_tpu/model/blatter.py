@@ -76,7 +76,7 @@ class BlatterSolver:
     def __post_init__(self):
         cfg = self.config
         self.sh = Shifter(self.grid)
-        self.n_glen = cfg.get_number("stress_balance.ssa.Glen_exponent")
+        self.n_glen = cfg.get_number("stress_balance.blatter.Glen_exponent")
         self.rho = cfg.get_number("constants.ice.density")
         self.g = cfg.get_number("constants.standard_gravity")
         self.ksp_rtol = cfg.get_number("stress_balance.ssa.fd.ksp_rtol")

@@ -60,6 +60,7 @@ class EnergyModel:
         self.temperate_ratio = cfg.get_number(
             "energy.enthalpy.temperate_ice_thermal_conductivity_ratio")
         self.drain_rate = cfg.get_number("energy.drainage_maximum_rate", "s-1")
+        self.bulge_max = cfg.get_number("energy.enthalpy.cold_bulge_max")
         self.drain_target = cfg.get_number("energy.drainage_target_water_fraction")
         self.geothermal_default = cfg.get_number("bootstrapping.defaults.geothermal_flux")
         self.ch_enabled = cfg.get_flag("energy.ch_warming.enabled")
@@ -190,6 +191,11 @@ class EnergyModel:
         d = d.at[..., 0].set(d0)
 
         E_new = solve_batched(a, b, c, d)
+
+        # -- cold-bulge limiter (reference enthSystem bulge limiter): the
+        # downward advection of cold surface ice must not cool a column more
+        # than cold_bulge_max below its surface enthalpy
+        E_new = jnp.maximum(E_new, E_sfc[..., None] - self.bulge_max)
 
         # -- thin/ice-free columns: surface-value column ---------------------
         thin = H < jnp.maximum(z[1], 1.0)

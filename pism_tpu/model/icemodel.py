@@ -276,7 +276,13 @@ class IceModel:
         self.max_dt = cfg.get_number("time_stepping.maximum_time_step", "seconds")
         self.cfl_factor = cfg.get_number("time_stepping.cfl_factor")
         self.geometry_evolves = cfg.get_flag("geometry.update.enabled")
+        self.use_smb = cfg.get_flag("geometry.update.use_surface_mass_balance")
+        self.use_bmr = cfg.get_flag("geometry.update.use_basal_melt_rate")
         self.part_grid = cfg.get_flag("geometry.part_grid.enabled")
+        # debugging knob: run every Pallas kernel in interpreter mode
+        if cfg.get_flag("runtime.pallas.interpret"):
+            from ..ops import pallas_kernels as _pk
+            _pk.FORCE_INTERPRET = True
         self.subgl = cfg.get_flag("geometry.grounded_cell_fraction")
         self.skip_max = cfg.get_int("time_stepping.skip.max") \
             if cfg.get_flag("time_stepping.skip.enabled") else 1
@@ -404,7 +410,7 @@ class IceModel:
             # pressure; None = hydrostatic default inside the SSA
             wcp = self.ocean.water_column_pressure(state.geometry, t)
         sb = self.stress_balance.update(state, tau_c,
-                                        water_column_pressure=wcp)
+                                        water_column_pressure=wcp, t=t)
         dt, dt_limit_idx = self._compute_dt(sb, t, t_end)
         dt_f = dt.astype(state.geometry.ice_thickness.dtype)
 
@@ -501,14 +507,16 @@ class IceModel:
                     geometry = geometry.replace(ice_area_specific_volume=res.Href)
 
                 bmb = jnp.zeros_like(H)
-                if state.basal_melt_rate is not None:
+                if state.basal_melt_rate is not None and self.use_bmr:
                     bmb = bmb + state.basal_melt_rate
                 if self.ocean is not None:
                     shelf_melt = self.ocean(geometry, t)
                     bmb = bmb + jnp.where(S.floating_ice(geometry.cell_type),
                                           shelf_melt, 0.0)
+                smb_eff = smb_in.smb if self.use_smb \
+                    else jnp.zeros_like(H)
                 H, smb_app, bmb_app, smb_field, bmb_field = ge.source_term_step(
-                    H, dt_sub, smb_in.smb, bmb, grid.dx, grid.dy)
+                    H, dt_sub, smb_eff, bmb, grid.dx, grid.dy)
                 if iso_carry is not None:
                     from .isochrones import IsochroneState
                     iso = IsochroneState(
@@ -516,7 +524,7 @@ class IceModel:
                         deposition_times=jnp.asarray(self._iso_times_arr))
                     iso = self.isochrones.step(
                         iso, t, dt_sub, res.Qe, res.Qn,
-                        geometry.ice_thickness, H, smb_in.smb, bmb)
+                        geometry.ice_thickness, H, smb_eff, bmb)
                     iso_carry = (iso.layers, iso.top)
                 geometry = geometry.replace(ice_thickness=H)
                 geometry = S.ensure_consistency(

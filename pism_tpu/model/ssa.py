@@ -96,6 +96,19 @@ class SSAFD:
         self.eta_endgame_range = cfg.get_number(
             "stress_balance.ssa.fd.eta_endgame_range")
         self.ksp_max = cfg.get_int("stress_balance.ssa.fd.ksp_max_it")
+        # inner Krylov method (reference -ssafd_ksp_type): BiCGStab default
+        # (the CFBC/Dirichlet closure breaks symmetry), CG for symmetric
+        # interior/verification problems
+        _km = cfg.get_string("stress_balance.ssa.fd.krylov_method")
+        if _km not in ("bicgstab", "cg"):
+            raise ValueError(
+                f"stress_balance.ssa.fd.krylov_method = {_km!r}: "
+                "expected bicgstab | cg")
+        if _km == "cg":
+            self._krylov = lambda *a, dot_dtype=None, **k: \
+                ssa_ops.cg_solve(*a, **k)
+        else:
+            self._krylov = ssa_ops.bicgstab_solve
         self.epsilon = cfg.get_number("stress_balance.ssa.epsilon")  # Pa s m
         ext_nu = cfg.get_number("stress_balance.ssa.strength_extension.constant_nu")
         ext_H = cfg.get_number("stress_balance.ssa.strength_extension.min_thickness")
@@ -600,7 +613,7 @@ class SSAFD:
             rhs = free((bx - Aub, by - Avb))
             # fixed-point sweeps do not need tight inner solves: the sweep
             # error is dominated by the frozen-coefficient linearization
-            sol, _, _ = ssa_ops.bicgstab_solve(
+            sol, _, _ = self._krylov(
                 matvec, rhs, free(uv), make_precond(nuH, beta),
                 rtol=self.warmup_ksp_rtol if rtol is None else rtol,
                 max_iter=self.ksp_max if max_iter is None else max_iter,
@@ -719,7 +732,7 @@ class SSAFD:
                                  self.ksp_max)
             else:
                 kmax = self.ksp_max
-            d, kit, _ = ssa_ops.bicgstab_solve(
+            d, kit, _ = self._krylov(
                 jmv, negF, zero, precond,
                 rtol=eta, max_iter=kmax, dot_dtype=ddt)
             d = hi(free(d))
@@ -928,7 +941,7 @@ class SSAFD:
 
                 negF = (-F_[0], -F_[1])
                 zero = (jnp.zeros_like(negF[0]), jnp.zeros_like(negF[1]))
-                d, _, _ = ssa_ops.bicgstab_solve(
+                d, _, _ = self._krylov(
                     jmv64, negF, zero,
                     lambda r: (r[0] / du64, r[1] / dv64),
                     rtol=1e-4, max_iter=self.ksp_max)

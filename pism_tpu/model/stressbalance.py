@@ -91,6 +91,16 @@ class StressBalance:
                         else None)
         _pal = cfg.get_string("stress_balance.sia.pallas")
         self.sia_pallas = {"auto": None, "on": True, "off": False}[_pal]
+        # age-coupled interglacial enhancement (reference
+        # stress_balance.sia.e_age_coupling; EDC/EemianGreenland runs):
+        # ice deposited during the Eemian or after the Holocene onset
+        # flows with enhancement_factor_interglacial instead of e_sia
+        self.e_age_coupling = cfg.get_flag("stress_balance.sia.e_age_coupling")
+        self.e_sia_interglacial = cfg.get_number(
+            "stress_balance.sia.enhancement_factor_interglacial")
+        self.eemian_start = cfg.get_number("time.eemian_start", "seconds")
+        self.eemian_end = cfg.get_number("time.eemian_end", "seconds")
+        self.holocene_start = cfg.get_number("time.holocene_start", "seconds")
 
 
     def _weertman(self, state: S.ModelState):
@@ -212,7 +222,7 @@ class StressBalance:
             basal_frictional_heating=friction)
 
     def update(self, state: S.ModelState, yield_stress=None,
-               water_column_pressure=None) -> StressBalanceResult:
+               water_column_pressure=None, t=None) -> StressBalanceResult:
         grid, sh = self.grid, self.sh
         zeros = jnp.zeros(grid.shape2, state.geometry.ice_thickness.dtype)
 
@@ -230,11 +240,22 @@ class StressBalance:
             u_ssa = jnp.asarray(self.prescribed_u)
             v_ssa = jnp.asarray(self.prescribed_v)
 
+        e_sia = self.e_sia
+        if self.e_age_coupling and state.age is not None and t is not None:
+            # depositional age of each parcel; interglacial ice is softer
+            depo = t - state.age
+            interglacial = (((depo >= self.eemian_start)
+                             & (depo <= self.eemian_end))
+                            | (depo >= self.holocene_start))
+            e_sia = jnp.where(interglacial, self.e_sia_interglacial,
+                              self.e_sia).astype(
+                                  state.geometry.ice_thickness.dtype)
+
         if self.has_sia:
             geom, th_e, th_n = self._apply_bed_smoother(state.geometry)
             flux = sia_ops.diffusivity(
                 self.sia_flow_law, geom, state.enthalpy, grid, sh,
-                n=self.n_sia, enhancement=self.e_sia, rho=self.rho, g=self.g,
+                n=self.n_sia, enhancement=e_sia, rho=self.rho, g=self.g,
                 gradient_method=self.gradient_method,
                 theta_e=th_e, theta_n=th_n, mesh=self.mesh,
                 pallas=self.sia_pallas, d_limit=self.d_limit,
@@ -257,7 +278,7 @@ class StressBalance:
             if self.has_sia:
                 sia3 = sia3d.sia_3d(
                     self.sia_flow_law, state.geometry, state.enthalpy, grid, sh,
-                    n=self.n_sia, enhancement=self.e_sia, rho=self.rho, g=self.g,
+                    n=self.n_sia, enhancement=e_sia, rho=self.rho, g=self.g,
                     u_base=u_b if u_ssa is not None else None,
                     v_base=v_b if u_ssa is not None else None,
                     basal_melt_rate=state.basal_melt_rate,

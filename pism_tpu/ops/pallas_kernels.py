@@ -28,6 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+# runtime.pallas.interpret: force interpreter mode for every kernel
+# (debugging knob; set from the config by IceModel)
+FORCE_INTERPRET = False
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -200,7 +204,7 @@ def sia_flux_thermo_pallas_padded(Hp, sp, Ep, *, grid, n: float = 3.0,
     path, or ppermute-exchanged halos for the sharded path
     (``ops.pallas_sharded``). Returns (qe, qn, De, Dn) of shape (My, Mx)."""
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        interpret = FORCE_INTERPRET or jax.devices()[0].platform != "tpu"
     My, Mx = Hp.shape[0] - 2, Hp.shape[1] - 2
     C = 2.0 * (rho * g) ** n
 
@@ -299,7 +303,7 @@ def sia_flux_pallas_padded(Hp, sp, *, gamma: float, n: float = 3.0,
     """Core of :func:`sia_flux_pallas` on pre-ghost-padded (My+2, Mx+2)
     inputs; returns (qe, qn, De, Dn) of shape (My, Mx)."""
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        interpret = FORCE_INTERPRET or jax.devices()[0].platform != "tpu"
     shape = jax.ShapeDtypeStruct((Hp.shape[0] - 2, Hp.shape[1] - 2), Hp.dtype)
 
     kernel = functools.partial(_sia_kernel, float(n), float(gamma),

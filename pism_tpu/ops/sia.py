@@ -128,11 +128,13 @@ def _softness_integral(flow_law, E3, H_face, z, n: float, enhancement: float):
     depth = jnp.maximum(H - zr, 0.0)
     p = flow_law.EC.pressure(depth)
     A = flow_law.softness(E3, p)
-    f = A * depth ** (n + 1.0)
+    # enhancement may be a (My, Mx, Mz) field (age-coupled interglacial
+    # softening, stress_balance.sia.e_age_coupling) — fold it into the
+    # integrand; identical to the scalar post-multiply when 0-d
+    f = jnp.asarray(enhancement, H_face.dtype) * A * depth ** (n + 1.0)
     z_c = jnp.minimum(zr, H)  # clip levels to the ice column
     w = jnp.diff(z_c, axis=-1)
-    K = jnp.sum(0.5 * (f[..., 1:] + f[..., :-1]) * w, axis=-1)
-    return enhancement * K
+    return jnp.sum(0.5 * (f[..., 1:] + f[..., :-1]) * w, axis=-1)
 
 
 def _flow_integral(flow_law, E3, H_face, z, slope_face, rho, g, enhancement):
@@ -151,11 +153,11 @@ def _flow_integral(flow_law, E3, H_face, z, slope_face, rho, g, enhancement):
     p = flow_law.EC.pressure(depth)
     sigma = rho * g * depth * slope_face[..., None]
     F = flow_law.flow(sigma, E3, p)
-    f = F * depth ** 2
+    f = jnp.asarray(enhancement, H_face.dtype) * F * depth ** 2
     z_c = jnp.minimum(zr, H)
     w = jnp.diff(z_c, axis=-1)
     K = jnp.sum(0.5 * (f[..., 1:] + f[..., :-1]) * w, axis=-1)
-    return enhancement * 2.0 * rho * g * K
+    return 2.0 * rho * g * K
 
 
 def _sharded_mesh(mesh) -> bool:
@@ -222,6 +224,10 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
 
     sharded = _sharded_mesh(mesh)
     use_pallas = pallas
+    if jnp.ndim(enhancement) > 0:
+        # z-dependent (age-coupled) enhancement field: jnp path only — the
+        # fused kernels bake a scalar e into the closed-form integral
+        use_pallas = False
     if use_pallas is None:
         use_pallas = _pallas_eligible(flow_law, enthalpy, grid, H,
                                       gradient_method, theta_e, theta_n,
@@ -289,6 +295,12 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
 
     C = 2.0 * (rho * g) ** n
 
+    if jnp.ndim(enhancement) > 0:
+        enh_e = st.avg_to_east(enhancement, sh)
+        enh_n = st.avg_to_north(enhancement, sh)
+    else:
+        enh_e = enh_n = enhancement
+
     if getattr(flow_law, "generalized", False):
         if enthalpy is None:
             raise ValueError("generalized (Goldsby-Kohlstedt) SIA "
@@ -296,9 +308,9 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
         E_e = st.avg_to_east(enthalpy, sh)
         E_n = st.avg_to_north(enthalpy, sh)
         De = _flow_integral(flow_law, E_e, H_e, grid.z,
-                            jnp.sqrt(slope2_e), rho, g, enhancement)
+                            jnp.sqrt(slope2_e), rho, g, enh_e)
         Dn = _flow_integral(flow_law, E_n, H_n, grid.z,
-                            jnp.sqrt(slope2_n), rho, g, enhancement)
+                            jnp.sqrt(slope2_n), rho, g, enh_n)
         if theta_e is not None:
             De = De * theta_e
         if theta_n is not None:
@@ -312,6 +324,9 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
         return SIAFlux(De=De, Dn=Dn, qe=qe, qn=qn, max_D=max_D)
 
     if enthalpy is None:
+        if jnp.ndim(enhancement) > 0:
+            raise ValueError("age-coupled (3D) enhancement needs the "
+                             "thermal (enthalpy) SIA path")
         # isothermal closed form: K = e * A * H^(n+2) / (n+2)
         A = flow_law.softness(jnp.zeros((), H.dtype), jnp.zeros((), H.dtype))
         Ke = enhancement * A * H_e ** (n + 2.0) / (n + 2.0)
@@ -319,8 +334,8 @@ def diffusivity(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
     else:
         E_e = st.avg_to_east(enthalpy, sh)
         E_n = st.avg_to_north(enthalpy, sh)
-        Ke = _softness_integral(flow_law, E_e, H_e, grid.z, n, enhancement)
-        Kn = _softness_integral(flow_law, E_n, H_n, grid.z, n, enhancement)
+        Ke = _softness_integral(flow_law, E_e, H_e, grid.z, n, enh_e)
+        Kn = _softness_integral(flow_law, E_n, H_n, grid.z, n, enh_n)
 
     De = C * slope2_e ** ((n - 1.0) / 2.0) * Ke
     Dn = C * slope2_n ** ((n - 1.0) / 2.0) * Kn

@@ -73,7 +73,10 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
             raise ValueError("generalized flow law needs enthalpy")
         p = flow_law.EC.pressure(depth)
         F3 = flow_law.flow(tau, enthalpy, p)
-        phi = 2.0 * enhancement * rho * g * _cumtrapz_z(F3 * depth, z)
+        # enhancement may be (My, Mx, Mz) (age-coupled): fold it into the
+        # z integrand — identical to the scalar post-multiply when 0-d
+        e3 = jnp.asarray(enhancement, H.dtype)
+        phi = 2.0 * rho * g * _cumtrapz_z(e3 * F3 * depth, z)
         A3 = None
     else:
         if enthalpy is None:
@@ -84,8 +87,9 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
             p = flow_law.EC.pressure(depth)
             A3 = flow_law.softness(enthalpy, p)
 
-        C = 2.0 * enhancement * (rho * g) ** n
-        integrand = A3 * depth ** n
+        e3 = jnp.asarray(enhancement, H.dtype)
+        C = 2.0 * (rho * g) ** n
+        integrand = e3 * A3 * depth ** n
         I = _cumtrapz_z(integrand, z)                       # (My, Mx, Mz)
         phi = C * slope[..., None] ** (n - 1.0) * I
 
@@ -118,9 +122,9 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
 
     # volumetric strain heating (SIA shear dissipation)
     if A3 is None:
-        Phi = 2.0 * enhancement * F3 * tau ** 2
+        Phi = 2.0 * e3 * F3 * tau ** 2
     else:
-        Phi = 2.0 * enhancement * A3 * tau ** (n + 1.0)
+        Phi = 2.0 * e3 * A3 * tau ** (n + 1.0)
     Phi = jnp.where(z < Hc, Phi, 0.0)
 
     # 3D CFL maxima over ICY cells only (reference max_timestep_cfl_3d

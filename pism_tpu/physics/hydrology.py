@@ -72,6 +72,7 @@ class Routing(NullTransport):
     def __post_init__(self):
         super().__post_init__()
         cfg = self.config
+        self.cfl_factor = cfg.get_number("hydrology.routing.cfl_factor")
         self.k = cfg.get_number("hydrology.hydraulic_conductivity")
         self.alpha = cfg.get_number("hydrology.alpha")
         self.beta_exp = cfg.get_number("hydrology.beta")
