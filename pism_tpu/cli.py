@@ -652,9 +652,40 @@ def main(argv=None):
         atm_model = None
         if atm_sel:
             cfg.update({"atmosphere.models": atm_sel})
+            atm_inputs = _cf.inputs_from_files(cfg, grid, "atmosphere")
+            atm_base = str(atm_sel).split(",")[0]
+            if args.i and atm_base in ("searise_greenland", "pik"):
+                # PISM reads the parameterization inputs (lat/lon and the
+                # precipitation map) from the input/bootstrap file when no
+                # separate forcing file is given
+                from .io.bootstrap import (lonlat_from_projection,
+                                           read_and_regrid,
+                                           read_forcing_fields)
+                flds = read_and_regrid(args.i, grid,
+                                       variables=["lat", "latitude",
+                                                  "lon", "longitude"])
+                lat = flds.get("lat", flds.get("latitude"))
+                lon = flds.get("lon", flds.get("longitude"))
+                if lat is None or lon is None:
+                    lon_p, lat_p = lonlat_from_projection(args.i, grid)
+                    lat = lat if lat is not None else lat_p
+                    lon = lon if lon is not None else lon_p
+                fdt = jnp.float32 \
+                    if cfg.get_string("runtime.float_dtype") == "float32" \
+                    else jnp.float64
+                if lat is not None:
+                    atm_inputs.setdefault("latitude", jnp.asarray(lat, fdt))
+                if lon is not None:
+                    atm_inputs.setdefault("longitude", jnp.asarray(lon, fdt))
+                if "precipitation" not in atm_inputs:
+                    pf, _ = read_forcing_fields(args.i, grid,
+                                                ["precipitation"])
+                    if "precipitation" in pf:
+                        p = pf["precipitation"]
+                        atm_inputs["precipitation"] = jnp.asarray(
+                            p[-1] if p.ndim == 3 else p, fdt)
             atm_model = _cf.atmosphere_from_config(
-                cfg, inputs=_cf.inputs_from_files(cfg, grid, "atmosphere"),
-                grid=grid)
+                cfg, inputs=atm_inputs, grid=grid)
         elif surf_sel and any(m in surf_sel for m in
                               ("simple", "pdd", "debm_simple", "pik")):
             # the restored surface chain needs an atmosphere but the

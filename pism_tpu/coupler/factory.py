@@ -369,6 +369,11 @@ def inputs_from_files(config, grid, group: str) -> dict:
     from ..util.forcing import ScalarForcing
 
     inputs = {}
+    # forcing fields must match the model dtype or they promote the jitted
+    # while_loop carry (f32 state + f64 forcing -> carry dtype mismatch)
+    fdt = jnp.float32 \
+        if config.get_string("runtime.float_dtype") == "float32" \
+        else jnp.float64
 
     def spatial(file_key, variables):
         path = config.get_string(file_key)
@@ -383,7 +388,7 @@ def inputs_from_files(config, grid, group: str) -> dict:
                 raise ValueError(
                     f"forcing variable {k!r} from {path!r} does not cover "
                     "the model grid (regrid produced NaNs)")
-            inputs[k] = jnp.asarray(v)
+            inputs[k] = jnp.asarray(v, fdt)
         if times is not None:
             inputs["times"] = jnp.asarray(times)
 
@@ -396,12 +401,58 @@ def inputs_from_files(config, grid, group: str) -> dict:
     if group == "surface":
         # reference surface.given.smb_max: error on implausible SMB input
         # magnitudes (catches unit mistakes in forcing files)
-        smb_cap = config.get_number("surface.given.smb_max", "m s-1")
+        smb_cap = (config.get_number("surface.given.smb_max", "kg m-2 s-1")
+                   / config.get_number("constants.ice.density"))
 
     if group == "atmosphere":
         spatial("atmosphere.given.file",
                 ["air_temp", "precipitation", "air_temp_summer"])
+        # SeaRISE-Greenland parameterization inputs (lat/lon/precip); PISM
+        # reads them from the input/bootstrap file — the CLI passes that
+        # file here (and falls back to -i, see cli.py)
+        spatial("atmosphere.searise_greenland.file",
+                ["latitude", "longitude", "precipitation", "lat", "lon"])
+        for short, full in (("lat", "latitude"), ("lon", "longitude")):
+            if short in inputs:
+                inputs.setdefault(full, inputs.pop(short))
+        # cosine yearly cycle fields (+ optional scalar amplitude scaling)
+        spatial("atmosphere.yearly_cycle.file",
+                ["air_temp_mean_annual", "air_temp_mean_summer",
+                 "air_temp_mean_july", "precipitation"])
+        if "air_temp_mean_july" in inputs:
+            inputs.setdefault("air_temp_mean_summer",
+                              inputs.pop("air_temp_mean_july"))
+        scalar("atmosphere.yearly_cycle.scaling.file", "scaling",
+               "amplitude_scaling")
+        # anomaly stacks keep their own time axis
+        path = config.get_string("atmosphere.anomaly.file")
+        if path:
+            fields, a_times = read_forcing_fields(
+                path, grid, ["air_temp_anomaly", "precipitation_anomaly"])
+            for k, v in fields.items():
+                inputs[k] = jnp.asarray(v, fdt)
+            if a_times is not None:
+                inputs["anomaly_times"] = jnp.asarray(a_times)
+        # lapse-rate modifier reference surface
+        path = config.get_string("atmosphere.elevation_change.file")
+        if path:
+            fields, _ = read_forcing_fields(
+                path, grid, ["usurf", "surface_altitude", "surface"])
+            for k in ("usurf", "surface_altitude", "surface"):
+                if k in fields:
+                    a = fields[k]
+                    inputs.setdefault("reference_surface", jnp.asarray(
+                        a[-1] if a.ndim == 3 else a, fdt))
+                    break
+        # one_station: scalar air_temp + precipitation series
+        path = config.get_string("atmosphere.one_station.file")
+        if path:
+            inputs.setdefault("air_temp",
+                              ScalarForcing.from_file(path, "air_temp"))
+            inputs.setdefault("precipitation",
+                              ScalarForcing.from_file(path, "precipitation"))
         scalar("atmosphere.delta_T.file", "delta_T")
+        scalar("atmosphere.delta_P.file", "delta_P")
         scalar("atmosphere.frac_P.file", "frac_P")
         scalar("atmosphere.precip_scaling.file", "scaling_delta_T", "delta_T")
     elif group == "surface":
@@ -423,7 +474,7 @@ def inputs_from_files(config, grid, group: str) -> dict:
             if "air_temp_sd" in fields:
                 a = fields["air_temp_sd"]
                 inputs["air_temp_sd"] = jnp.asarray(
-                    a[-1] if a.ndim == 3 else a)
+                    a[-1] if a.ndim == 3 else a, fdt)
         paleo_path = config.get_string("surface.debm_simple.paleo.file")
         if paleo_path:
             import numpy as _np
@@ -446,7 +497,8 @@ def inputs_from_files(config, grid, group: str) -> dict:
             fields, _ = read_forcing_fields(alb_path, grid, ["albedo"])
             if "albedo" in fields:
                 a = fields["albedo"]
-                inputs["albedo"] = jnp.asarray(a[-1] if a.ndim == 3 else a)
+                inputs["albedo"] = jnp.asarray(
+                    a[-1] if a.ndim == 3 else a, fdt)
     elif group == "ocean":
         spatial("ocean.given.file",
                 ["shelf_base_mass_flux", "shelf_base_temperature"])

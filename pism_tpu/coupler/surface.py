@@ -154,6 +154,14 @@ class GivenStreamed(SurfaceModel):
     smb: object           # ForcingStream [m/s ice equivalent]
     temperature: object   # ForcingStream [K]
 
+    #: sample the piecewise-constant series at the step MIDPOINT: the value
+    #: attributed to [t, t+dt) is the slice covering its center (the
+    #: one-point approximation of the reference's interval-averaged given
+    #: forcing). Start-point sampling is knife-edged against the
+    #: time_stepping.resolution dt quantization: steps land O(1 s) before
+    #: forcing epochs and every slice update arrives one step late.
+    midpoint_sampling = True
+
     def __call__(self, geometry, t) -> SurfaceInputs:
         dt_ = geometry.ice_thickness.dtype
         return SurfaceInputs(self.smb.slice_at(t).astype(dt_),

@@ -85,6 +85,37 @@ def latitude_from_projection(path: str, grid: Grid):
     return lat
 
 
+def lonlat_from_projection(path: str, grid: Grid):
+    """(lon, lat) fields [degrees] from the file's projection metadata, or
+    (None, None) — the two-field variant of :func:`latitude_from_projection`
+    (SeaRISE-Greenland atmosphere needs both)."""
+    from ..util import projection as prj
+
+    ps = None
+    with File(path, "r") as f:
+        p = f.get_global_attr("proj") or f.get_global_attr("proj4")
+        if p is not None:
+            if isinstance(p, bytes):
+                p = p.decode()
+            try:
+                ps = prj.from_proj_string(p)
+            except ValueError:
+                ps = None
+        if ps is None:
+            for name in list(f.variables()):
+                attrs = dict(f.read_attrs(name))
+                if "grid_mapping_name" in attrs \
+                        or name == "polar_stereographic":
+                    try:
+                        ps = prj.from_cf_mapping(attrs)
+                        break
+                    except ValueError:
+                        continue
+    if ps is None:
+        return None, None
+    return prj.lonlat_for_grid(grid, ps)
+
+
 #: internal target units per forcing variable (PISM I/O conventions:
 #: temperatures in K, mass fluxes in m/s ice equivalent, salinity g/kg)
 _FORCING_UNITS = {

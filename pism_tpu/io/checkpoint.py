@@ -164,14 +164,22 @@ def load_config(path: str) -> Config:
 
 
 def load_state(path: str, config: Optional[Config] = None):
-    """Returns (state, t). Bit-exact restore of everything saved."""
+    """Returns (state, t). Bit-exact restore of everything saved.
+
+    Fields are cast to the configured ``runtime.float_dtype``: an f32 run's
+    state is stored in f64 NetCDF variables, so the cast back is
+    value-exact; NOT casting would silently promote a restarted f32 run
+    (and its jitted while_loop carries) to f64."""
     cfg = config or load_config(path)
+    fdt = jnp.float32 \
+        if cfg.get_string("runtime.float_dtype") == "float32" \
+        else jnp.float64
     with File(path, "r") as f:
         t = float(f.read("time")[-1])
-        H = jnp.asarray(f.read("thk")[-1])
-        bed = jnp.asarray(f.read("topg")[-1])
-        sl = jnp.asarray(f.read("sea_level")[-1])
-        Href = jnp.asarray(f.read("Href")[-1])
+        H = jnp.asarray(f.read("thk")[-1], fdt)
+        bed = jnp.asarray(f.read("topg")[-1], fdt)
+        sl = jnp.asarray(f.read("sea_level")[-1], fdt)
+        Href = jnp.asarray(f.read("Href")[-1], fdt)
         geom = S.new_geometry(
             H, bed, sea_level=sl, Href=Href,
             ice_density=cfg.get_number("constants.ice.density"),
@@ -181,10 +189,10 @@ def load_state(path: str, config: Optional[Config] = None):
         kw = {}
         for field, (var, _, _) in _STATE_VARS.items():
             if f.has_variable(var):
-                kw[field] = jnp.asarray(f.read(var)[-1])
+                kw[field] = jnp.asarray(f.read(var)[-1], fdt)
         if f.has_variable("isochronal_layer_thickness"):
             kw["iso_layers"] = jnp.asarray(
-                f.read("isochronal_layer_thickness")[-1])
+                f.read("isochronal_layer_thickness")[-1], fdt)
             kw["iso_top"] = jnp.asarray(int(f.get_global_attr("iso_top")),
                                         jnp.int32)
         return S.ModelState(geometry=geom, **kw), t

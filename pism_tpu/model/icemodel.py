@@ -359,7 +359,14 @@ class IceModel:
         # truncation so exact landings stay exact.
         res = self.config.get_number("time_stepping.resolution", "seconds")
         if res > 0.0:
-            dt_r = jnp.floor(dt / res) * res
+            # the 1e-3 boundary tolerance keeps the quantization from
+            # amplifying reduction-order noise in the limits (psum-order
+            # differences between device-mesh shapes reach ~1e-5 s on
+            # day-scale dts) into whole-resolution dt differences: raw dts
+            # within a millisecond-of-res below a multiple round to that
+            # multiple on every mesh. The <= 1 ms round-up overshoot is
+            # far inside the limits' own safety factors.
+            dt_r = jnp.floor(dt / res + 1e-3) * res
             dt = jnp.where(dt_r >= res, dt_r, dt)
         # reference -timestep_hit_multiples: truncate dt so the step lands
         # exactly on integer multiples of the period (forcing-update epochs)
@@ -424,6 +431,10 @@ class IceModel:
             state = state.replace(snow_depth=carry.snow,
                                   firn_depth=carry.firn,
                                   surface_albedo=carry.albedo)
+        elif getattr(self.surface, "midpoint_sampling", False):
+            # piecewise-constant file forcing: the step's value is the
+            # slice covering the interval midpoint (see GivenStreamed)
+            smb_in = self.surface(state.geometry, t + 0.5 * dt)
         else:
             smb_in = self.surface(state.geometry, t)
 

@@ -13,8 +13,6 @@ from pism_tpu.state import ModelState, new_geometry
 
 SPY = 3.15569259747e7
 
-pytestmark = pytest.mark.smoke
-
 
 def test_parameter_count_floor():
     from pism_tpu.config.parameters import PARAMETERS

@@ -167,6 +167,14 @@ def test_regional_mode_mesh_invariance(devices):
         "energy.model": "none",
         "basal_yield_stress.model": "given",
         "regional.enabled": True,
+        # invariance is asserted on fully-converged solves: the production
+        # velocity-change stop (1e-4) legitimately fires after different
+        # sweep counts across mesh shapes (psum-order noise near the
+        # threshold), leaving velocity differences up to the stop
+        # tolerance — the reference's rank-count contract is likewise
+        # tolerance-based (nccmp diffs), not bit-exact, for its
+        # iteratively-solved fields
+        "stress_balance.ssa.fd.velocity_change_rtol": 0.0,
     })
     model = IceModel(grid=grid, config=cfg,
                      surface=Uniform(smb=0.0),
