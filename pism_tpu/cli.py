@@ -192,8 +192,9 @@ def build_parser():
     p.add_argument("-inv_design", default=None,
                    help="design variable: tauc | hardav "
                         "(default: config inverse.design_variable)")
-    p.add_argument("-inv_method", default="lbfgs",
-                   help="lbfgs (bounded, TAO blmvm role) | adam")
+    p.add_argument("-inv_method", default=None,
+                   help="lbfgs (bounded, TAO blmvm role) | adam "
+                        "(default: config inverse.method)")
     p.add_argument("-regrid_file", metavar="FILE", default=None,
                    help="after -i, replace selected 2D fields with regridded "
                         "values from FILE (PISM -regrid_file)")
@@ -592,7 +593,9 @@ def main(argv=None):
         cfg.update({"output.timeseries.variables": args.ts_vars})
     if args.view:
         cfg.update({"output.runtime.viewer.variables": args.view})
-    if args.inverse:
+    if args.inverse and args.inv_method is not None:
+        # only override when explicitly given, so -config inverse.method=...
+        # is not clobbered by the argparse default
         cfg.update({"inverse.method": args.inv_method})
     cache_dir = cfg.get_string("runtime.jit.cache_dir")
     if cache_dir:

@@ -22,6 +22,7 @@ class Config:
         self._units: Dict[str, Optional[str]] = {k: v[1] for k, v in PARAMETERS.items()}
         self._docs: Dict[str, str] = {k: v[2] for k, v in PARAMETERS.items()}
         self._used: set = set()
+        self._explicit: set = set()
         if overrides:
             self.update(overrides)
 
@@ -31,6 +32,7 @@ class Config:
             if k not in self._values:
                 raise KeyError(f"unknown config parameter: {k!r}")
             self._values[k] = v
+            self._explicit.add(k)
         return self
 
     def set_number(self, name: str, value: float, units: Optional[str] = None):
@@ -39,6 +41,7 @@ class Config:
         if units is not None and self._units[name] is not None:
             value = convert(value, units, self._units[name])
         self._values[name] = float(value)
+        self._explicit.add(name)
 
     def set_string(self, name: str, value: str):
         self.update({name: value})
@@ -77,6 +80,15 @@ class Config:
         self._used.add(name)
         return self._values[name]
 
+    def is_set(self, name: str) -> bool:
+        """True when the parameter was explicitly set (override/CLI/file),
+        as opposed to sitting at its database default.  Used for parameters
+        whose default is "inherit from a sibling" (e.g.
+        ``stress_balance.blatter.Glen_exponent`` inherits the ssa value)."""
+        if name not in self._values:
+            raise KeyError(f"unknown config parameter: {name!r}")
+        return name in self._explicit
+
     # -- introspection / provenance ------------------------------------------
     def used_parameters(self) -> Dict[str, Any]:
         return {k: self._values[k] for k in sorted(self._used)}
@@ -98,11 +110,16 @@ class Config:
     def from_json(s: str) -> "Config":
         cfg = Config()
         data = json.loads(s)
-        known = {k: v for k, v in data.items() if k in cfg._values}
+        # A full dump contains every parameter; only values that differ from
+        # the database default are treated as explicit so that inherit-from-
+        # sibling defaults (see is_set) survive a dump/load round trip.
+        known = {k: v for k, v in data.items()
+                 if k in cfg._values and v != PARAMETERS[k][0]}
         cfg.update(known)
         return cfg
 
     def copy(self) -> "Config":
         c = Config()
         c._values = dict(self._values)
+        c._explicit = set(self._explicit)
         return c

@@ -319,9 +319,11 @@ def ocean_from_config(config, inputs: Optional[Mapping] = None, grid=None):
             raise ValueError(f"unknown ocean modifier {mod!r}")
 
     # reference -melange_back_pressure_fraction: a constant melange back
-    # pressure applied without any frac_MBP time series in the chain
+    # pressure applied only when no melange-back-pressure modifier
+    # (frac_MBP or delta_MBP) is already in the chain — otherwise the two
+    # effects would stack
     mbp = config.get_number("ocean.melange_back_pressure_fraction")
-    if mbp > 0.0 and "frac_MBP" not in mods:
+    if mbp > 0.0 and "frac_MBP" not in mods and "delta_MBP" not in mods:
         model = _ocn.FracMBP(inner=model, fraction=lambda t, _f=mbp: _f)
     return model
 

@@ -80,6 +80,15 @@ class SurfaceModel:
         inner = getattr(self, "inner", None)
         return bool(inner is not None and inner.uses_albedo)
 
+    @property
+    def midpoint_sampling(self) -> bool:
+        """True when forcing should be sampled at the step midpoint
+        (GivenStreamed); forwarded through modifier wrappers so e.g.
+        ``-surface given,delta_T`` keeps midpoint sampling."""
+        inner = getattr(self, "inner", None)
+        return bool(inner is not None
+                    and getattr(inner, "midpoint_sampling", False))
+
     def max_timestep(self, t) -> float:
         inner = getattr(self, "inner", None)
         return inner.max_timestep(t) if inner is not None else jnp.inf

@@ -76,7 +76,14 @@ class BlatterSolver:
     def __post_init__(self):
         cfg = self.config
         self.sh = Shifter(self.grid)
-        self.n_glen = cfg.get_number("stress_balance.blatter.Glen_exponent")
+        # Blatter's Glen exponent inherits the ssa value unless explicitly
+        # overridden: configs that set a non-default exponent the historical
+        # way (through stress_balance.ssa.Glen_exponent) must not silently
+        # run n=3 Blatter physics against an n!=3 problem.
+        if cfg.is_set("stress_balance.blatter.Glen_exponent"):
+            self.n_glen = cfg.get_number("stress_balance.blatter.Glen_exponent")
+        else:
+            self.n_glen = cfg.get_number("stress_balance.ssa.Glen_exponent")
         self.rho = cfg.get_number("constants.ice.density")
         self.g = cfg.get_number("constants.standard_gravity")
         self.ksp_rtol = cfg.get_number("stress_balance.ssa.fd.ksp_rtol")

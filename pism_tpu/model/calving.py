@@ -119,6 +119,11 @@ class CalvingModel:
         self.remove_bergs = cfg.get_flag("geometry.remove_icebergs")
         self.float_kill = cfg.get_flag("calving.float_kill.enabled") or \
             "float_kill" in self.methods
+        # with part-grid active, rate-based retreat is applied linearly by
+        # converting front cells into partially-filled (Href) cells, the
+        # reference FrontRetreat::update_geometry scheme; without part-grid
+        # the legacy thickness-scaling clip is used
+        self.part_grid = cfg.get_flag("geometry.part_grid.enabled")
 
     # -- strain-rate eigenvalues from the SSA velocity ---------------------
     def _strain_eigenvalues(self, u, v):
@@ -173,6 +178,98 @@ class CalvingModel:
             rate = rate + self.hayhurst_rate(geometry)
         return rate
 
+    def applicable_rate(self, geometry, sb, hardness_B=None,
+                        frontal_melt_rate=None):
+        """Per-cell total horizontal retreat rate [m/s] that ``step`` would
+        apply: calving-law rates on their front cells plus the frontal-melt
+        rate on its front cells. Used by the dt CFL limit."""
+        mask = geometry.cell_type
+        icy = S.icy(mask)
+        floating = S.floating_ice(mask)
+        ifo = mask == S.MASK_ICE_FREE_OCEAN
+        front = front_mask(icy, ifo, self.sh)
+        marine = geometry.sea_level - geometry.bed_elevation > 0.0
+        H = geometry.ice_thickness
+        total = jnp.zeros_like(H)
+        rate_methods = {"eigen_calving", "vonmises_calving",
+                        "hayhurst_calving"} & set(self.methods)
+        if rate_methods and (sb is not None
+                             or rate_methods == {"hayhurst_calving"}):
+            u = sb.u_ssa if sb is not None else jnp.zeros_like(H)
+            v = sb.v_ssa if sb is not None else jnp.zeros_like(H)
+            rate = self.retreat_rate(geometry, u, v, hardness_B=hardness_B)
+            where = front & floating
+            if "hayhurst_calving" in self.methods:
+                where = front & (floating | marine)
+            total = total + jnp.where(where, rate, 0.0)
+        if frontal_melt_rate is not None:
+            where = front & marine
+            if not self.fm_floating:
+                where = where & ~floating
+            total = total + jnp.where(
+                where, jnp.maximum(frontal_melt_rate, 0.0), 0.0)
+        return total
+
+    def max_timestep(self, geometry, sb, hardness_B=None,
+                     frontal_melt_rate=None):
+        """dt so that the fastest front cell retreats at most ~one grid cell
+        per step (reference ``FrontRetreat::max_timestep``,
+        src/frontretreat/FrontRetreat.cc, gated by
+        ``geometry.front_retreat.use_cfl``). Without this limit the per-step
+        clip in ``step`` silently drops retreat mass beyond one cell."""
+        rate = self.applicable_rate(geometry, sb, hardness_B=hardness_B,
+                                    frontal_melt_rate=frontal_melt_rate)
+        r_max = jnp.max(rate)
+        # ignore sub-1-m/year rates (the reference's threshold): they would
+        # otherwise impose millennia-scale-irrelevant dt restrictions
+        threshold = 1.0 / SEC_PER_YEAR
+        return jnp.where(r_max > threshold,
+                         jnp.asarray(self.grid.dx, jnp.float64) / r_max,
+                         jnp.asarray(jnp.inf, jnp.float64))
+
+    def _retreat_partgrid(self, H, Href, rate, dt, icy, ifo):
+        """Linear, part-grid-aware application of a horizontal retreat rate
+        (reference ``FrontRetreat::update_geometry``): partially-filled cells
+        seaward of the ice absorb the retreat first (their Href shrinks at
+        the icy-neighbor mean reference thickness), and full front cells
+        whose ocean edge is exposed (an ice-free-ocean neighbor holding no
+        Href buffer) convert into partial cells with
+        ``Href = H (1 - rate dt / dx)``.  Linear in dt — halving dt and
+        doubling the step count retreats the same distance, which is what
+        makes the front-retreat dt CFL limit meaningful; the thickness-
+        scaling fallback compounds multiplicatively and stalls under
+        refinement.  No within-step cascade: the dt CFL bounds retreat to
+        ~one cell per step.  Returns ``(H, Href, removed_content)``."""
+        sh = self.sh
+        dx = self.grid.dx
+
+        def nb_sum(a):
+            return sh(a, 0, 1) + sh(a, 0, -1) + sh(a, 1, 0) + sh(a, -1, 0)
+
+        def nb_max(a):
+            return jnp.maximum(jnp.maximum(sh(a, 0, 1), sh(a, 0, -1)),
+                               jnp.maximum(sh(a, 1, 0), sh(a, -1, 0)))
+
+        Href0 = Href
+        icy_f = icy.astype(H.dtype)
+        n_icy = nb_sum(icy_f)
+        H_ref = nb_sum(jnp.where(icy, H, 0.0)) / jnp.maximum(n_icy, 1.0)
+        # 1. partial cells seaward of the front retreat at their fastest icy
+        # neighbor's rate
+        partial = ifo & (Href0 > 0.0) & (n_icy > 0)
+        rate_p = nb_max(jnp.where(icy, rate, 0.0))
+        dfrac_p = jnp.clip(rate_p * dt / dx, 0.0, 1.0)
+        dHref = jnp.where(partial, jnp.minimum(H_ref * dfrac_p, Href0), 0.0)
+        Href = Href0 - dHref
+        # 2. full front cells with an exposed ocean edge convert to partial
+        exposed = nb_sum((ifo & (Href0 <= 0.0)).astype(H.dtype)) > 0
+        dfrac = jnp.clip(rate * dt / dx, 0.0, 1.0)
+        convert = icy & exposed & (dfrac > 0.0)
+        removed_full = jnp.where(convert, H * dfrac, 0.0)
+        Href = jnp.where(convert, Href + H - removed_full, Href)
+        H = jnp.where(convert, 0.0, H)
+        return H, Href, removed_full + dHref
+
     def step(self, geometry, sb, dt, t=0.0, hardness_B=None,
              frontal_melt_rate=None, with_parts=False):
         """Apply all active calving/front-retreat mechanisms to the geometry.
@@ -198,8 +295,10 @@ class CalvingModel:
         floating = S.floating_ice(mask)
         ifo = mask == S.MASK_ICE_FREE_OCEAN
         front = front_mask(icy, ifo, sh)
+        marine = geometry.sea_level - geometry.bed_elevation > 0.0
         H = geometry.ice_thickness
-        H_in = H
+        Href = geometry.ice_area_specific_volume
+        H_in, Href_in = H, Href
 
         if self.float_kill:
             H = jnp.where(floating, 0.0, H)
@@ -210,44 +309,59 @@ class CalvingModel:
         if "thickness_calving" in self.methods and self.H_threshold > 0:
             calve = front & floating & (H < self.H_threshold)
             H = jnp.where(calve, 0.0, H)
+        C_inst = H + Href   # ice content after the instantaneous laws
 
+        # -- rate-based retreat: calving-law rates + frontal melt are summed
+        # into ONE total horizontal retreat rate and applied together, as the
+        # reference does (FrontRetreat::update_geometry consumes the sum of
+        # the calving and frontal-melt rates); the per-mechanism bookkeeping
+        # splits the removed mass by rate share.
+        rate_c = jnp.zeros_like(H)
         rate_methods = {"eigen_calving", "vonmises_calving",
                         "hayhurst_calving"} & set(self.methods)
-        if rate_methods and (sb is not None
-                             or rate_methods == {"hayhurst_calving"}):
+        have_law_rates = rate_methods and (
+            sb is not None or rate_methods == {"hayhurst_calving"})
+        if have_law_rates:
             u = sb.u_ssa if sb is not None else jnp.zeros_like(H)
             v = sb.v_ssa if sb is not None else jnp.zeros_like(H)
-            rate = self.retreat_rate(geometry, u, v, hardness_B=hardness_B)
-            # convert horizontal retreat [m/s] at front cells into thickness
-            # loss: the front face sweeps rate*dt into the cell of size dx
-            loss_frac = jnp.clip(rate * dt / self.grid.dx, 0.0, 1.0)
+            r = self.retreat_rate(geometry, u, v, hardness_B=hardness_B)
             where = front & floating
             if "hayhurst_calving" in self.methods:
                 # Hayhurst targets marine-terminating (incl. grounded) fronts
-                where = front & (floating | (geometry.sea_level
-                                             - geometry.bed_elevation > 0.0))
-            H = jnp.where(where, H * (1.0 - loss_frac), H)
-
-        H_after_calving = H
-
+                where = front & (floating | marine)
+            rate_c = jnp.where(where, jnp.maximum(r, 0.0), 0.0)
+        rate_f = jnp.zeros_like(H)
         if frontal_melt_rate is not None:
             # frontal melt retreats marine fronts; grounded termini always,
             # floating only if configured (PISM front_retreat + frontal_melt)
-            marine = geometry.sea_level - geometry.bed_elevation > 0.0
             where = front & marine
             if not self.fm_floating:
                 where = where & ~floating
-            loss_frac = jnp.clip(
-                jnp.maximum(frontal_melt_rate, 0.0) * dt / self.grid.dx,
-                0.0, 1.0)
-            H = jnp.where(where, H * (1.0 - loss_frac), H)
-        H_after_fm = H
+            rate_f = jnp.where(where, jnp.maximum(frontal_melt_rate, 0.0), 0.0)
+
+        share_c = jnp.ones_like(H)
+        if have_law_rates or frontal_melt_rate is not None:
+            rate_t = rate_c + rate_f
+            share_c = jnp.where(rate_t > 0.0,
+                                rate_c / jnp.where(rate_t > 0.0, rate_t, 1.0),
+                                1.0)
+            if self.part_grid:
+                H, Href, _removed = self._retreat_partgrid(
+                    H, Href, rate_t, dt, icy, ifo)
+            else:
+                # legacy thickness-scaling fallback (no Href state to hold a
+                # sub-grid front): the front face sweeps rate*dt into the
+                # cell of size dx
+                loss_frac = jnp.clip(rate_t * dt / self.grid.dx, 0.0, 1.0)
+                H = H - H * loss_frac
+        C_rate = H + Href
 
         if self.prescribed_retreat is not None:
             H = self.prescribed_retreat(H, t)
-        H_after_forced = H
+        C_forced = H + Href
 
-        geometry = geometry.replace(ice_thickness=H)
+        geometry = geometry.replace(ice_thickness=H,
+                                    ice_area_specific_volume=Href)
         if "ocean_kill" in self.methods and self.ocean_kill_mask is not None:
             km = jnp.asarray(self.ocean_kill_mask, bool)
             geometry = geometry.replace(
@@ -257,14 +371,17 @@ class CalvingModel:
             geometry = remove_icebergs(geometry, sh)
         if not with_parts:
             return geometry
-        # per-mechanism thickness deltas (<= 0); iceberg removal is folded
-        # into the calving part (the bergs exist because the calving laws
-        # disconnected them)
-        berg_d = geometry.ice_thickness - H_after_forced
+        # per-mechanism ice-content deltas [m] (all <= 0; content = H + Href
+        # so that full-to-partial cell conversions are not counted as mass
+        # loss); iceberg removal is folded into the calving part (the bergs
+        # exist because the calving laws disconnected them)
+        C_out = geometry.ice_thickness + geometry.ice_area_specific_volume
+        berg_d = C_out - C_forced
+        rate_d = C_rate - C_inst            # removed by the combined rates
         parts = {
-            "calving": (H_after_calving - H_in) + berg_d,
-            "frontal_melt": H_after_fm - H_after_calving,
-            "forced_retreat": H_after_forced - H_after_fm,
+            "calving": (C_inst - (H_in + Href_in)) + rate_d * share_c + berg_d,
+            "frontal_melt": rate_d * (1.0 - share_c),
+            "forced_retreat": C_forced - C_rate,
         }
         return geometry, parts
 

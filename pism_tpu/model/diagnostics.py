@@ -80,7 +80,7 @@ def _velbar(state, model, t):
 
 @spatial("velsurf_mag", "m s-1", "magnitude of horizontal surface velocity")
 def _velsurf(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     if sb.sia3 is not None:
         return jnp.sqrt(sb.sia3.u[..., -1] ** 2 + sb.sia3.v[..., -1] ** 2)
     return _velbar(state, model, t)
@@ -131,13 +131,13 @@ def _taud(state, model, t):
 
 @spatial("diffusivity", "m2 s-1", "SIA diffusivity (staggered max)")
 def _diff(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     return jnp.maximum(sb.qe * 0 + sb.max_diffusivity, 0.0)
 
 
 @spatial("velbase_mag", "m s-1", "magnitude of basal horizontal velocity")
 def _velbase(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     if sb.sia3 is not None:
         return jnp.sqrt(sb.sia3.u[..., 0] ** 2 + sb.sia3.v[..., 0] ** 2)
     return _velbar(state, model, t)
@@ -145,7 +145,7 @@ def _velbase(state, model, t):
 
 @spatial("uvelsurf", "m s-1", "x-component of surface velocity")
 def _usurfvel(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     if sb.sia3 is not None:
         return sb.sia3.u[..., -1]
     return sb.u_base
@@ -153,7 +153,7 @@ def _usurfvel(state, model, t):
 
 @spatial("vvelsurf", "m s-1", "y-component of surface velocity")
 def _vsurfvel(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     if sb.sia3 is not None:
         return sb.sia3.v[..., -1]
     return sb.v_base
@@ -161,7 +161,7 @@ def _vsurfvel(state, model, t):
 
 @spatial("wvelsurf", "m s-1", "vertical velocity at the ice surface")
 def _wsurfvel(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     H = state.geometry.ice_thickness
     return sb.sia3.w[..., -1] if sb.sia3 is not None else jnp.zeros_like(H)
 
@@ -227,7 +227,7 @@ def _stemp_diag(state, model, t):
 @spatial("dHdt", "m s-1", "instantaneous thickness tendency (-div Q + SMB)")
 def _dhdt(state, model, t):
     from . import geometry_evolution as ge
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     qe_adv, qn_adv = ge.advective_flux(sb.u_face_e, sb.v_face_n,
                                        state.geometry.ice_thickness, model.sh)
     div = (sb.qe + qe_adv - model.sh(sb.qe + qe_adv, 0, -1)) / model.grid.dx \
@@ -256,7 +256,7 @@ def _zeros2(state):
 
 
 
-def _sb(state, model):
+def _sb(state, model, t=None):
     """Memoized composite stress-balance solve for diagnostics: computing a
     full -extra_vars set would otherwise re-run the (expensive) SSA/SIA
     solve once per velocity-derived field. Keyed on the state object
@@ -265,7 +265,7 @@ def _sb(state, model):
     cached = getattr(model, "_diag_sb_cache", None)
     if cached is not None and cached[0] == key:
         return cached[1]
-    res = model.stress_balance.update(state)
+    res = model.stress_balance.update(state, t=t)
     model._diag_sb_cache = (key, res)
     return res
 
@@ -298,26 +298,26 @@ def _vbar(state, model, t):
 
 @spatial("uvelbase", "m s-1", "x-component of basal velocity")
 def _uvelbase(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     return sb.sia3.u[..., 0] if sb.sia3 is not None else sb.u_base
 
 
 @spatial("vvelbase", "m s-1", "y-component of basal velocity")
 def _vvelbase(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     return sb.sia3.v[..., 0] if sb.sia3 is not None else sb.v_base
 
 
 @spatial("wvelbase", "m s-1", "vertical velocity at the ice base")
 def _wvelbase(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     return sb.sia3.w[..., 0] if sb.sia3 is not None else _zeros2(state)
 
 
 @spatial("uvel", "m s-1", "x-component of 3D velocity",
          "land_ice_x_velocity")
 def _uvel3(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     if sb.sia3 is not None:
         return sb.sia3.u
     return jnp.broadcast_to(sb.u_base[..., None],
@@ -327,7 +327,7 @@ def _uvel3(state, model, t):
 @spatial("vvel", "m s-1", "y-component of 3D velocity",
          "land_ice_y_velocity")
 def _vvel3(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     if sb.sia3 is not None:
         return sb.sia3.v
     return jnp.broadcast_to(sb.v_base[..., None],
@@ -336,7 +336,7 @@ def _vvel3(state, model, t):
 
 @spatial("wvel_rel", "m s-1", "vertical velocity relative to the base")
 def _wvel3(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     if sb.sia3 is not None:
         return sb.sia3.w
     H = state.geometry.ice_thickness
@@ -345,7 +345,7 @@ def _wvel3(state, model, t):
 
 @spatial("strainheating", "W m-3", "volumetric strain heating (Sigma)")
 def _sigma3(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     if sb.sia3 is not None:
         return sb.sia3.strain_heating
     H = state.geometry.ice_thickness
@@ -489,7 +489,7 @@ def _tempicethk_basal(state, model, t):
 
 @spatial("bfrict", "W m-2", "basal frictional heating")
 def _bfrict(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     return sb.basal_frictional_heating \
         if sb.basal_frictional_heating is not None else _zeros2(state)
 
@@ -543,7 +543,7 @@ def _fluxmag(state, model, t):
 @spatial("flux_divergence", "m s-1", "divergence of the ice flux")
 def _fluxdiv(state, model, t):
     from . import geometry_evolution as ge
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     qe_adv, qn_adv = ge.advective_flux(sb.u_face_e, sb.v_face_n,
                                        state.geometry.ice_thickness, model.sh)
     return (sb.qe + qe_adv - model.sh(sb.qe + qe_adv, 0, -1)) / model.grid.dx \
@@ -999,7 +999,7 @@ def _total_enth(state, model, t):
 
 @scalar("max_diffusivity", "m2 s-1", "maximum SIA diffusivity")
 def _maxdiff(state, model, t):
-    return _sb(state, model).max_diffusivity
+    return _sb(state, model, t).max_diffusivity
 
 
 @scalar("ice_area_glacierized_grounded", "m2", "grounded glacierized area")
@@ -1073,7 +1073,7 @@ def _bmf_fl(state, model, t):
 
 @scalar("max_hor_vel", "m s-1", "maximum horizontal 3D velocity component")
 def _maxhorvel(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     if sb.sia3 is not None:
         return jnp.maximum(sb.sia3.max_u, sb.sia3.max_v)
     return jnp.max(jnp.abs(jnp.stack([sb.u_base, sb.v_base])))
@@ -1273,7 +1273,7 @@ def _isochrone_depth(state, model, t):
 def _gl_flux(state, model, t):
     from . import geometry_evolution as ge
     g = state.geometry
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     qe_adv, qn_adv = ge.advective_flux(sb.u_face_e, sb.v_face_n,
                                        g.ice_thickness, model.sh)
     qe = sb.qe + qe_adv
@@ -1331,7 +1331,7 @@ def _tillphi(state, model, t):
          "the basal kinematic contribution u_b . grad b; bed-uplift dbdt "
          "not included)")
 def _wvel_full(state, model, t):
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     H = state.geometry.ice_thickness
     if sb.sia3 is None:
         return jnp.zeros(H.shape + (model.grid.Mz,), H.dtype)
@@ -1461,7 +1461,7 @@ def _effective_viscosity(state, model, t):
     invariant (horizontal normal/shear terms + vertical shear u_z, v_z)."""
     H = state.geometry.ice_thickness
     Mz = model.grid.Mz
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     if sb.sia3 is None or state.enthalpy is None:
         return jnp.zeros(H.shape + (Mz,), H.dtype)
     u, v = sb.sia3.u, sb.sia3.v
@@ -2169,7 +2169,7 @@ def _gl_flux_2d(state, model, t):
     instantaneous flux through grounded/floating faces scattered to cells."""
     from . import geometry_evolution as ge
     g = state.geometry
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     qe_adv, qn_adv = ge.advective_flux(sb.u_face_e, sb.v_face_n,
                                        g.ice_thickness, model.sh)
     qe = sb.qe + qe_adv

@@ -188,7 +188,7 @@ def _diff_n(state, model, t):
 def _fluxstag_e(state, model, t):
     """Reference ``GeometryEvolution`` flux_staggered diagnostic."""
     from . import geometry_evolution as ge
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     qe_adv, _ = ge.advective_flux(sb.u_face_e, sb.v_face_n,
                                   state.geometry.ice_thickness, model.sh)
     return sb.qe + qe_adv
@@ -198,7 +198,7 @@ def _fluxstag_e(state, model, t):
          "total (diffusive + advective) ice flux on north cell faces")
 def _fluxstag_n(state, model, t):
     from . import geometry_evolution as ge
-    sb = _sb(state, model)
+    sb = _sb(state, model, t)
     _, qn_adv = ge.advective_flux(sb.u_face_e, sb.v_face_n,
                                   state.geometry.ice_thickness, model.sh)
     return sb.qn + qn_adv

@@ -62,7 +62,8 @@ class CellBudget(NamedTuple):
 # binding restriction per step in its summary line; src/icemodel/
 # timestepping.cc max_timestep accounting). Indexes into StepStats.limit_hits.
 DT_LIMITS = ("max_dt", "sia_diffusivity", "cfl_2d", "cfl_3d", "hydrology",
-             "surface", "hit_multiples", "min_dt_floor", "end_of_segment")
+             "surface", "hit_multiples", "min_dt_floor", "end_of_segment",
+             "front_retreat")
 
 
 class StepStats(NamedTuple):
@@ -208,6 +209,11 @@ class IceModel:
             from .calving import CalvingModel
             self.calving = CalvingModel(grid=self.grid, config=cfg,
                                         methods=("none",))
+        # front-retreat rate dt CFL (reference FrontRetreat::max_timestep;
+        # either config alias enables it)
+        self.front_retreat_cfl = self.calving is not None and (
+            cfg.get_flag("calving.front_retreat.use_cfl")
+            or cfg.get_flag("geometry.front_retreat.use_cfl"))
         if self.bed_deformation is None:
             from .beddef import bed_deformation_from_config
             self.bed_deformation = bed_deformation_from_config(self.grid, cfg)
@@ -316,7 +322,8 @@ class IceModel:
         return state, t, stats
 
     # ------------------------------------------------------------------ step
-    def _compute_dt(self, sb: StressBalanceResult, t, t_end):
+    def _compute_dt(self, sb: StressBalanceResult, t, t_end,
+                    front_retreat_dt=None):
         """Adaptive dt. With the skip mechanism, the mass-transport
         stability limits allow skip_max substeps per expensive update, so
         the step dt is skip_max times the mass limit (substeps divide it
@@ -350,6 +357,8 @@ class IceModel:
             lim = self.surface.max_timestep(t)
             if lim is not None and float(lim) != float(jnp.inf):
                 cand[5] = jnp.asarray(lim, jnp.float64)
+        if front_retreat_dt is not None:
+            cand[9] = jnp.asarray(front_retreat_dt, jnp.float64)
         stack = jnp.stack(cand)
         dt = jnp.min(stack)
         idx = jnp.argmin(stack).astype(jnp.int32)
@@ -418,7 +427,19 @@ class IceModel:
             wcp = self.ocean.water_column_pressure(state.geometry, t)
         sb = self.stress_balance.update(state, tau_c,
                                         water_column_pressure=wcp, t=t)
-        dt, dt_limit_idx = self._compute_dt(sb, t, t_end)
+        fr_dt = None
+        if self.front_retreat_cfl:
+            hB0 = None
+            if "vonmises_calving" in self.calving.methods \
+                    and self.ssa is not None:
+                hB0 = self.ssa._hardness(state)
+            fm0 = None
+            if self.frontal_melt is not None:
+                fm0 = self.frontal_melt(state.geometry, t, state=state)
+            fr_dt = self.calving.max_timestep(
+                state.geometry, sb, hardness_B=hB0, frontal_melt_rate=fm0)
+        dt, dt_limit_idx = self._compute_dt(sb, t, t_end,
+                                            front_retreat_dt=fr_dt)
         dt_f = dt.astype(state.geometry.ice_thickness.dtype)
 
         if getattr(self.surface, "stateful", False) \
@@ -598,7 +619,8 @@ class IceModel:
         parts_2d = {k: discharge_2d for k in
                     ("calving", "frontal_melt", "forced_retreat")}
         if self.calving is not None:
-            H_pre_calving = geometry.ice_thickness
+            C_pre_calving = geometry.ice_thickness \
+                + geometry.ice_area_specific_volume
             hardness_B = None
             if "vonmises_calving" in self.calving.methods \
                     and self.ssa is not None:
@@ -610,9 +632,11 @@ class IceModel:
                 geometry, sb, dt_f, t=t, hardness_B=hardness_B,
                 frontal_melt_rate=fm_rate, with_parts=True)
             geometry = S.ensure_consistency(geometry, self.rho_i, self.rho_w, self.Hmin, self.subgl)
-            # discharge bookkeeping (reference GeometryEvolution: the volume
-            # removed by calving/front retreat; negative = mass loss)
-            discharge_2d = geometry.ice_thickness - H_pre_calving
+            # discharge bookkeeping (reference GeometryEvolution: the ice
+            # content removed by calving/front retreat, H + Href so partial-
+            # cell conversions don't count; negative = mass loss)
+            discharge_2d = geometry.ice_thickness \
+                + geometry.ice_area_specific_volume - C_pre_calving
             discharge_vol = jnp.sum(discharge_2d) \
                 * jnp.asarray(self.grid.dx * self.grid.dy, self.dtype)
 

@@ -105,8 +105,7 @@ class SSAFD:
                 f"stress_balance.ssa.fd.krylov_method = {_km!r}: "
                 "expected bicgstab | cg")
         if _km == "cg":
-            self._krylov = lambda *a, dot_dtype=None, **k: \
-                ssa_ops.cg_solve(*a, **k)
+            self._krylov = ssa_ops.cg_solve
         else:
             self._krylov = ssa_ops.bicgstab_solve
         self.epsilon = cfg.get_number("stress_balance.ssa.epsilon")  # Pa s m

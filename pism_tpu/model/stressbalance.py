@@ -96,6 +96,11 @@ class StressBalance:
         # ice deposited during the Eemian or after the Holocene onset
         # flows with enhancement_factor_interglacial instead of e_sia
         self.e_age_coupling = cfg.get_flag("stress_balance.sia.e_age_coupling")
+        if self.e_age_coupling and not cfg.get_flag("age.enabled"):
+            # the reference errors when the age model is missing; a silent
+            # fall-back to the scalar e_sia would be wrong physics
+            raise ValueError(
+                "stress_balance.sia.e_age_coupling requires age.enabled")
         self.e_sia_interglacial = cfg.get_number(
             "stress_balance.sia.enhancement_factor_interglacial")
         self.eemian_start = cfg.get_number("time.eemian_start", "seconds")

@@ -192,16 +192,26 @@ def make_line_preconditioner(nuH, beta, bc_mask, dx, dy, sh: Shifter):
 # Jacobi-preconditioned CG on the frozen-coefficient system
 # ---------------------------------------------------------------------------
 
-def cg_solve(matvec, b, x0, precond, *, rtol=1e-5, atol=0.0, max_iter=300):
+def cg_solve(matvec, b, x0, precond, *, rtol=1e-5, atol=0.0, max_iter=300,
+             dot_dtype=None):
     """Preconditioned conjugate gradients for pytree unknowns.
 
     matvec/precond: pytree -> pytree. Dirichlet handling is the caller's
     job (mask residuals, fix values). Runs as a lax.while_loop: on a device
     mesh the reductions lower to psum collectives (the analog of the
     allreduce in every PETSc KSP iteration; SURVEY.md §2.5).
+    dot_dtype: accumulate the Krylov dot products in this dtype (same
+    control as bicgstab_solve; the f32/f64 production/verification ladder
+    selects it).
     """
+    tm = jax.tree_util.tree_map
+
     def dot(a, b_):
-        leaves = jax.tree_util.tree_map(lambda x, y: jnp.sum(x * y), a, b_)
+        if dot_dtype is not None:
+            leaves = tm(lambda x, y: jnp.sum(x.astype(dot_dtype)
+                                             * y.astype(dot_dtype)), a, b_)
+        else:
+            leaves = tm(lambda x, y: jnp.sum(x * y), a, b_)
         return jax.tree_util.tree_reduce(jnp.add, leaves)
 
     r0 = jax.tree_util.tree_map(jnp.subtract, b, matvec(x0))

@@ -284,3 +284,25 @@ def test_blatter_manufactured_xz_convergence():
     # errors small relative to the 300 m/a signal and ~O(h^2) decay
     assert err1 / scale < 0.05
     assert err2 < 0.35 * err1
+
+
+@pytest.mark.smoke
+def test_glen_exponent_inherits_ssa_value():
+    """Regression for the round-4 silent-n=3 bug: configs that set a
+    non-default Glen exponent via ``stress_balance.ssa.Glen_exponent``
+    (the historical key) must flow through to the Blatter solver unless
+    ``stress_balance.blatter.Glen_exponent`` is explicitly overridden."""
+    grid, _ = _slab(Mz=5)
+    flow = IsothermalGlen(A=A, n=1.0)
+    # inherit from ssa when blatter key untouched
+    cfg = Config({"stress_balance.ssa.Glen_exponent": 1.0})
+    assert BlatterSolver(grid, cfg, flow).n_glen == 1.0
+    # explicit blatter key wins
+    cfg2 = Config({"stress_balance.ssa.Glen_exponent": 1.0,
+                   "stress_balance.blatter.Glen_exponent": 2.0})
+    assert BlatterSolver(grid, cfg2, flow).n_glen == 2.0
+    # survives a config dump/load round trip (restart path)
+    cfg3 = Config.from_json(cfg.to_json())
+    assert BlatterSolver(grid, cfg3, flow).n_glen == 1.0
+    # untouched config keeps the n=3 default
+    assert BlatterSolver(grid, Config(), flow).n_glen == 3.0

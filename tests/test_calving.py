@@ -8,6 +8,7 @@ import pytest
 
 from pism_tpu import Config, Grid
 from pism_tpu.state import new_geometry, icy as icy_mask
+import pism_tpu.state as S
 from pism_tpu.model.calving import (CalvingModel, PrescribedRetreat,
                                     remove_icebergs, front_mask)
 from pism_tpu.ops.stencils import Shifter
@@ -184,3 +185,54 @@ def test_step_with_parts_splits_discharge_by_mechanism():
     # all mechanisms only remove ice
     for k in parts:
         assert float(np.max(parts[k])) <= 1e-12
+
+
+def test_front_retreat_dt_limit_refinement():
+    """VERDICT r4 #3: an imposed retreat rate must retreat the same total
+    distance under the dt-limited step as under a 4x-finer fixed dt — the
+    part-grid linear retreat (reference FrontRetreat::update_geometry) makes
+    this hold; the legacy thickness-scaling clip stalls under refinement.
+    Also pins CalvingModel.max_timestep == dx / max rate."""
+    from pism_tpu.util.units import SEC_PER_YEAR
+
+    grid = Grid(Mx=24, My=8, Lx=12e3, Ly=4e3, Mz=3, Lz=600.0,
+                periodicity="xy")
+    bed = np.full(grid.shape2, -800.0)
+    bed[:, :2] = 500.0
+    H = np.zeros(grid.shape2)
+    H[:, :2] = 600.0     # grounded wall (non-marine: no frontal melt there)
+    H[:, 2:12] = 300.0   # floating shelf
+    geom = new_geometry(jnp.asarray(H), jnp.asarray(bed))
+
+    cfg = Config({"geometry.part_grid.enabled": True,
+                  "frontal_melt.include_floating_ice": True,
+                  "geometry.remove_icebergs": False})
+    cm = CalvingModel(grid=grid, config=cfg, methods=("none",))
+
+    R = 5000.0 / SEC_PER_YEAR   # 5 km/a imposed horizontal retreat rate
+    fm = jnp.full(grid.shape2, R)
+
+    dt_max = float(cm.max_timestep(geom, None, frontal_melt_rate=fm))
+    assert dt_max == pytest.approx(grid.dx / R, rel=1e-12)
+
+    def run(dt, nsteps):
+        g = geom
+        for _ in range(nsteps):
+            g = cm.step(g, None, dt, frontal_melt_rate=fm)
+            g = S.ensure_consistency(g, 910.0, 1028.0, 0.01)
+        return g
+
+    n = 6
+    gA = run(dt_max, n)            # dt at the CFL limit
+    gB = run(dt_max / 4.0, 4 * n)  # 4x-finer fixed dt, same interval
+
+    def content(g):
+        return float(jnp.sum(g.ice_thickness + g.ice_area_specific_volume))
+
+    c0 = content(geom)
+    lossA, lossB = c0 - content(gA), c0 - content(gB)
+    # expected: R * T sweeps n cells of 300 m ice per row
+    expected = n * 300.0 * grid.shape2[0]
+    assert lossA == pytest.approx(expected, rel=1e-6)
+    assert lossB == pytest.approx(expected, rel=1e-6)
+    assert lossA == pytest.approx(lossB, rel=1e-6)
