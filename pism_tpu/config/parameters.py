@@ -147,7 +147,6 @@ PARAMETERS = {
     "basal_yield_stress.mohr_coulomb.till_reference_void_ratio": (0.69, None, "e_0"),
     "basal_yield_stress.mohr_coulomb.till_compressibility_coefficient": (0.12, None, "C_c"),
     "basal_yield_stress.mohr_coulomb.till_effective_fraction_overburden": (0.02, None, "delta"),
-    "basal_yield_stress.mohr_coulomb.delta_fraction": (0.02, None, "alias of delta"),
 
     # --- energy -------------------------------------------------------------
     "energy.model": ("enthalpy", None, "none | cold | enthalpy"),
@@ -187,13 +186,13 @@ PARAMETERS = {
     "hydrology.hydraulic_conductivity": (1.0e-2, None, "routing conductivity k"),
     "hydrology.alpha": (1.25, None, "routing flux exponent on W"),
     "hydrology.beta": (1.5, None, "routing flux exponent on |grad psi|"),
-    "hydrology.thickness_power_in_flux": (1.25, None, "alias alpha"),
-    "hydrology.gradient_power_in_flux": (1.5, None, "alias beta"),
+    "hydrology.thickness_power_in_flux": (1.25, None, "routing flux exponent on W (reference name; hydrology.alpha is the short alias)"),
+    "hydrology.gradient_power_in_flux": (1.5, None, "routing flux exponent on |grad psi| (reference name; hydrology.beta is the short alias)"),
     "hydrology.regularizing_porosity": (0.01, None, "distributed-model regularizing porosity"),
     "hydrology.roughness_scale": (0.1, "m", "distributed-model bed roughness W_r"),
     "hydrology.cavitation_opening_coefficient": (0.5, "m-1", "c_1"),
     "hydrology.creep_closure_coefficient": (0.04, None, "c_2"),
-    "hydrology.maximum_time_step": (1.0, "years", "hydrology dt cap"),
+    "hydrology.maximum_time_step": (0.0, "years", "hydrology dt cap (<= 0 = disabled; the rebuild CFL-subcycles routing internally, so unlike the reference no cap is needed by default)"),
 
     # --- calving / front retreat --------------------------------------------
     "calving.methods": ("", None, "comma list: eigen_calving,thickness_calving,vonmises_calving,float_kill"),
@@ -472,7 +471,6 @@ PARAMETERS.update({
     "flow_law.Hooke.C": (0.16612, "K3", "Hooke C constant"),
     "flow_law.Hooke.k": (1.17, None, "Hooke k constant"),
     "flow_law.Hooke.Tr": (273.39, "K", "Hooke Tr constant"),
-    "flow_law.Schoof_regularizing_velocity": (1.0, "m year-1", "flow-law strain-rate regularization velocity"),
     "flow_law.grain_aware_GK": (False, None, "use the grain-size-dependent Goldsby-Kohlstedt composite law"),
 
     # --- energy extras --------------------------------------------------------
@@ -498,8 +496,7 @@ PARAMETERS.update({
     "hydrology.routing.include_floating_ice": (False, None, "route water under ice shelves too"),
     "hydrology.tillwat_decay_rate_grounded_only": (True, None, "the till drainage C applies only under grounded ice"),
     "hydrology.nullstrip_width": (-1.0, "m", "regional mode: no-hydrology strip width (< 0 = none)"),
-    "hydrology.distributed.phi_0": (0.01, None, "distributed model englacial porosity (pressure equation)"),
-    "hydrology.number_of_water_columns": (1, None, "reserved: vertical water-layer count"),
+    "hydrology.distributed.phi_0": (0.01, None, "distributed model englacial porosity (reference name; hydrology.regularizing_porosity is the short alias)"),
 
     # --- calving extras ------------------------------------------------------------
     "calving.eigen_calving.make_margin_floating": (False, None, "treat grounded margin cells as floating for eigencalving"),
@@ -514,8 +511,8 @@ PARAMETERS.update({
     # --- frontal melt extras ----------------------------------------------------
     "frontal_melt.given.file": ("", None, "file with frontal_melt_rate for -frontal_melt given"),
     "frontal_melt.routing.file": ("", None, "file with theta/salinity/depth inputs of the discharge-routing plume"),
-    "frontal_melt.routing.parameter_a": (2.8e-4, "m year-1 degC-1", "plume parameterization A (Rignot et al. 2016)"),
-    "frontal_melt.routing.parameter_b": (0.15, "m year-1", "plume parameterization B"),
+    "frontal_melt.routing.parameter_a": (3e-4, None, "plume parameterization A in per-day form: melt [m/day] = (A h q_sg^alpha + B) theta^beta with q_sg in m/day (Xu et al. 2013 / Rignot et al. 2016)"),
+    "frontal_melt.routing.parameter_b": (0.15, None, "plume parameterization B [m day-1 per degC^beta]"),
     "frontal_melt.routing.power_alpha": (0.39, None, "plume discharge exponent alpha"),
     "frontal_melt.routing.power_beta": (1.18, None, "plume thermal-forcing exponent beta"),
 
@@ -532,13 +529,13 @@ PARAMETERS.update({
     "atmosphere.yearly_cycle.scaling.file": ("", None, "scalar amplitude-scaling series of the cosine yearly cycle"),
     "atmosphere.fausto_air_temp.enabled": (False, None, "Fausto et al. (2009) Greenland near-surface lapse parameterization"),
     "atmosphere.fausto_air_temp.d_ma": (314.98, "K", "Fausto mean-annual intercept"),
-    "atmosphere.fausto_air_temp.gamma_ma": (-6.953e-3, "K m-1", "Fausto mean-annual elevation gradient"),
-    "atmosphere.fausto_air_temp.c_ma": (-0.095439, "K degree-1", "Fausto mean-annual latitude coefficient"),
-    "atmosphere.fausto_air_temp.kappa_ma": (0.0, "K degree-1", "Fausto mean-annual longitude coefficient"),
+    "atmosphere.fausto_air_temp.gamma_ma": (-6.309e-3, "K m-1", "Fausto mean-annual elevation gradient"),
+    "atmosphere.fausto_air_temp.c_ma": (-0.7189, "K degree-1", "Fausto mean-annual latitude coefficient"),
+    "atmosphere.fausto_air_temp.kappa_ma": (-0.0672, "K degree-1", "Fausto mean-annual longitude coefficient"),
     "atmosphere.fausto_air_temp.d_mj": (287.85, "K", "Fausto mean-July intercept"),
     "atmosphere.fausto_air_temp.gamma_mj": (-5.426e-3, "K m-1", "Fausto mean-July elevation gradient"),
-    "atmosphere.fausto_air_temp.c_mj": (-0.042725, "K degree-1", "Fausto mean-July latitude coefficient"),
-    "atmosphere.fausto_air_temp.kappa_mj": (0.0, "K degree-1", "Fausto mean-July longitude coefficient"),
+    "atmosphere.fausto_air_temp.c_mj": (-0.1585, "K degree-1", "Fausto mean-July latitude coefficient"),
+    "atmosphere.fausto_air_temp.kappa_mj": (0.0518, "K degree-1", "Fausto mean-July longitude coefficient"),
     "atmosphere.fausto_air_temp.summer_peak_day": (196, None, "day of year of the summer temperature peak"),
 
     # --- surface extras -----------------------------------------------------------
@@ -566,9 +563,10 @@ PARAMETERS.update({
     "ocean.anomaly.file": ("", None, "file with shelf_base_mass_flux anomalies"),
     "ocean.delta_SL.file": ("", None, "scalar sea-level offset series (-ocean ...,delta_SL)"),
     "ocean.delta_sl_2d.file": ("", None, "2D sea-level offset stack for delta_sl_2d"),
-    "ocean.runoff_to_ocean_melt_power_alpha": (1.0, None, "runoff_SMB melt power on runoff"),
-    "ocean.runoff_to_ocean_melt_power_beta": (1.0, None, "runoff_SMB melt power on thermal forcing"),
-    "ocean.runoff_to_ocean_melt_factor": (0.0, "m year-1", "runoff_SMB melt prefactor"),
+    "ocean.runoff_to_ocean_melt_power_alpha": (0.54, None, "runoff_SMB melt power on runoff (Xu et al. 2013)"),
+    "ocean.runoff_to_ocean_melt_power_beta": (1.17, None, "runoff_SMB melt power on the air-temperature anomaly"),
+    "ocean.runoff_to_ocean_melt_factor": (1.0, None, "runoff_SMB melt prefactor B in melt *= 1 + B Q^alpha dT^beta"),
+    "ocean.runoff_to_ocean_melt.temp_to_runoff_a": (0.1, "K-1", "fractional surface-runoff change per Kelvin of air-temperature anomaly (runoff_SMB Q = a dT)"),
     "ocean.pico.exclude_ice_rises": (True, None, "PICO: ice rises do not count as grounding-line boxes"),
     "ocean.pico.maximize_grounding_line_distance": (False, None, "PICO box assignment uses the max GL distance convention"),
     "ocean.pico.file": ("", None, "NetCDF file with theta_ocean / salinity_ocean (and optionally basins) for PICO (reference -ocean pico input file)"),

@@ -24,16 +24,22 @@ class AtmosphereInputs(NamedTuple):
 
 
 class AtmosphereModel:
+    #: day of year of the summer temperature peak of the cosine annual
+    #: cycle (reference atmosphere.fausto_air_temp.summer_peak_day; the
+    #: factory overrides it from the config)
+    summer_peak_day: float = 182.5
+
     def __call__(self, geometry, t) -> AtmosphereInputs:
         raise NotImplementedError
 
     def temperature_at(self, geometry, t, year_fraction):
         """Instantaneous air temperature within the yearly cycle (PISM
-        ``AtmosphereModel::temp_time_series``): cosine cycle peaking in
-        summer (year_fraction ~ 0.5)."""
+        ``AtmosphereModel::temp_time_series``): cosine cycle peaking on
+        ``summer_peak_day``."""
         a = self(geometry, t)
         Ta, Tj = a.temperature, a.temperature_july
-        cycle = jnp.cos(2.0 * jnp.pi * (year_fraction - 0.5))
+        peak = self.summer_peak_day / 365.0
+        cycle = jnp.cos(2.0 * jnp.pi * (year_fraction - peak))
         return Ta + (Tj - Ta) * cycle
 
 
@@ -122,14 +128,33 @@ class SeariseGreenland(AtmosphereModel):
     latitude: jnp.ndarray      # degrees N
     longitude: jnp.ndarray     # degrees W as negative? PISM uses degrees E in [-90,-10]
     precipitation: jnp.ndarray  # m/s ice equivalent
+    config: object = None      # coefficients from atmosphere.fausto_air_temp.*
+
+    def __post_init__(self):
+        # the published Fausto et al. (2009) coefficients are the config
+        # defaults; atmosphere.fausto_air_temp.* overrides them
+        c = {}
+        if self.config is not None:
+            for k in ("d_ma", "gamma_ma", "c_ma", "kappa_ma",
+                      "d_mj", "gamma_mj", "c_mj", "kappa_mj"):
+                c[k] = self.config.get_number(
+                    "atmosphere.fausto_air_temp." + k)
+        else:
+            c = dict(d_ma=314.98, gamma_ma=-6.309e-3, c_ma=-0.7189,
+                     kappa_ma=-0.0672, d_mj=287.85, gamma_mj=-5.426e-3,
+                     c_mj=-0.1585, kappa_mj=0.0518)
+        self._coef = c
 
     def __call__(self, geometry, t) -> AtmosphereInputs:
         dt_ = geometry.ice_thickness.dtype
         h = jnp.maximum(geometry.ice_surface_elevation, 0.0)
         lat = jnp.asarray(self.latitude, dt_)
         lon = jnp.asarray(self.longitude, dt_)
-        T_ma = 273.15 + 41.83 - 6.309e-3 * h - 0.7189 * lat - 0.0672 * lon
-        T_jul = 273.15 + 14.70 - 5.426e-3 * h - 0.1585 * lat + 0.0518 * lon
+        c = self._coef
+        T_ma = c["d_ma"] + c["gamma_ma"] * h + c["c_ma"] * lat \
+            + c["kappa_ma"] * lon
+        T_jul = c["d_mj"] + c["gamma_mj"] * h + c["c_mj"] * lat \
+            + c["kappa_mj"] * lon
         return AtmosphereInputs(T_ma.astype(dt_), T_jul.astype(dt_),
                                 jnp.asarray(self.precipitation, dt_))
 
@@ -268,6 +293,7 @@ class Anomaly(AtmosphereModel):
     temp_anomaly: Optional[jnp.ndarray] = None      # K
     precip_anomaly: Optional[jnp.ndarray] = None    # m/s
     times: Optional[jnp.ndarray] = None             # (Nt,) [s] if stacked
+    period: float = 0.0   # [s]; > 0 cycles (atmosphere.anomaly.periodic)
 
     def _slice(self, field, t, dtype):
         if field is None:
@@ -276,6 +302,8 @@ class Anomaly(AtmosphereModel):
         if self.times is None or f.ndim == 2:
             return f
         times = jnp.asarray(self.times)
+        if self.period > 0.0:
+            t = times[0] + jnp.mod(t - times[0], self.period)
         k = jnp.clip(jnp.searchsorted(times, t, side="right") - 1,
                      0, times.shape[0] - 1)
         return f[k]

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, Mapping, Optional
 
+from ..config.parameters import PARAMETERS
 from . import atmosphere as _atm
 from . import frontalmelt as _fm
 from . import ocean as _ocn
@@ -73,12 +74,14 @@ def atmosphere_from_config(config, inputs: Optional[Mapping] = None,
             precipitation=_need(inputs, "precipitation", base),
             temperature_july=inputs.get("air_temp_summer"),
             times=inputs.get("times"),
-            period=config.get_number("atmosphere.given.period", "seconds"))
+            period=stack_period(config, "atmosphere.given",
+                                inputs.get("times")))
     elif base == "searise_greenland":
         model = _atm.SeariseGreenland(
             latitude=_need(inputs, "latitude", base),
             longitude=_need(inputs, "longitude", base),
-            precipitation=_need(inputs, "precipitation", base))
+            precipitation=_need(inputs, "precipitation", base),
+            config=config)
     elif base == "yearly_cycle":
         model = _atm.CosineYearlyCycle(
             temperature_mean_annual=_need(inputs, "air_temp_mean_annual", base),
@@ -97,6 +100,10 @@ def atmosphere_from_config(config, inputs: Optional[Mapping] = None,
             precipitation=_need(inputs, "precipitation", base))
     else:
         raise ValueError(f"unknown atmosphere model {base!r}")
+    # summer peak day of the cosine annual cycle (reference
+    # atmosphere.fausto_air_temp.summer_peak_day)
+    model.summer_peak_day = config.get_number(
+        "atmosphere.fausto_air_temp.summer_peak_day")
 
     for mod in mods:
         if mod == "elevation_change":
@@ -132,7 +139,9 @@ def atmosphere_from_config(config, inputs: Optional[Mapping] = None,
                 inner=model,
                 temp_anomaly=inputs.get("air_temp_anomaly"),
                 precip_anomaly=inputs.get("precipitation_anomaly"),
-                times=inputs.get("anomaly_times"))
+                times=inputs.get("anomaly_times"),
+                period=stack_period(config, "atmosphere.anomaly",
+                                    inputs.get("anomaly_times")))
         elif mod == "orographic_precipitation":
             from .orographic import OrographicModifier, orographic_from_config
             if grid is None:
@@ -177,7 +186,8 @@ def surface_from_config(config, inputs: Optional[Mapping] = None,
             smb_field=_need(inputs, "climatic_mass_balance", base),
             temperature_field=_need(inputs, "ice_surface_temp", base),
             times=inputs.get("times"),
-            period=config.get_number("surface.given.period", "seconds"))
+            period=stack_period(config, "surface.given",
+                                inputs.get("times")))
     elif base == "elevation":
         model = _srf.ElevationDependent(
             z_min=config.get_number("surface.elevation_dependent.z_min"),
@@ -188,7 +198,8 @@ def surface_from_config(config, inputs: Optional[Mapping] = None,
     elif base == "pdd":
         from .pdd import TemperatureIndex
         model = TemperatureIndex(atmosphere=need_atm(base), config=config,
-                                 sigma_field=inputs.get("air_temp_sd"))
+                                 sigma_field=inputs.get("air_temp_sd"),
+                                 latitude=inputs.get("latitude"))
     elif base == "debm_simple":
         import numpy as _np
 
@@ -219,7 +230,9 @@ def surface_from_config(config, inputs: Optional[Mapping] = None,
                 inner=model,
                 smb_anomaly=inputs.get("climatic_mass_balance_anomaly"),
                 temp_anomaly=inputs.get("ice_surface_temp_anomaly"),
-                times=inputs.get("anomaly_times"))
+                times=inputs.get("anomaly_times"),
+                period=stack_period(config, "surface.anomaly",
+                                    inputs.get("anomaly_times")))
         elif mod == "delta_T":
             model = _srf.DeltaT(inner=model,
                                 offset=_need(inputs, "delta_T", mod))
@@ -273,12 +286,14 @@ def ocean_from_config(config, inputs: Optional[Mapping] = None, grid=None):
             theta_ocean=_need(inputs, "theta_ocean", base),
             salinity_ocean=_need(inputs, "salinity_ocean", base),
             config=config, times=inputs.get("times"),
-            period=config.get_number("ocean.th.period", "seconds"))
+            period=stack_period(config, "ocean.th", inputs.get("times")))
     elif base == "given":
         model = _ocn.Given(
             melt_rate=_need(inputs, "shelf_base_mass_flux", base),
             temperature=inputs.get("shelf_base_temperature"),
-            times=inputs.get("times"))
+            times=inputs.get("times"),
+            period=stack_period(config, "ocean.given",
+                                inputs.get("times")))
     elif base == "pico":
         from .pico import Pico
         if grid is None:
@@ -286,14 +301,21 @@ def ocean_from_config(config, inputs: Optional[Mapping] = None, grid=None):
         model = Pico(
             temperature_ocean=_need(inputs, "theta_ocean", base),
             salinity_ocean=_need(inputs, "salinity_ocean", base),
-            config=config, basin_mask=inputs.get("basins"), grid=grid)
+            config=config, basin_mask=inputs.get("basins"), grid=grid,
+            times=inputs.get("times"),
+            period=stack_period(config, "ocean.pico",
+                                inputs.get("times")))
     else:
         raise ValueError(f"unknown ocean model {base!r}")
 
     for mod in mods:
         if mod == "anomaly":
-            model = _ocn.Anomaly(inner=model,
-                                 anomaly=_need(inputs, "melt_anomaly", mod))
+            model = _ocn.Anomaly(
+                inner=model,
+                anomaly=_need(inputs, "melt_anomaly", mod),
+                times=inputs.get("anomaly_times"),
+                period=stack_period(config, "ocean.anomaly",
+                                    inputs.get("anomaly_times")))
         elif mod == "delta_T":
             model = _ocn.DeltaT(inner=model,
                                 offset=_need(inputs, "delta_T", mod))
@@ -304,8 +326,17 @@ def ocean_from_config(config, inputs: Optional[Mapping] = None, grid=None):
             model = _ocn.FracSMB(inner=model,
                                  fraction=_need(inputs, "frac_SMB", mod))
         elif mod == "runoff_SMB":
-            model = _ocn.RunoffSMB(inner=model,
-                                   delta_T=_need(inputs, "delta_T", mod))
+            model = _ocn.RunoffSMB(
+                inner=model,
+                delta_T=_need(inputs, "delta_T", mod),
+                temp_to_runoff_a=config.get_number(
+                    "ocean.runoff_to_ocean_melt.temp_to_runoff_a"),
+                melt_factor_B=config.get_number(
+                    "ocean.runoff_to_ocean_melt_factor"),
+                alpha=config.get_number(
+                    "ocean.runoff_to_ocean_melt_power_alpha"),
+                beta=config.get_number(
+                    "ocean.runoff_to_ocean_melt_power_beta"))
         elif mod == "frac_MBP":
             model = _ocn.FracMBP(inner=model,
                                  fraction=_need(inputs, "frac_MBP", mod))
@@ -337,7 +368,10 @@ def sea_level_from_config(config, inputs: Optional[Mapping] = None):
     chain = config.get_string("sea_level.models")
     base, mods = _split(chain)
     if base == "constant":
-        model = _sl.Constant(value=config.get_number("sea_level.constant.value"))
+        # reference sea_level.constant.delta_SL: additional constant offset
+        model = _sl.Constant(
+            value=config.get_number("sea_level.constant.value")
+            + config.get_number("sea_level.constant.delta_SL"))
     else:
         raise ValueError(f"unknown sea level model {base!r}")
     for mod in mods:
@@ -345,9 +379,12 @@ def sea_level_from_config(config, inputs: Optional[Mapping] = None):
             model = _sl.DeltaSL(inner=model,
                                 offset=_need(inputs, "delta_SL", mod))
         elif mod == "delta_sl_2d":
-            model = _sl.DeltaSL2D(inner=model,
-                                  offset_field=_need(inputs, "delta_SL_2D", mod),
-                                  times=inputs.get("delta_SL_2D_times"))
+            model = _sl.DeltaSL2D(
+                inner=model,
+                offset_field=_need(inputs, "delta_SL_2D", mod),
+                times=inputs.get("delta_SL_2D_times"),
+                period=stack_period(config, "sea_level.delta_sl_2d",
+                                    inputs.get("delta_SL_2D_times")))
         else:
             raise ValueError(f"unknown sea level modifier {mod!r}")
     return model
@@ -397,8 +434,12 @@ def inputs_from_files(config, grid, group: str) -> dict:
     def scalar(file_key, input_key, variable=None):
         path = config.get_string(file_key)
         if path:
+            # every scalar forcing has a sibling ".periodic" flag (reference
+            # -..._periodic: repeat the series with period = its time extent)
+            pkey = file_key[:-len(".file")] + ".periodic"
+            periodic = pkey in PARAMETERS and config.get_flag(pkey)
             inputs[input_key] = ScalarForcing.from_file(
-                path, variable or input_key)
+                path, variable or input_key, periodic=periodic)
 
     if group == "surface":
         # reference surface.given.smb_max: error on implausible SMB input
@@ -470,6 +511,16 @@ def inputs_from_files(config, grid, group: str) -> dict:
                     f"surface.given.smb_max ({smb_cap:.3e} m/s) - check the "
                     "input units")
         scalar("surface.delta_T.file", "delta_T")
+        # anomaly stacks keep their own time axis
+        path = config.get_string("surface.anomaly.file")
+        if path:
+            fields, a_times = read_forcing_fields(
+                path, grid, ["climatic_mass_balance_anomaly",
+                             "ice_surface_temp_anomaly"])
+            for k, v in fields.items():
+                inputs[k] = jnp.asarray(v, fdt)
+            if a_times is not None:
+                inputs["anomaly_times"] = jnp.asarray(a_times)
         sd_path = config.get_string("surface.pdd.std_dev.file")
         if sd_path:
             fields, _ = read_forcing_fields(sd_path, grid, ["air_temp_sd"])
@@ -507,9 +558,70 @@ def inputs_from_files(config, grid, group: str) -> dict:
         spatial("ocean.th.file", ["theta_ocean", "salinity_ocean"])
         spatial("ocean.pico.file",
                 ["theta_ocean", "salinity_ocean", "basins"])
+        # drainage basins may come from their own file (reference
+        # ocean.pico.basins_file)
+        spatial("ocean.pico.basins_file", ["basins"])
+        if "basins" in inputs and getattr(inputs["basins"], "ndim", 2) == 3:
+            inputs["basins"] = inputs["basins"][-1]
         scalar("ocean.delta_T.file", "delta_T")
         scalar("ocean.frac_MBP.file", "frac_MBP")
         scalar("ocean.delta_MBP.file", "delta_MBP")
+        scalar("ocean.frac_SMB.file", "frac_SMB")
+        # anomaly stacks keep their own time axis
+        path = config.get_string("ocean.anomaly.file")
+        if path:
+            fields, a_times = read_forcing_fields(
+                path, grid, ["shelf_base_mass_flux_anomaly",
+                             "shelf_base_mass_flux"])
+            for k in ("shelf_base_mass_flux_anomaly", "shelf_base_mass_flux"):
+                if k in fields:
+                    inputs["melt_anomaly"] = jnp.asarray(fields[k], fdt)
+                    break
+            if a_times is not None:
+                inputs["anomaly_times"] = jnp.asarray(a_times)
     elif group == "sea_level":
         scalar("sea_level.delta_sl.file", "delta_SL")
+        # legacy alias: the reference's -ocean ...,delta_SL file option
+        if "delta_SL" not in inputs:
+            scalar("ocean.delta_SL.file", "delta_SL")
+        path = config.get_string("ocean.delta_sl_2d.file")
+        if path:
+            fields, sl_times = read_forcing_fields(
+                path, grid, ["delta_SL", "delta_SL_2D", "sea_level_change"])
+            for k in ("delta_SL_2D", "delta_SL", "sea_level_change"):
+                if k in fields:
+                    inputs["delta_SL_2D"] = jnp.asarray(fields[k], fdt)
+                    break
+            if sl_times is not None:
+                inputs["delta_SL_2D_times"] = jnp.asarray(sl_times)
+    elif group == "frontal_melt":
+        spatial("frontal_melt.given.file", ["frontal_melt_rate"])
+        spatial("frontal_melt.routing.file", ["theta_ocean"])
+        spatial("frontal_melt.discharge_given.file",
+                ["theta_ocean", "subglacial_discharge"])
+        # frontal-melt couplers consume single 2D fields; a time stack
+        # supplies its last slice
+        for k in ("frontal_melt_rate", "theta_ocean",
+                  "subglacial_discharge"):
+            if k in inputs and getattr(inputs[k], "ndim", 2) == 3:
+                inputs[k] = inputs[k][-1]
     return inputs
+
+
+def stack_period(config, prefix, times):
+    """Forcing period [s] for a time-stack coupler: an explicit
+    ``<prefix>.period`` wins; ``<prefix>.periodic`` derives the period from
+    the series extent (span + one mean spacing, so a 12-entry monthly
+    climatology cycles yearly — the reference derives it from the file's
+    time bounds)."""
+    period = 0.0
+    pkey = prefix + ".period"
+    if pkey in PARAMETERS:
+        period = config.get_number(pkey, "seconds")
+    fkey = prefix + ".periodic"
+    if period == 0.0 and fkey in PARAMETERS and config.get_flag(fkey) \
+            and times is not None and len(times) > 1:
+        import numpy as np
+        t = np.asarray(times, float)
+        period = float((t[-1] - t[0]) * len(t) / (len(t) - 1))
+    return period

@@ -92,16 +92,45 @@ class DischargeGiven(FrontalMeltModel):
         return melt_m_per_day / 86400.0
 
 
-def frontal_melt_from_config(config):
-    """Factory (PISM ``PCFactory`` seam): config-string construction for the
-    models that need no input fields; field-driven models (given,
-    discharge_given, routing) are passed to IceModel directly."""
+def _plume_constants(config):
+    """Rignot/Xu plume constants from the config (reference
+    ``frontal_melt.routing.*``, src/coupler/frontalmelt/DischargeRouting.cc)."""
+    return dict(
+        A=config.get_number("frontal_melt.routing.parameter_a"),
+        B=config.get_number("frontal_melt.routing.parameter_b"),
+        alpha=config.get_number("frontal_melt.routing.power_alpha"),
+        beta=config.get_number("frontal_melt.routing.power_beta"))
+
+
+def frontal_melt_from_config(config, grid=None, inputs=None):
+    """Factory (PISM ``PCFactory`` seam). ``constant`` needs no inputs;
+    ``given`` / ``routing`` / ``discharge_given`` read their fields from the
+    ``inputs`` mapping (pre-built, e.g. by
+    :func:`~pism_tpu.coupler.factory.inputs_from_files` with the
+    ``frontal_melt.*.file`` parameters) — pass a prepared model object to
+    ``IceModel(frontal_melt=...)`` to bypass the files."""
     name = config.get_string("frontal_melt.models")
     if not name or name == "none":
         return None
     if name == "constant":
         return Constant(rate=config.get_number(
             "frontal_melt.constant.melt_rate", "m s-1"))
-    raise ValueError(
-        f"frontal_melt.models = {name!r} requires input fields; construct "
-        "the model object and pass it to IceModel(frontal_melt=...)")
+    inputs = inputs or {}
+
+    def need(key):
+        if key not in inputs:
+            raise ValueError(
+                f"frontal_melt.models = {name!r} needs input field {key!r} "
+                f"(set frontal_melt.{name}.file)")
+        return inputs[key]
+
+    if name == "given":
+        return Given(rate_field=need("frontal_melt_rate"))
+    if name == "routing":
+        return DischargeRouting(theta=need("theta_ocean"),
+                                **_plume_constants(config))
+    if name == "discharge_given":
+        return DischargeGiven(theta=need("theta_ocean"),
+                              discharge=need("subglacial_discharge"),
+                              **_plume_constants(config))
+    raise ValueError(f"unknown frontal_melt model {name!r}")

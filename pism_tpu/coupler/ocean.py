@@ -90,12 +90,14 @@ class PIK(OceanModel):
         self.c_w = cfg.get_number("constants.sea_water.specific_heat_capacity")
         self.L = cfg.get_number("constants.fresh_water.latent_heat_of_fusion")
         self.melt_factor = cfg.get_number("ocean.pik_melt_factor")
+        self.S_ocean = cfg.get_number("constants.sea_water.salinity")
         self.T_ocean = 271.15  # PISM: -2 degC ambient
 
     def inputs(self, geometry, t) -> OceanInputs:
         draft = self._draft(geometry, self.rho_i, self.rho_w)
         # potential temperature above in-situ freezing point at the draft
-        T_f = 273.15 - 0.0575 * 35.0 + 0.0832e-2 - 7.64e-4 * draft  # Beckmann-Goosse
+        T_f = 273.15 - 0.0575 * self.S_ocean + 0.0832e-2 \
+            - 7.64e-4 * draft   # Beckmann-Goosse freezing point
         dT = jnp.maximum(self.T_ocean - T_f, 0.0)
         gamma_T = 1e-4
         melt = (self.melt_factor * self.rho_w * self.c_w * gamma_T
@@ -140,6 +142,7 @@ class GivenTH(OceanModel):
         self.gamma_S = cfg.get_number("ocean.th.gamma_S")
         self.T_ice = cfg.get_number("ocean.th.ice_temperature")
         self.two_eq = cfg.get_flag("ocean.th.two_equation")
+        self.clip_salinity = cfg.get_flag("ocean.th.clip_salinity")
 
     def _slice(self, field, t, dtype):
         """Piecewise-linear time interpolation of an (Nt, My, Mx) stack."""
@@ -182,7 +185,10 @@ class GivenTH(OceanModel):
         # A < 0 for physical coefficients; the root with S_b > 0 is
         # (-B + disc)/(2A) written stably via the product form
         S_b = (2.0 * C) / (-Bq - disc)
-        S_b = jnp.clip(S_b, 1.0, 2.0 * jnp.maximum(S_o, 1.0))
+        if self.clip_salinity:
+            # reference ocean.th.clip_salinity: keep the interface salinity
+            # in a physical range (guards freeze-on blowup at fresh inputs)
+            S_b = jnp.clip(S_b, 1.0, 2.0 * jnp.maximum(S_o, 1.0))
         T_b = a * S_b + Tz
         melt = (self.rho_w * gS / self.rho_i) * (S_o - S_b) / \
             jnp.maximum(S_b, 1.0)
@@ -197,12 +203,16 @@ class Given(OceanModel):
     melt_rate: jnp.ndarray                 # m/s ice equivalent (2D or (Nt,My,Mx))
     temperature: Optional[jnp.ndarray] = None   # K
     times: Optional[jnp.ndarray] = None    # (Nt,) [s], sorted
+    period: float = 0.0                    # [s]; > 0 cycles the series
+    #   (reference ocean.given.periodic)
 
     def _slice(self, field, t, dtype):
         f = jnp.asarray(field, dtype)
         if self.times is None or f.ndim == 2:
             return f
         times = jnp.asarray(self.times)
+        if self.period > 0.0:
+            t = times[0] + jnp.mod(t - times[0], self.period)
         k = jnp.clip(jnp.searchsorted(times, t, side="right") - 1,
                      0, times.shape[0] - 1)
         return f[k]
@@ -219,14 +229,27 @@ class Given(OceanModel):
 
 @dataclass
 class Anomaly(OceanModel):
-    """Additive melt anomaly on top of an inner model."""
+    """Additive melt anomaly on top of an inner model (optionally a
+    (Nt, My, Mx) stack with ``times``; ``period`` cycles it — reference
+    ocean.anomaly.periodic)."""
 
     inner: OceanModel
     anomaly: jnp.ndarray  # m/s
+    times: Optional[jnp.ndarray] = None
+    period: float = 0.0
 
     def inputs(self, geometry, t) -> OceanInputs:
         o = self.inner.inputs(geometry, t)
-        return OceanInputs(o.shelf_base_melt + jnp.asarray(self.anomaly),
+        a = jnp.asarray(self.anomaly)
+        if self.times is not None and a.ndim == 3:
+            times = jnp.asarray(self.times)
+            tt = t
+            if self.period > 0.0:
+                tt = times[0] + jnp.mod(tt - times[0], self.period)
+            k = jnp.clip(jnp.searchsorted(times, tt, side="right") - 1,
+                         0, times.shape[0] - 1)
+            a = a[k]
+        return OceanInputs(o.shelf_base_melt + a,
                            o.shelf_base_temperature)
 
 

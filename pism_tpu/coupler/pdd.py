@@ -55,9 +55,12 @@ class TemperatureIndex(SurfaceModel):
     sigma_field: object = None   # optional 2D air_temp_sd field (reference
     #                              surface.pdd.std_dev.file, ISMIP6-style);
     #                              overrides the scalar/parameterized sigma
-    n_intervals: int = 26   # sub-intervals per update (and per year in
-    #                         __call__); the expectation integrand is smooth,
-    #                         midpoint quadrature converges fast
+    latitude: object = None      # optional 2D latitude [deg N] (Fausto PDD
+    #                              factors, sigma latitude lapse)
+    n_intervals: int = 0    # sub-intervals per update (and per year in
+    #                         __call__); 0 = derive from
+    #                         surface.pdd.max_evals_per_year (the integrand
+    #                         is smooth, midpoint quadrature converges fast)
 
     stateful = True
 
@@ -93,6 +96,61 @@ class TemperatureIndex(SurfaceModel):
             self._seed = int.from_bytes(os.urandom(4), "little")
         else:
             self._seed = 0
+        if self.n_intervals <= 0:
+            # reference surface.pdd.max_evals_per_year: evaluation density of
+            # the budget integral. dt <= 1 a (max_timestep), and the average
+            # production step is ~half a year, so evals/2 sub-intervals per
+            # update keeps the per-year evaluation count at the configured
+            # value (the default 52 reproduces the historical 26).
+            self.n_intervals = max(
+                4, int(round(cfg.get_number("surface.pdd.max_evals_per_year")
+                             / 2.0)))
+        self.precip_as_snow = cfg.get_flag(
+            "surface.pdd.interpret_precip_as_snow")
+        self.firn_compaction = cfg.get_number(
+            "surface.pdd.firn_compaction_to_accumulation_ratio")
+        # Fausto et al. (2009) latitude/temperature-dependent degree-day
+        # factors (reference surface.pdd.fausto.*, localMassBalance.cc
+        # FaustoGrevePDDObject): cubic interpolation of the factors between
+        # the cold regime (T_mj <= T_c) and the warm regime (T_mj >= T_w),
+        # with warm factors forced south of latitude_beta_w when a latitude
+        # field is available.
+        self.fausto = cfg.get_flag("surface.pdd.fausto.enabled")
+        if self.fausto:
+            self.fausto_T_c = cfg.get_number("surface.pdd.fausto.T_c")
+            self.fausto_T_w = cfg.get_number("surface.pdd.fausto.T_w")
+            day = 86400.0
+            self.fausto_beta = {
+                "ice_c": cfg.get_number("surface.pdd.fausto.beta_ice_c") / day,
+                "ice_w": cfg.get_number("surface.pdd.fausto.beta_ice_w") / day,
+                "snow_c": cfg.get_number("surface.pdd.fausto.beta_snow_c") / day,
+                "snow_w": cfg.get_number("surface.pdd.fausto.beta_snow_w") / day,
+            }
+            self.fausto_lat_w = cfg.get_number(
+                "surface.pdd.fausto.latitude_beta_w")
+        self.sigma_lat_base = cfg.get_number(
+            "surface.pdd.std_dev.lapse_lat_base")
+        self.sigma_lat_rate = cfg.get_number(
+            "surface.pdd.std_dev.lapse_lat_rate")
+        self.summer_peak = cfg.get_number(
+            "atmosphere.fausto_air_temp.summer_peak_day") / 365.0
+
+    def _factors(self, T_mj, dtype):
+        """(factor_snow, factor_ice) [m K-1 s-1] fields; Fausto bands when
+        enabled, the scalar config factors otherwise."""
+        if not self.fausto:
+            return self.factor_snow, self.factor_ice
+        w = jnp.clip((self.fausto_T_w - T_mj)
+                     / (self.fausto_T_w - self.fausto_T_c), 0.0, 1.0) ** 3
+        fb = self.fausto_beta
+        f_ice = fb["ice_w"] + (fb["ice_c"] - fb["ice_w"]) * w
+        f_snow = fb["snow_w"] + (fb["snow_c"] - fb["snow_w"]) * w
+        if self.latitude is not None:
+            lat = jnp.asarray(self.latitude, dtype)
+            south = lat < self.fausto_lat_w
+            f_ice = jnp.where(south, fb["ice_w"], f_ice)
+            f_snow = jnp.where(south, fb["snow_w"], f_snow)
+        return f_snow.astype(dtype), f_ice.astype(dtype)
 
     def effective_sigma(self, T):
         """Daily air-temperature variability sigma [K] at air temperature T:
@@ -105,6 +163,13 @@ class TemperatureIndex(SurfaceModel):
         if self.sigma_param:
             sigma = jnp.maximum(
                 self.sigma_a * (T - 273.15) + self.sigma_b, 1e-3)
+        if self.sigma_lat_rate != 0.0 and self.latitude is not None:
+            # reference surface.pdd.std_dev.lapse_lat_*: sigma grows with
+            # latitude north of the base latitude
+            lat = jnp.asarray(self.latitude, dtype)
+            sigma = jnp.maximum(
+                sigma + self.sigma_lat_rate
+                * jnp.maximum(lat - self.sigma_lat_base, 0.0), 1e-3)
         return jnp.broadcast_to(sigma, jnp.asarray(T).shape)
 
     def max_timestep(self, t) -> float:
@@ -133,15 +198,24 @@ class TemperatureIndex(SurfaceModel):
                               atm.temperature_july.astype(dtype),
                               atm.precipitation.astype(dtype))
             frac = tk / SEC_PER_YEAR - jnp.floor(tk / SEC_PER_YEAR)
-            T = Ta + (Tj - Ta) * jnp.cos(2.0 * jnp.pi * (frac - 0.5)).astype(dtype)
-            # balance-year rollover: surviving snow becomes firn
+            T = Ta + (Tj - Ta) * jnp.cos(
+                2.0 * jnp.pi * (frac - self.summer_peak)).astype(dtype)
+            # balance-year rollover: the configured fraction of the
+            # surviving snow becomes firn, the rest is considered compacted
+            # into ice (reference
+            # surface.pdd.firn_compaction_to_accumulation_ratio; the depths
+            # are melt-factor bookkeeping, so no mass is created or lost)
             yr_k = balance_year(tk)
             rolled = yr_k > yr
-            firn = jnp.where(rolled, firn + snow, firn)
+            firn = jnp.where(rolled, firn + self.firn_compaction * snow, firn)
             snow = jnp.where(rolled, 0.0, snow)
-            # snow fraction of precipitation: 1 below T_all_snow, 0 above rain
-            sf = jnp.clip((self.T_all_rain - T)
-                          / (self.T_all_rain - self.T_all_snow), 0.0, 1.0)
+            # snow fraction of precipitation: 1 below T_all_snow, 0 above
+            # rain; interpret_precip_as_snow forces 1 (reference option)
+            if self.precip_as_snow:
+                sf = jnp.ones_like(T)
+            else:
+                sf = jnp.clip((self.T_all_rain - T)
+                              / (self.T_all_rain - self.T_all_snow), 0.0, 1.0)
             snowfall = precip * sf * dt_if           # m ice equivalent
             snow = snow + snowfall
             # degree-day supply this interval [K s] -> [K day]
@@ -173,13 +247,14 @@ class TemperatureIndex(SurfaceModel):
                 pdd = jnp.mean(jnp.maximum(T + eps - self.T_melt, 0.0),
                                axis=0) * dt_if / 86400.0
             # melt snow, then firn (snow factor), then ice
-            snowfirn_cap = self.factor_snow * 86400.0 * pdd
+            f_snow, f_ice = self._factors(Tj, dtype)
+            snowfirn_cap = f_snow * 86400.0 * pdd
             snow_melt = jnp.minimum(snow, snowfirn_cap)
             firn_melt = jnp.minimum(firn, snowfirn_cap - snow_melt)
             used = jnp.where(snowfirn_cap > 0,
                              (snow_melt + firn_melt)
                              / jnp.maximum(snowfirn_cap, 1e-30), 0.0)
-            ice_melt = self.factor_ice * 86400.0 * pdd * (1.0 - used)
+            ice_melt = f_ice * 86400.0 * pdd * (1.0 - used)
             refrozen = self.refreeze * (snow_melt + firn_melt)
             if self.refreeze_ice:
                 refrozen = refrozen + self.refreeze * ice_melt

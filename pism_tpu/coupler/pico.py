@@ -90,11 +90,13 @@ class Pico(OceanModel):
     constant per drainage basin (PISM averages input fields over the
     continental shelf of each basin; pass per-basin values directly)."""
 
-    temperature_ocean: jnp.ndarray   # T0 [K] ambient
+    temperature_ocean: jnp.ndarray   # T0 [K] ambient (2D or (Nt,My,Mx))
     salinity_ocean: jnp.ndarray      # S0 [g/kg]
     config: object = None
     basin_mask: Optional[jnp.ndarray] = None  # int basins (optional)
     grid: object = None
+    times: Optional[jnp.ndarray] = None   # (Nt,) [s] for forcing stacks
+    period: float = 0.0                   # ocean.pico.periodic
 
     def __post_init__(self):
         cfg = self.config
@@ -104,9 +106,34 @@ class Pico(OceanModel):
         self.rho_i = cfg.get_number("constants.ice.density")
         self.rho_w = cfg.get_number("constants.sea_water.density")
         self.g = cfg.get_number("constants.standard_gravity")
+        # fallbacks for basins without continental-shelf data (reference
+        # PicoPhysics: T_dummy/S_dummy ambient + Beckmann-Goosse melt with
+        # meltFactor on the affected shelves)
+        self.T_dummy = cfg.get_number("ocean.pico.T_dummy", "K")
+        self.S_dummy = cfg.get_number("ocean.pico.S_dummy")
+        self.melt_factor = cfg.get_number("ocean.pico.meltFactor")
+        self.exclude_rises = cfg.get_flag("ocean.pico.exclude_ice_rises")
+        self.max_gl_dist = cfg.get_flag(
+            "ocean.pico.maximize_grounding_line_distance")
+        self.c_w = cfg.get_number("constants.sea_water.specific_heat_capacity")
+        self.L_fus = cfg.get_number(
+            "constants.fresh_water.latent_heat_of_fusion")
         self.sh = Shifter(self.grid)
         self.nu = self.rho_i / self.rho_w
         self.lam = LATENT / C_P_OCEAN
+
+    def _slice(self, field, t, dtype):
+        """Piecewise-constant time slice of a forcing stack
+        (ocean.pico.file with a time axis; ocean.pico.periodic cycles)."""
+        f = jnp.asarray(field, dtype)
+        if self.times is None or f.ndim == 2:
+            return f
+        times = jnp.asarray(self.times)
+        if self.period > 0.0:
+            t = times[0] + jnp.mod(t - times[0], self.period)
+        k = jnp.clip(jnp.searchsorted(times, t, side="right") - 1,
+                     0, times.shape[0] - 1)
+        return f[k]
 
     # ------------------------------------------------------------------
     def boxes(self, geometry) -> PicoGeometry:
@@ -118,14 +145,49 @@ class Pico(OceanModel):
         max_it = mask.shape[0] + mask.shape[1]
 
         nbr = lambda m: (sh(m, 0, 1) | sh(m, 0, -1) | sh(m, 1, 0) | sh(m, -1, 0))
-        gl_seed = shelf & nbr(grounded)       # shelf cells at the GL
+        gl_grounded = grounded
+        if self.exclude_rises:
+            # reference PicoGeometry ice rises: grounded patches not part of
+            # the main grounded body do not seed the grounding-line distance.
+            # TPU-native reconstruction: the main body is the grounded
+            # connected component holding the thickest grounded ice (device
+            # flood fill, no gather-to-host).
+            H = geometry.ice_thickness
+            Hg = jnp.where(grounded, H, -1.0)
+            seed = Hg >= jnp.max(Hg)          # argmax cell(s)
+
+            def grow(carry):
+                m, changed, it = carry
+                g = m | (grounded & nbr(m))
+                return g, jnp.any(g != m), it + 1
+
+            def growing(carry):
+                _, changed, it = carry
+                return changed & (it < max_it)
+
+            gl_grounded, _, _ = jax.lax.while_loop(
+                growing, grow, (seed & grounded, jnp.asarray(True),
+                                jnp.asarray(0)))
+        gl_seed = shelf & nbr(gl_grounded)    # shelf cells at the GL
         if_seed = shelf & nbr(ocean_free)     # shelf cells at the front
 
         d_gl = _propagate_distance(gl_seed, shelf, sh, max_it)
         d_if = _propagate_distance(if_seed, shelf, sh, max_it)
 
         n = float(self.n_boxes)
-        r = d_gl / jnp.maximum(d_gl + d_if, 1.0)
+        if self.max_gl_dist and self.basin_mask is not None:
+            # reference ocean.pico.maximize_grounding_line_distance: box
+            # extents from the distance to the GL relative to the basin-wide
+            # maximum GL distance, instead of the local d_gl/(d_gl+d_if)
+            seg = jnp.asarray(self.basin_mask, jnp.int32).ravel()
+            nb = int(np.max(np.asarray(self.basin_mask))) + 1
+            dmax = jax.ops.segment_max(
+                jnp.where(shelf & (d_gl < 1e8), d_gl, 0.0).ravel(), seg,
+                num_segments=nb)
+            dmax_f = jnp.maximum(dmax[seg].reshape(d_gl.shape), 1.0)
+            r = jnp.clip(d_gl / dmax_f, 0.0, 1.0)
+        else:
+            r = d_gl / jnp.maximum(d_gl + d_if, 1.0)
         k = jnp.arange(1, self.n_boxes + 1, dtype=r.dtype)
         lo = 1.0 - jnp.sqrt((n - (k - 1.0)) / n)   # box k lower bound
         hi = 1.0 - jnp.sqrt((n - k) / n)
@@ -136,16 +198,21 @@ class Pico(OceanModel):
         box = jnp.where(shelf & (box == 0), self.n_boxes, box)
         return PicoGeometry(box.astype(jnp.int32), d_gl, d_if)
 
-    def _per_basin_mean(self, field, where):
+    def _per_basin_mean(self, field, where, fallback=None):
         """Mean of `field` over `where` cells per basin, scattered back to
-        cells (segment_sum over the static basin labels)."""
+        cells (segment_sum over the static basin labels). Basins with no
+        `where` cells get `fallback` (reference T_dummy/S_dummy); with
+        fallback=None they get 0. Returns (mean_field, no_data_mask)."""
         nb = int(np.max(np.asarray(self.basin_mask))) + 1
         seg = jnp.asarray(self.basin_mask, jnp.int32).ravel()
         w = where.astype(field.dtype).ravel()
         s = jax.ops.segment_sum(field.ravel() * w, seg, num_segments=nb)
         n = jax.ops.segment_sum(w, seg, num_segments=nb)
         mean = s / jnp.maximum(n, 1.0)
-        return mean[seg].reshape(field.shape)
+        if fallback is not None:
+            mean = jnp.where(n > 0, mean, fallback)
+        no_data = (n <= 0)[seg].reshape(field.shape)
+        return mean[seg].reshape(field.shape), no_data
 
     def _per_basin_area(self, member_mask):
         nb = int(np.max(np.asarray(self.basin_mask))) + 1
@@ -168,9 +235,10 @@ class Pico(OceanModel):
         # pressure at the shelf base (ice overburden)
         p = self.rho_i * self.g * H
 
-        T0 = jnp.asarray(self.temperature_ocean, dtype)
-        S0 = jnp.asarray(self.salinity_ocean, dtype)
+        T0 = self._slice(self.temperature_ocean, t, dtype)
+        S0 = self._slice(self.salinity_ocean, t, dtype)
         cont = jnp.zeros(H.shape, bool)
+        no_data = jnp.zeros(H.shape, bool)
         if self.basin_mask is not None:
             # PISM averages the ambient water properties over each basin's
             # continental shelf (ocean cells above the shelf-depth cutoff)
@@ -178,8 +246,9 @@ class Pico(OceanModel):
             cont = (geometry.cell_type == S.MASK_ICE_FREE_OCEAN) & \
                 (geometry.bed_elevation >= shelf_depth)
             cont = cont | shelf  # fall back to cavity cells if no shelf cells
-            T0 = self._per_basin_mean(T0, cont)
-            S0 = self._per_basin_mean(S0, cont)
+            T0, no_data = self._per_basin_mean(T0, cont,
+                                               fallback=self.T_dummy)
+            S0, _ = self._per_basin_mean(S0, cont, fallback=self.S_dummy)
 
         area_cell = self.grid.dx * self.grid.dy
         melt = jnp.zeros_like(H)
@@ -236,6 +305,17 @@ class Pico(OceanModel):
             S_field = jnp.where(in_k, Sk_new, S_field)
             Tk, Sk = Tk_new, Sk_new
 
+        if self.basin_mask is not None:
+            # shelves in basins with no ambient data: Beckmann-Goosse melt
+            # with ocean.pico.meltFactor on the T_dummy/S_dummy ambient
+            # (reference PicoPhysics fallback)
+            Tf_bg = A_LIQ * S0 + B_LIQ + C_LIQ * p
+            gamma_bg = 1e-4   # Beckmann & Goosse (2003) exchange velocity
+            m_bg = (self.melt_factor * self.rho_w * self.c_w * gamma_bg
+                    / (self.rho_i * self.L_fus)) \
+                * jnp.maximum(T0 - Tf_bg, 0.0)
+            melt = jnp.where(no_data, m_bg, melt)
+            T_basal = jnp.where(no_data, Tf_bg, T_basal)
         melt = jnp.where(shelf, melt, 0.0)
         q_field = jnp.where(shelf, jnp.broadcast_to(q, H.shape), 0.0)
         return PicoFields(melt.astype(dtype), T_basal.astype(dtype),

@@ -49,6 +49,7 @@ class DeltaSL2D(SeaLevelModel):
     inner: SeaLevelModel
     offset_field: jnp.ndarray
     times: Optional[jnp.ndarray] = None
+    period: float = 0.0   # [s]; > 0 cycles (sea_level.delta_sl_2d.periodic)
 
     def __call__(self, geometry, t):
         f = jnp.asarray(self.offset_field)
@@ -59,6 +60,8 @@ class DeltaSL2D(SeaLevelModel):
         if self.times is None or f.ndim == 2:
             return self.inner(geometry, t) + f
         ts = jnp.asarray(self.times)
+        if self.period > 0.0:
+            t = ts[0] + jnp.mod(t - ts[0], self.period)
         tq = jnp.clip(t, ts[0], ts[-1])
         k = jnp.clip(jnp.searchsorted(ts, tq, side="right") - 1,
                      0, ts.shape[0] - 2)

@@ -300,6 +300,7 @@ class Anomaly(SurfaceModel):
     smb_anomaly: Optional[jnp.ndarray] = None       # m/s
     temp_anomaly: Optional[jnp.ndarray] = None      # K
     times: Optional[jnp.ndarray] = None             # (Nt,) [s] if stacked
+    period: float = 0.0   # [s]; > 0 cycles (surface.anomaly.periodic)
 
     def _slice(self, field, t, dtype):
         if field is None:
@@ -308,6 +309,8 @@ class Anomaly(SurfaceModel):
         if self.times is None or f.ndim == 2:
             return f
         times = jnp.asarray(self.times)
+        if self.period > 0.0:
+            t = times[0] + jnp.mod(t - times[0], self.period)
         k = jnp.clip(jnp.searchsorted(times, t, side="right") - 1,
                      0, times.shape[0] - 1)
         return f[k]

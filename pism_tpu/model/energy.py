@@ -66,6 +66,8 @@ class EnergyModel:
         self.ch_enabled = cfg.get_flag("energy.ch_warming.enabled")
         self.ch_spacing = cfg.get_number(
             "energy.ch_warming.average_channel_spacing")
+        self.k_of_T = cfg.get_flag("energy.temperature_dependent_conductivity")
+        self.basal_melt_max = cfg.get_number("energy.basal_melt.max", "m s-1")
         self.ch_omega = cfg.get_number(
             "energy.ch_warming.residual_water_fraction")
         self.sh = Shifter(self.grid)
@@ -133,8 +135,15 @@ class EnergyModel:
         depth = jnp.maximum(Hc - z, 0.0)
         p3 = EC.pressure(depth)
         temperate3 = E >= EC.enthalpy_cts(p3)
+        kappa_cold3 = self.kappa_cold
+        if self.k_of_T:
+            # reference energy.temperature_dependent_conductivity:
+            # k(T) = 9.828 exp(-0.0057 T) [W/m/K] for cold ice (lagged on
+            # the previous step's enthalpy)
+            T3 = EC.temperature(E, p3)
+            kappa_cold3 = 9.828 * jnp.exp(-0.0057 * T3) / (self.rho * self.c_i)
         kappa = jnp.where(temperate3, self.kappa_cold * self.temperate_ratio,
-                          self.kappa_cold)
+                          kappa_cold3)
         kap_m = 0.5 * (kappa[..., 1:] + kappa[..., :-1])      # at interfaces
 
         dz_l = jnp.concatenate([dz[:1], dz])                  # dz below level k
@@ -250,6 +259,9 @@ class EnergyModel:
         else:
             M_b = jnp.where(tillwat > 0.0, M_b, jnp.maximum(M_b, 0.0))
         M_b = jnp.where(icy & ~floating, M_b + drain_flux, 0.0)
+        # reference energy.basal_melt.max: sanity cap (|M_b| bounded)
+        if self.basal_melt_max > 0.0:
+            M_b = jnp.clip(M_b, -self.basal_melt_max, self.basal_melt_max)
 
         return EnergyStepResult(enthalpy=E_new, basal_melt_rate=M_b,
                                 ch_enthalpy=ch_new)

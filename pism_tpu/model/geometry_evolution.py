@@ -82,7 +82,8 @@ def limit_flux(Qe, Qn, H, dt, dx: float, dy: float, sh: Shifter) -> FluxLimited:
 
 def flow_step(geometry: S.Geometry, dt, Qe, Qn, grid, sh: Shifter,
               interior_mask: Optional[jnp.ndarray] = None,
-              part_grid: bool = False) -> MassTransportResult:
+              part_grid: bool = False,
+              part_grid_iterations: int = 2) -> MassTransportResult:
     """Apply -div(Q) dt with flux limiting. ``interior_mask`` (optional)
     zeroes fluxes on faces touching masked-out cells (regional mode).
 
@@ -140,11 +141,12 @@ def flow_step(geometry: S.Geometry, dt, Qe, Qn, grid, sh: Shifter,
         # ice-covered AT that threshold thickness; the excess Href is pushed
         # to neighboring still-eligible part-grid cells in equal shares
         # (absorbed into the promoted cell only when no neighbor can take
-        # it, which conserves mass either way). Two unrolled sweeps bound
-        # the cascade per step; leftover Href simply persists as state.
+        # it, which conserves mass either way). geometry.part_grid.max_
+        # iterations unrolled sweeps bound the cascade per step; leftover
+        # Href simply persists as state.
         icy_dyn = icy
         ocean_dyn = ocean_free
-        for _ in range(2):
+        for _ in range(max(int(part_grid_iterations), 1)):
             partial_dyn = ocean_dyn & nbr_any(icy_dyn)
             icy_f = icy_dyn.astype(H.dtype)
             nsum = nbr_sum(H_new * icy_f)

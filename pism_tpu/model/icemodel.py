@@ -82,6 +82,8 @@ class StepStats(NamedTuple):
     cell: Optional[CellBudget] = None   # per-cell budget (None = not tracked)
     # count of steps each DT_LIMITS entry was the binding dt restriction
     limit_hits: Optional[jnp.ndarray] = None
+    # largest SIA diffusivity seen [m^2/s] (reference max_diffusivity check)
+    max_diffusivity: Optional[jnp.ndarray] = None
 
     @staticmethod
     def zero(dtype=jnp.float64, shape2=None):
@@ -89,7 +91,8 @@ class StepStats(NamedTuple):
         cell = CellBudget.zero(shape2, dtype) if shape2 is not None else None
         return StepStats(jnp.zeros((), jnp.int64), jnp.full((), jnp.inf, dtype),
                          jnp.zeros((), dtype), z, z, z, z, z, z, z, z, cell,
-                         jnp.zeros((len(DT_LIMITS),), jnp.int32))
+                         jnp.zeros((len(DT_LIMITS),), jnp.int32),
+                         jnp.zeros((), dtype))
 
     def limit_hits_dict(self):
         """Host-side {limit_name: count} for the limits that ever bound."""
@@ -209,6 +212,12 @@ class IceModel:
             from .calving import CalvingModel
             self.calving = CalvingModel(grid=self.grid, config=cfg,
                                         methods=("none",))
+        if cfg.get_flag("ocean.always_grounded"):
+            # reference ocean.always_grounded ("dry" simulations): no
+            # flotation anywhere — implemented by pinning the sea level far
+            # below any bed so the flotation criterion never fires
+            from ..coupler.sealevel import Constant as _SLConstant
+            self.sea_level = _SLConstant(value=-1e7)
         # front-retreat rate dt CFL (reference FrontRetreat::max_timestep;
         # either config alias enables it)
         self.front_retreat_cfl = self.calving is not None and (
@@ -284,7 +293,10 @@ class IceModel:
         self.geometry_evolves = cfg.get_flag("geometry.update.enabled")
         self.use_smb = cfg.get_flag("geometry.update.use_surface_mass_balance")
         self.use_bmr = cfg.get_flag("geometry.update.use_basal_melt_rate")
+        self.bmr_grounded_frac = cfg.get_flag(
+            "energy.basal_melt.use_grounded_cell_fraction")
         self.part_grid = cfg.get_flag("geometry.part_grid.enabled")
+        self.part_grid_iters = cfg.get_int("geometry.part_grid.max_iterations")
         # debugging knob: run every Pallas kernel in interpreter mode
         if cfg.get_flag("runtime.pallas.interpret"):
             from ..ops import pallas_kernels as _pk
@@ -413,7 +425,7 @@ class IceModel:
         # 1-2. stress balance and adaptive dt ------------------------------
         tau_c = None
         if self.yield_stress is not None:
-            tau_c = self.yield_stress.compute(state)
+            tau_c = self.yield_stress.compute(state, t=t)
             if self.no_model_mask is not None:
                 # RegionalYieldStress: a very large yield stress in the
                 # no-model strip pins the sliding velocity there
@@ -504,7 +516,12 @@ class IceModel:
 
         # 5. hydrology -----------------------------------------------------
         if self.hydrology is not None:
-            state = self.hydrology.step(state, dt_f)
+            kw = {}
+            if getattr(self.hydrology, "input_from_runoff", False):
+                # reference hydrology.surface_input_from_runoff: the surface
+                # model's runoff feeds the subglacial system
+                kw["runoff"] = getattr(smb_in, "runoff", None)
+            state = self.hydrology.step(state, dt_f, **kw)
 
         # 7. mass transport ------------------------------------------------
         geometry = state.geometry
@@ -533,7 +550,8 @@ class IceModel:
                     sb.u_face_e, sb.v_face_n, geometry.ice_thickness, sh)
                 res = ge.flow_step(geometry, dt_sub, qe_d + qe_adv,
                                    qn_d + qn_adv, grid, sh,
-                                   part_grid=self.part_grid)
+                                   part_grid=self.part_grid,
+                                   part_grid_iterations=self.part_grid_iters)
                 H = res.thickness
                 if res.Href is not None:
                     geometry = geometry.replace(ice_area_specific_volume=res.Href)
@@ -543,8 +561,19 @@ class IceModel:
                     bmb = bmb + state.basal_melt_rate
                 if self.ocean is not None:
                     shelf_melt = self.ocean(geometry, t)
-                    bmb = bmb + jnp.where(S.floating_ice(geometry.cell_type),
-                                          shelf_melt, 0.0)
+                    if self.bmr_grounded_frac and self.subgl:
+                        # reference energy.basal_melt.use_grounded_cell_
+                        # fraction: sub-shelf melt acts on the floating part
+                        # of partially grounded grounding-line cells
+                        f = geometry.cell_grounded_fraction
+                        w = jnp.where(S.floating_ice(geometry.cell_type),
+                                      1.0, 1.0 - f)
+                        w = jnp.where(S.icy(geometry.cell_type), w, 0.0)
+                        bmb = bmb + w * shelf_melt
+                    else:
+                        bmb = bmb + jnp.where(
+                            S.floating_ice(geometry.cell_type),
+                            shelf_melt, 0.0)
                 smb_eff = smb_in.smb if self.use_smb \
                     else jnp.zeros_like(H)
                 H, smb_app, bmb_app, smb_field, bmb_field = ge.source_term_step(
@@ -691,6 +720,9 @@ class IceModel:
             ),
             limit_hits=None if stats.limit_hits is None
             else stats.limit_hits.at[dt_limit_idx].add(1),
+            max_diffusivity=None if stats.max_diffusivity is None
+            else jnp.maximum(stats.max_diffusivity,
+                             jnp.float64(sb.max_diffusivity)),
         )
         return state, t + dt, stats
 
@@ -742,6 +774,11 @@ class IceModel:
                 kw["hydro_Q"] = None
         if self.energy_model is not None and state.basal_melt_rate is None:
             kw["basal_melt_rate"] = z2
+        if self.age_model is not None and state.age is None:
+            # reference age.initial_value: uniform initial ice age when the
+            # input file carries none
+            age0 = self.config.get_number("age.initial_value", "seconds")
+            kw["age"] = jnp.full(H.shape + (self.grid.Mz,), age0, H.dtype)
         if state.till_phi is None \
                 and getattr(self.yield_stress, "t2p_enabled", False):
             # reference -topg_to_phi: friction angle from the INITIAL bed
@@ -843,15 +880,41 @@ class IceModel:
                 "non-finite model state at t = "
                 f"{t / 3.15569259747e7:.3f} a (solver failure); "
                 f"state dumped to {path}")
+        # reference energy.minimum_allowed_temperature /
+        # energy.max_low_temperature_count: too-cold ice indicates a broken
+        # energy solve; tolerate a few cells, abort beyond the count
+        if state.enthalpy is not None and self.energy_model is not None:
+            cfg = self.config
+            T_min = cfg.get_number("energy.minimum_allowed_temperature")
+            n_max = cfg.get_int("energy.max_low_temperature_count")
+            z = jnp.asarray(self.grid.z)
+            H3 = state.geometry.ice_thickness[..., None]
+            depth = jnp.maximum(H3 - z, 0.0)
+            p = self.EC.pressure(depth)
+            T = self.EC.temperature(state.enthalpy, p)
+            in_ice = (z <= H3) & S.icy(state.geometry.cell_type)[..., None]
+            n_low = int(jnp.sum(in_ice & (T < T_min)))
+            if n_low > n_max:
+                raise RuntimeError(
+                    f"{n_low} ice cells below "
+                    f"energy.minimum_allowed_temperature ({T_min:.1f} K) "
+                    f"at t = {t / 3.15569259747e7:.3f} a (limit {n_max})")
 
     def _check_thickness(self, state: S.ModelState) -> None:
         """PISM aborts when the ice thickness reaches the top of the
         computational box (``IceModel::check_maximum_ice_thickness``): the
         column solvers' surface boundary condition needs the surface
         strictly inside the grid. Host-side check at segment boundaries."""
+        Hmax = float(jnp.max(state.geometry.ice_thickness))
+        # reference geometry.ice_thickness.max: plausibility cap independent
+        # of the grid box (catches runaway feedbacks)
+        H_cap = self.config.get_number("geometry.ice_thickness.max")
+        if H_cap > 0.0 and Hmax > H_cap:
+            raise RuntimeError(
+                f"ice thickness ({Hmax:.1f} m) exceeds "
+                f"geometry.ice_thickness.max ({H_cap:.1f} m)")
         if self.energy_model is None and self.age_model is None:
             return
-        Hmax = float(jnp.max(state.geometry.ice_thickness))
         if Hmax >= self.grid.Lz:
             raise RuntimeError(
                 f"ice thickness ({Hmax:.1f} m) reaches the top of the "
@@ -902,6 +965,24 @@ class IceModel:
                 t_opt = t + self.yield_stress.opt_dt
             self._check_thickness(state)
             self._check_health(state, t)
+            # reference SIAFD max_diffusivity check: without the
+            # limit_diffusivity cap, a diffusivity beyond the sanity limit
+            # stops the run unless max_diffusivity_allow_unlimited
+            if (self.stress_balance.has_sia
+                    and self.stress_balance.d_limit is None
+                    and stats.max_diffusivity is not None
+                    and not self.config.get_flag(
+                        "stress_balance.sia.max_diffusivity_allow_unlimited")):
+                d_cap = self.config.get_number(
+                    "stress_balance.sia.max_diffusivity")
+                d_seen = float(stats.max_diffusivity)
+                if d_seen > d_cap:
+                    raise RuntimeError(
+                        f"SIA diffusivity ({d_seen:.1f} m2/s) exceeds "
+                        f"stress_balance.sia.max_diffusivity ({d_cap:.1f}); "
+                        "set stress_balance.sia.limit_diffusivity or "
+                        "max_diffusivity_allow_unlimited (PISM stops "
+                        "identically)")
             total_stats = _merge_stats(total_stats, stats)
             if output is not None:
                 output.process(state, t, self, stats=total_stats)
@@ -961,4 +1042,7 @@ def _merge_stats(a: Optional[StepStats], b: StepStats) -> StepStats:
         limit_hits=b.limit_hits if a.limit_hits is None
         else (a.limit_hits if b.limit_hits is None
               else a.limit_hits + b.limit_hits),
+        max_diffusivity=b.max_diffusivity if a.max_diffusivity is None
+        else (a.max_diffusivity if b.max_diffusivity is None
+              else jnp.maximum(a.max_diffusivity, b.max_diffusivity)),
     )

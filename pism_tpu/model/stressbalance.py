@@ -80,6 +80,8 @@ class StressBalance:
         self.rho = cfg.get_number("constants.ice.density")
         self.g = cfg.get_number("constants.standard_gravity")
         self.gradient_method = cfg.get_string("stress_balance.sia.surface_gradient_method")
+        self.theta_min = cfg.get_number(
+            "stress_balance.sia.bed_smoother.theta_min")
         self.bed_smoother_range = cfg.get_number(
             "stress_balance.sia.bed_smoother.range")
         self.regional_zero_gradient = cfg.get_flag("regional.zero_gradient")
@@ -164,6 +166,9 @@ class StressBalance:
         H_rel = jnp.maximum(geometry.ice_surface_elevation - smooth.bed, 0.0)
         H_sia = jnp.where(grounded, H_rel, geometry.ice_thickness)
         th = jnp.where(grounded, bsm.theta(smooth, H_rel, self.n_sia), 1.0)
+        # reference stress_balance.sia.bed_smoother.theta_min: floor on the
+        # roughness multiplier (theta -> 0 shuts the flux off entirely)
+        th = jnp.maximum(th, self.theta_min)
         th = th.astype(geometry.ice_thickness.dtype)
         geom = replace(geometry, ice_thickness=H_sia)
         return (geom, st.avg_to_east(th, self.sh),

@@ -58,6 +58,17 @@ class MohrCoulombYieldStress:
                       "dh_min")}
         self.opt_dt = cfg.get_number(
             "basal_yield_stress.mohr_coulomb.tillphi_opt.dt", "seconds")
+        self.add_transportable = cfg.get_flag(
+            "basal_yield_stress.add_transportable_water")
+        self.tlftw = cfg.get_number(
+            "basal_yield_stress.mohr_coulomb.till_log_factor_transportable_water")
+        self.slippery_gl = cfg.get_flag(
+            "basal_yield_stress.slippery_grounding_lines")
+        self.delta_forcing = None
+        _dpath = cfg.get_string("basal_yield_stress.mohr_coulomb.delta.file")
+        if _dpath:
+            from ..util.forcing import ScalarForcing
+            self.delta_forcing = ScalarForcing.from_file(_dpath, "delta")
 
     def topg_to_phi(self, bed):
         """Heuristic till friction angle from bed elevation (reference
@@ -95,24 +106,48 @@ class MohrCoulombYieldStress:
         adjust = S.grounded_ice(state.geometry.cell_type)
         return state.replace(till_phi=jnp.where(adjust, new_phi, phi))
 
-    def effective_pressure(self, tillwat, P_overburden):
+    def effective_pressure(self, tillwat, P_overburden, delta=None):
         """Bueler & van Pelt (2015) eq. 23: N_till from till water amount."""
         s = jnp.clip(tillwat / self.W_max, 0.0, 1.0)
-        N = self.N0 * (self.delta * P_overburden / self.N0) ** s \
+        d = self.delta if delta is None else delta
+        N = self.N0 * (d * P_overburden / self.N0) ** s \
             * 10.0 ** ((self.e0 / self.Cc) * (1.0 - s))
         return jnp.minimum(P_overburden, N)
 
-    def compute(self, state: S.ModelState):
+    def compute(self, state: S.ModelState, t=None):
         H = state.geometry.ice_thickness
         mask = state.geometry.cell_type
         P_ov = self.rho_i * self.g * H
         tillwat = state.tillwat if state.tillwat is not None else jnp.zeros_like(H)
-        N = self.effective_pressure(tillwat, jnp.maximum(P_ov, 1.0))
+        if self.add_transportable and state.hydro_W is not None:
+            # reference basal_yield_stress.add_transportable_water: the
+            # routed transportable layer weakens the till on top of the till
+            # water, with a log-saturating contribution scaled by
+            # till_log_factor_transportable_water
+            tillwat = jnp.clip(
+                tillwat + self.tlftw * jnp.log1p(state.hydro_W / 0.1),
+                0.0, self.W_max)
+        delta = None
+        if self.delta_forcing is not None and t is not None:
+            # reference basal_yield_stress.mohr_coulomb.delta.file: a scalar
+            # time series replacing the constant fraction-of-overburden
+            delta = self.delta_forcing(t)
+        N = self.effective_pressure(tillwat, jnp.maximum(P_ov, 1.0), delta)
         phi = state.till_phi if state.till_phi is not None else self.phi_default
         tau_c = self.c0 + jnp.tan(jnp.deg2rad(phi)) * N
         # ice-free bedrock is strong; floating ice and ocean have no till drag
         tau_c = jnp.where(mask == S.MASK_ICE_FREE_BEDROCK, self.tau_c_ice_free, tau_c)
         tau_c = jnp.where(S.ocean(mask), 0.0, tau_c)
+        if self.slippery_gl:
+            # reference basal_yield_stress.slippery_grounding_lines: grounded
+            # marine cells touching the ocean slide freely (no till drag)
+            def nbr(m):
+                return (jnp.roll(m, 1, 0) | jnp.roll(m, -1, 0)
+                        | jnp.roll(m, 1, 1) | jnp.roll(m, -1, 1))
+            gl = S.grounded_ice(mask) \
+                & (state.geometry.bed_elevation
+                   < state.geometry.sea_level) & nbr(S.ocean(mask))
+            tau_c = jnp.where(gl, 0.0, tau_c)
         return tau_c
 
 
@@ -123,7 +158,7 @@ class ConstantYieldStress:
     def __post_init__(self):
         self.value = self.config.get_number("basal_yield_stress.constant.value")
 
-    def compute(self, state: S.ModelState):
+    def compute(self, state: S.ModelState, t=None):
         H = state.geometry.ice_thickness
         tau_c = jnp.full(H.shape, self.value, H.dtype)
         return jnp.where(S.ocean(state.geometry.cell_type), 0.0, tau_c)
@@ -153,7 +188,7 @@ class GivenYieldStress:
             self.tau_c = jnp.asarray(_np.nan_to_num(
                 read_and_regrid(path, self.grid, ["tauc"])["tauc"]))
 
-    def compute(self, state: S.ModelState):
+    def compute(self, state: S.ModelState, t=None):
         H = state.geometry.ice_thickness
         tau_c = jnp.asarray(self.tau_c, H.dtype)
         return jnp.where(S.ocean(state.geometry.cell_type), 0.0, tau_c)
@@ -180,6 +215,11 @@ class SlidingLaw:
     q: float = 0.25
     u_threshold: float = 100.0 / 3.15569259747e7   # m/s
     plastic_reg: float = 0.01 / 3.15569259747e7    # m/s
+    #: reference basal_resistance.pseudo_plastic.sliding_scale_factor: scale
+    #: pseudo-plastic sliding speeds by this factor (SeaRISE experiments);
+    #: < 0 = off. Implemented as tau_c -> tau_c / factor^q, which multiplies
+    #: the sliding speed at fixed basal shear stress by the factor.
+    sliding_scale: float = -1.0
 
     @staticmethod
     def from_config(config) -> "SlidingLaw":
@@ -203,6 +243,8 @@ class SlidingLaw:
                 "basal_resistance.pseudo_plastic.u_threshold", "m s-1"),
             plastic_reg=config.get_number(
                 "basal_resistance.plastic.regularization", "m s-1"),
+            sliding_scale=config.get_number(
+                "basal_resistance.pseudo_plastic.sliding_scale_factor"),
         )
 
     def beta(self, tau_c, u, v, reg=None):
@@ -219,6 +261,8 @@ class SlidingLaw:
             return tau_c * sp ** (self.q - 1.0) \
                 / (sp + self.u_threshold) ** self.q
         if self.pseudo_plastic:
+            if self.sliding_scale > 0.0:
+                tau_c = tau_c / self.sliding_scale ** self.q
             sp = jnp.sqrt(speed2 + r ** 2)
             return tau_c * sp ** (self.q - 1.0) / self.u_threshold ** self.q
         return tau_c / jnp.sqrt(speed2 + r ** 2)

@@ -30,25 +30,58 @@ class NullTransport:
     grid: object
     config: object
 
+    #: optional prescribed surface water input rate [m/s] (reference
+    #: hydrology.surface_input.file, variable water_input_rate)
+    surface_input: object = None
+
     def __post_init__(self):
         cfg = self.config
         self.W_max = cfg.get_number("hydrology.tillwat_max")
         self.C = cfg.get_number("hydrology.tillwat_decay_rate", "m s-1")
         self.rho_i = cfg.get_number("constants.ice.density")
         self.rho_w = cfg.get_number("constants.fresh_water.density")
+        self.decay_grounded_only = cfg.get_flag(
+            "hydrology.tillwat_decay_rate_grounded_only")
+        self.add_to_till = cfg.get_flag(
+            "hydrology.add_water_input_to_till_storage")
+        self.input_from_runoff = cfg.get_flag(
+            "hydrology.surface_input_from_runoff")
+        self._dt_max = cfg.get_number("hydrology.maximum_time_step",
+                                      "seconds")
 
     def max_timestep(self):
-        return None
+        """Reference hydrology.maximum_time_step (a dt cap for every
+        hydrology model; <= 0 disables)."""
+        return self._dt_max if self._dt_max > 0.0 else None
 
-    def step(self, state: S.ModelState, dt) -> S.ModelState:
-        W = state.tillwat
-        if W is None:
-            W = jnp.zeros_like(state.geometry.ice_thickness)
+    def _water_input(self, state, W, runoff=None):
+        """Total water input rate [m/s]: basal melt + optional surface
+        input (file field and/or surface-model runoff, reference
+        hydrology.surface_input.file / .surface_input_from_runoff)."""
         m_b = state.basal_melt_rate
         if m_b is None:
             m_b = jnp.zeros_like(W)
         inflow = (self.rho_i / self.rho_w) * m_b
-        W = jnp.clip(W + dt * (inflow - self.C), 0.0, self.W_max)
+        if self.surface_input is not None:
+            inflow = inflow + jnp.asarray(self.surface_input, W.dtype)
+        if self.input_from_runoff and runoff is not None:
+            inflow = inflow + jnp.asarray(runoff, W.dtype)
+        return inflow
+
+    def step(self, state: S.ModelState, dt, runoff=None) -> S.ModelState:
+        W = state.tillwat
+        if W is None:
+            W = jnp.zeros_like(state.geometry.ice_thickness)
+        inflow = self._water_input(state, W, runoff)
+        if not self.add_to_till:
+            # input bypasses the till (it goes to the transport layer in
+            # Routing.step); the till still decays
+            inflow = jnp.zeros_like(W)
+        decay = self.C
+        if self.decay_grounded_only:
+            decay = jnp.where(S.grounded_ice(state.geometry.cell_type),
+                              self.C, 0.0)
+        W = jnp.clip(W + dt * (inflow - decay), 0.0, self.W_max)
         # no till water under floating ice or ocean
         W = jnp.where(S.ocean(state.geometry.cell_type), 0.0, W)
         return state.replace(tillwat=W)
@@ -74,13 +107,18 @@ class Routing(NullTransport):
         cfg = self.config
         self.cfl_factor = cfg.get_number("hydrology.routing.cfl_factor")
         self.k = cfg.get_number("hydrology.hydraulic_conductivity")
-        self.alpha = cfg.get_number("hydrology.alpha")
-        self.beta_exp = cfg.get_number("hydrology.beta")
+        # reference names win when explicitly set; hydrology.alpha/beta are
+        # the rebuild's short aliases
+        self.alpha = cfg.get_number("hydrology.thickness_power_in_flux") \
+            if cfg.is_set("hydrology.thickness_power_in_flux") \
+            else cfg.get_number("hydrology.alpha")
+        self.beta_exp = cfg.get_number("hydrology.gradient_power_in_flux") \
+            if cfg.is_set("hydrology.gradient_power_in_flux") \
+            else cfg.get_number("hydrology.beta")
+        self.include_floating = cfg.get_flag(
+            "hydrology.routing.include_floating_ice")
         self.g = cfg.get_number("constants.standard_gravity")
         self.sh = Shifter(self.grid)
-
-    def max_timestep(self):
-        return None
 
     def _face_gradients(self, psi):
         """Staggered potential gradients and face gradient magnitudes."""
@@ -128,8 +166,8 @@ class Routing(NullTransport):
             cond, body, (W0, extra0, jnp.zeros((), W0.dtype)))
         return W, extra
 
-    def step(self, state: S.ModelState, dt) -> S.ModelState:
-        state = NullTransport.step(self, state, dt)  # fill till layer first
+    def step(self, state: S.ModelState, dt, runoff=None) -> S.ModelState:
+        state = NullTransport.step(self, state, dt, runoff)  # till first
         grid, sh = self.grid, self.sh
         H = state.geometry.ice_thickness
         b = state.geometry.bed_elevation
@@ -137,13 +175,21 @@ class Routing(NullTransport):
         if W is None:
             W = jnp.zeros_like(H)
 
-        # overflow of the till layer feeds the transportable layer
-        m_b = state.basal_melt_rate if state.basal_melt_rate is not None else jnp.zeros_like(H)
-        inflow = (self.rho_i / self.rho_w) * m_b
-        overflow = jnp.where(state.tillwat >= self.W_max, inflow, 0.0)
+        # overflow of the till layer feeds the transportable layer; with
+        # add_water_input_to_till_storage off, ALL input bypasses the till
+        inflow = self._water_input(state, W, runoff)
+        if self.add_to_till:
+            overflow = jnp.where(state.tillwat >= self.W_max, inflow, 0.0)
+        else:
+            overflow = inflow
 
         psi = self.rho_w * self.g * b + self.rho_i * self.g * H
-        ocean = S.ocean(state.geometry.cell_type)
+        # reference hydrology.routing.include_floating_ice: route under
+        # shelves too (only open ocean is excluded)
+        if self.include_floating:
+            ocean = state.geometry.cell_type == S.MASK_ICE_FREE_OCEAN
+        else:
+            ocean = S.ocean(state.geometry.cell_type)
 
         def substep(W, extra, dt_sub, grads):
             dpx, dpy, gpe, gpn = grads
@@ -183,15 +229,17 @@ class Distributed(Routing):
     def __post_init__(self):
         super().__post_init__()
         cfg = self.config
-        self.phi0 = cfg.get_number("hydrology.regularizing_porosity")
+        self.phi0 = cfg.get_number("hydrology.distributed.phi_0") \
+            if cfg.is_set("hydrology.distributed.phi_0") \
+            else cfg.get_number("hydrology.regularizing_porosity")
         self.Wr = cfg.get_number("hydrology.roughness_scale")
         self.c1 = cfg.get_number("hydrology.cavitation_opening_coefficient")
         self.c2 = cfg.get_number("hydrology.creep_closure_coefficient")
         self.A_soft = cfg.get_number("flow_law.isothermal_Glen.ice_softness")
         self.g_ = cfg.get_number("constants.standard_gravity")
 
-    def step(self, state: S.ModelState, dt) -> S.ModelState:
-        state = NullTransport.step(self, state, dt)
+    def step(self, state: S.ModelState, dt, runoff=None) -> S.ModelState:
+        state = NullTransport.step(self, state, dt, runoff)
         grid, sh = self.grid, self.sh
         H = state.geometry.ice_thickness
         b = state.geometry.bed_elevation
@@ -264,8 +312,8 @@ class Steady(NullTransport):
         self.max_iters = self.config.get_int(
             "hydrology.steady_max_iterations")
 
-    def step(self, state: S.ModelState, dt) -> S.ModelState:
-        state = NullTransport.step(self, state, dt)
+    def step(self, state: S.ModelState, dt, runoff=None) -> S.ModelState:
+        state = NullTransport.step(self, state, dt, runoff)
         sh = self.sh
         g = state.geometry
         H = g.ice_thickness
@@ -340,12 +388,25 @@ class Steady(NullTransport):
 
 def hydrology_from_config(grid, config):
     name = config.get_string("hydrology.model")
+    surface_input = None
+    path = config.get_string("hydrology.surface_input.file")
+    if path:
+        # reference hydrology.surface_input.file: prescribed water input
+        # rate [kg m-2 year-1 in files; m/s internally]
+        from ..io.bootstrap import read_forcing_fields
+        fields, _ = read_forcing_fields(path, grid, ["water_input_rate"])
+        if "water_input_rate" not in fields:
+            raise ValueError(
+                f"hydrology.surface_input.file {path!r}: no water_input_rate")
+        a = fields["water_input_rate"]
+        surface_input = jnp.asarray(a[-1] if a.ndim == 3 else a)
+    kw = dict(grid=grid, config=config, surface_input=surface_input)
     if name in ("null", ""):
-        return NullTransport(grid=grid, config=config)
+        return NullTransport(**kw)
     if name == "routing":
-        return Routing(grid=grid, config=config)
+        return Routing(**kw)
     if name == "distributed":
-        return Distributed(grid=grid, config=config)
+        return Distributed(**kw)
     if name == "steady":
-        return Steady(grid=grid, config=config)
+        return Steady(**kw)
     raise ValueError(f"unknown hydrology model {name!r}")

@@ -252,6 +252,10 @@ def flow_law_from_config(config, which: str = "sia",
     if EC is None:
         EC = EnthalpyConverter.from_config(config)
     name = config.get_string(f"stress_balance.{which}.flow_law")
+    if which == "sia" and config.get_flag("flow_law.grain_aware_GK"):
+        # reference flow_law.grain_aware_GK: force the grain-size-aware
+        # Goldsby-Kohlstedt composite law for the SIA
+        name = "gk"
     n = config.get_number(f"stress_balance.{which}.Glen_exponent")
     pb_kw = dict(
         n=n, EC=EC,
@@ -273,15 +277,24 @@ def flow_law_from_config(config, which: str = "sia",
     if name == "pb_warm":
         return PatersonBuddWarm(**pb_kw)
     if name == "hooke":
-        return Hooke(**pb_kw)
+        return Hooke(
+            **pb_kw,
+            # flow_law.Hooke.A is stored in s-1 MPa-3 (reference units)
+            A_Hooke=config.get_number("flow_law.Hooke.A") * 1e-18,
+            Q_Hooke=config.get_number("flow_law.Hooke.Q"),
+            C_Hooke=config.get_number("flow_law.Hooke.C"),
+            K_Hooke=config.get_number("flow_law.Hooke.k"),
+            Tr_Hooke=config.get_number("flow_law.Hooke.Tr"))
     if name == "gk":
         if which != "sia":
             raise ValueError(
                 "Goldsby-Kohlstedt is SIA-only (no Glen hardness; the "
                 "reference FlowLawFactory applies the same restriction)")
+        gs = config.get_number("flow_law.gk.grain_size") \
+            if config.is_set("flow_law.gk.grain_size") \
+            else config.get_number("constants.ice.grain_size", "m")
         return GoldsbyKohlstedt(
-            n=n, EC=EC,
-            grain_size=config.get_number("flow_law.gk.grain_size"),
+            n=n, EC=EC, grain_size=gs,
             R=config.get_number("constants.ideal_gas_constant"))
     if name == "gpbld":
         return GPBLD(

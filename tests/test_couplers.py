@@ -240,7 +240,11 @@ def test_pdd_stateful_snow_firn_cycle(flat_geometry):
     survived = float(carry.snow[2, 2])
     assert survived > 0.0
     out, carry = pdd.update(geom, t0 + SPY, SPY / n, carry)
-    assert float(carry.firn[2, 2]) == pytest.approx(survived, rel=1e-12)
+    # the balance-year rollover promotes firn_compaction_to_accumulation_
+    # ratio (default 0.75) of the surviving snow to firn
+    ratio = cfg.get_number("surface.pdd.firn_compaction_to_accumulation_ratio")
+    assert float(carry.firn[2, 2]) == pytest.approx(ratio * survived,
+                                                    rel=1e-12)
 
     annual = float(pdd(geom, t0).smb[2, 2]) * SPY
     assert smb_sum == pytest.approx(annual, rel=0.05)
