@@ -597,6 +597,33 @@ def main(argv=None):
         # only override when explicitly given, so -config inverse.method=...
         # is not clobbered by the argparse default
         cfg.update({"inverse.method": args.inv_method})
+    # input/output/time options mirror into the config (reference pattern:
+    # every option IS a config parameter; the stored config in outputs then
+    # reflects the actual run settings)
+    import sys as _sys
+    cfg.update({"run_info.command": " ".join(_sys.argv)})
+    cfg.update({"runtime.verbosity": args.verbose})
+    if args.i:
+        cfg.update({"input.file": args.i})
+    cfg.update({"input.bootstrap": bool(args.bootstrap)})
+    if args.regrid_file:
+        cfg.update({"input.regrid.file": args.regrid_file})
+        if getattr(args, "regrid_vars", None):
+            cfg.update({"input.regrid.vars": args.regrid_vars})
+    cfg.update({"output.file": args.o})
+    if args.ys is not None:
+        cfg.update({"time.start": args.ys})
+    if args.ye is not None:
+        cfg.update({"time.end": args.ye})
+    if args.y is not None:
+        cfg.update({"time.run_length": args.y})
+    if getattr(args, "no_model_strip", None) is not None:
+        cfg.update({"regional.no_model_strip": args.no_model_strip})
+    # reference runtime.matmul_precision (XLA dot/conv precision knob)
+    _mm = cfg.get_string("runtime.matmul_precision")
+    if _mm:
+        import jax
+        jax.config.update("jax_default_matmul_precision", _mm)
     cache_dir = cfg.get_string("runtime.jit.cache_dir")
     if cache_dir:
         # persistent XLA compilation cache: compiled executables are reused
@@ -728,15 +755,28 @@ def main(argv=None):
             sl_model = _cf.sea_level_from_config(
                 cfg, inputs=_cf.inputs_from_files(cfg, grid, "sea_level"))
 
+    # -ys/-ye/-y fall back to time.{start,end,run_length} from the config;
+    # the calendar/reference date label the time axis and align dated
+    # forcing (year *durations* stay SEC_PER_YEAR package-wide)
+    from .util.timecal import Calendar
     yl = SEC_PER_YEAR
-    ys = args.ys * yl if args.ys is not None else t0
+    _ys_cfg = cfg.get_number("time.start", "years")
+    _ye_cfg = cfg.get_number("time.end", "years")
+    ys = args.ys * yl if args.ys is not None else (
+        _ys_cfg * yl if cfg.is_set("time.start") else t0)
     if args.ye is not None:
         ye = args.ye * yl
     elif args.y is not None:
         ye = ys + args.y * yl
+    elif cfg.is_set("time.end") and _ye_cfg > _ys_cfg:
+        ye = _ye_cfg * yl
+    elif cfg.is_set("time.run_length"):
+        ye = ys + cfg.get_number("time.run_length", "years") * yl
     else:
         ye = ys
-    run_time = Time(start=ys, end=ye)
+    run_time = Time(start=ys, end=ye,
+                    calendar=Calendar(cfg.get_string("time.calendar")),
+                    reference_date=cfg.get_string("time.reference_date"))
 
     # multi-device spatial decomposition (the PETSc DMDA rank layout the
     # reference fixes at -Nx/-Ny): build a ("y", "x") mesh when more than

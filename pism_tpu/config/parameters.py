@@ -517,8 +517,6 @@ PARAMETERS.update({
     "frontal_melt.routing.power_beta": (1.18, None, "plume thermal-forcing exponent beta"),
 
     # --- bed deformation extras ---------------------------------------------------
-    "bed_deformation.lc.update_interval": (10.0, "years", "Lingle-Clark update cadence (alias of bed_deformation.update_interval)"),
-    "bed_deformation.lc.apply_elastic_load_response": (False, None, "alias of bed_deformation.lc.elastic_model"),
 
     # --- atmosphere extras -----------------------------------------------------
     "atmosphere.anomaly.file": ("", None, "file with air_temp_anomaly/precipitation_anomaly stacks"),

@@ -413,12 +413,17 @@ def inputs_from_files(config, grid, group: str) -> dict:
     fdt = jnp.float32 \
         if config.get_string("runtime.float_dtype") == "float32" \
         else jnp.float64
+    # dated forcing time axes align to model time under the run calendar
+    _cal = config.get_string("time.calendar")
+    _ref = config.get_string("time.reference_date")
 
     def spatial(file_key, variables):
         path = config.get_string(file_key)
         if not path:
             return
-        fields, times = read_forcing_fields(path, grid, variables)
+        fields, times = read_forcing_fields(path, grid, variables,
+                                            calendar=_cal,
+                                            reference_date=_ref)
         for k, v in fields.items():
             import numpy as _np
             if _np.isnan(v).any():
@@ -439,7 +444,8 @@ def inputs_from_files(config, grid, group: str) -> dict:
             pkey = file_key[:-len(".file")] + ".periodic"
             periodic = pkey in PARAMETERS and config.get_flag(pkey)
             inputs[input_key] = ScalarForcing.from_file(
-                path, variable or input_key, periodic=periodic)
+                path, variable or input_key, periodic=periodic,
+                calendar=_cal, reference_date=_ref)
 
     if group == "surface":
         # reference surface.given.smb_max: error on implausible SMB input
@@ -471,7 +477,8 @@ def inputs_from_files(config, grid, group: str) -> dict:
         path = config.get_string("atmosphere.anomaly.file")
         if path:
             fields, a_times = read_forcing_fields(
-                path, grid, ["air_temp_anomaly", "precipitation_anomaly"])
+                path, grid, ["air_temp_anomaly", "precipitation_anomaly"],
+                calendar=_cal, reference_date=_ref)
             for k, v in fields.items():
                 inputs[k] = jnp.asarray(v, fdt)
             if a_times is not None:
@@ -516,7 +523,8 @@ def inputs_from_files(config, grid, group: str) -> dict:
         if path:
             fields, a_times = read_forcing_fields(
                 path, grid, ["climatic_mass_balance_anomaly",
-                             "ice_surface_temp_anomaly"])
+                             "ice_surface_temp_anomaly"],
+                calendar=_cal, reference_date=_ref)
             for k, v in fields.items():
                 inputs[k] = jnp.asarray(v, fdt)
             if a_times is not None:
@@ -572,7 +580,8 @@ def inputs_from_files(config, grid, group: str) -> dict:
         if path:
             fields, a_times = read_forcing_fields(
                 path, grid, ["shelf_base_mass_flux_anomaly",
-                             "shelf_base_mass_flux"])
+                             "shelf_base_mass_flux"],
+                calendar=_cal, reference_date=_ref)
             for k in ("shelf_base_mass_flux_anomaly", "shelf_base_mass_flux"):
                 if k in fields:
                     inputs["melt_anomaly"] = jnp.asarray(fields[k], fdt)
@@ -587,7 +596,8 @@ def inputs_from_files(config, grid, group: str) -> dict:
         path = config.get_string("ocean.delta_sl_2d.file")
         if path:
             fields, sl_times = read_forcing_fields(
-                path, grid, ["delta_SL", "delta_SL_2D", "sea_level_change"])
+                path, grid, ["delta_SL", "delta_SL_2D", "sea_level_change"],
+                calendar=_cal, reference_date=_ref)
             for k in ("delta_SL_2D", "delta_SL", "sea_level_change"):
                 if k in fields:
                     inputs["delta_SL_2D"] = jnp.asarray(fields[k], fdt)

@@ -149,14 +149,19 @@ def _convert_forcing(data, units, kind, rho_i):
 
 
 def read_forcing_fields(path: str, grid: Grid, variables,
-                        time_name: str = "time", rho_i: float = 910.0):
+                        time_name: str = "time", rho_i: float = 910.0,
+                        calendar: str = "365_day",
+                        reference_date: str = "1-1-1"):
     """Read forcing fields for the coupler factories: each variable is a
     single ``(y, x)`` slice or a ``(time, y, x)`` stack, regridded onto the
     model grid slice by slice and converted to internal units (reference
     role: ``io_helpers.cc`` regridding inside the ``Given`` couplers).
 
     Returns ``(fields, times)`` with ``times`` in model seconds (or None
-    when the file has no time axis)."""
+    when the file has no time axis). Dated CF time axes ("days since
+    1980-1-1") are aligned to model time under the run calendar and
+    ``time.reference_date`` (reference Time.cc + calcalcs role)."""
+    from ..util.timecal import parse_time_units
     out = {}
     times = None
     with File(path, "r") as f:
@@ -167,8 +172,9 @@ def read_forcing_fields(path: str, grid: Grid, variables,
             t_units = dict(f.read_attrs(time_name)).get("units", b"seconds")
             if isinstance(t_units, bytes):
                 t_units = t_units.decode()
-            if "year" in str(t_units):
-                times = times * 3.15569259747e7
+            scale, offset = parse_time_units(str(t_units), calendar,
+                                             reference_date)
+            times = times * scale + offset
         for name in variables:
             if not f.has_variable(name):
                 continue

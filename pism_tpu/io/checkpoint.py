@@ -58,9 +58,15 @@ _STATE_VARS = {
 }
 
 
-def _setup_dims(f: File, grid: Grid):
+def _setup_dims(f: File, grid: Grid, config: Optional[Config] = None):
+    # time axis attrs follow the run calendar (reference Time.cc: the time
+    # axis carries time.calendar / time.reference_date)
+    units, cal = "seconds since 1-1-1", "365_day"
+    if config is not None:
+        cal = config.get_string("time.calendar")
+        units = "seconds since " + config.get_string("time.reference_date")
     f.define_dimension("time", None, attrs={
-        "units": "seconds since 1-1-1", "calendar": "365_day", "axis": "T"})
+        "units": units, "calendar": cal, "axis": "T"})
     f.define_dimension("y", grid.My, grid.y, attrs={
         "units": "m", "axis": "Y", "standard_name": "projection_y_coordinate"})
     f.define_dimension("x", grid.Mx, grid.x, attrs={
@@ -82,7 +88,7 @@ def save_state(path: str, state: S.ModelState, grid: Grid, t: float,
     extra_2d: extra time-independent 2D fields ``{name: (array, attrs)}``
     (regional no_model_mask/usurfstore/thkstore, PISM behavior)."""
     with File(path, "w", format=format) as f:
-        _setup_dims(f, grid)
+        _setup_dims(f, grid, config)
         n = f.append_time(t)
         g = state.geometry
         f.write("thk", np.asarray(g.ice_thickness)[None], ("time", "y", "x"),
@@ -138,6 +144,14 @@ def save_state(path: str, state: S.ModelState, grid: Grid, t: float,
                              "standard_name": "longitude"})
         f.set_global_attr("source", "pism_tpu")
         f.set_global_attr("grid_json", _grid_json(grid))
+        if config is not None:
+            # reference run_info.*: provenance attributes in every output
+            for key, attr in (("run_info.title", "title"),
+                              ("run_info.institution", "institution"),
+                              ("run_info.command", "command")):
+                val = config.get_string(key)
+                if val:
+                    f.set_global_attr(attr, val)
 
 
 def _grid_json(grid: Grid) -> str:

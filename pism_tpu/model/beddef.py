@@ -67,6 +67,12 @@ class LingleClark:
         self.eta = cfg.get_number("bed_deformation.mantle_viscosity")
         if self.include_elastic is None:
             self.include_elastic = cfg.get_flag("bed_deformation.lc.elastic_model")
+        # reference bed_deformation.update_interval (BedDef.cc): solve the
+        # spectral step only every interval; between solves the bed is
+        # frozen and the load anomaly keeps accumulating (dload is computed
+        # from the CURRENT thickness each solve, so nothing is lost)
+        self.update_interval = cfg.get_number("bed_deformation.update_interval",
+                                              "seconds")
         fac = cfg.get_int("bed_deformation.lc.grid_size_factor")
         grid = self.grid
         self.Ny = fac * grid.My
@@ -85,6 +91,21 @@ class LingleClark:
         return a[:self.grid.My, :self.grid.Mx]
 
     def step(self, state: S.ModelState, dt, t=None) -> S.ModelState:
+        T = self.update_interval
+        if t is not None and T > 0.0:
+            # solve only when the step crosses an update-interval boundary,
+            # with the effective dt of one interval (t is the step END time)
+            import jax
+            crossed = jnp.floor(t / T) > jnp.floor((t - dt) / T)
+            dt_eff = jnp.maximum(jnp.asarray(T, jnp.float64),
+                                 jnp.asarray(dt, jnp.float64))
+            return jax.lax.cond(
+                crossed,
+                lambda s: self._solve(s, dt_eff),
+                lambda s: s, state)
+        return self._solve(state, dt)
+
+    def _solve(self, state: S.ModelState, dt) -> S.ModelState:
         g = state.geometry
         H_ref = state.bed_load_reference          # reference load thickness
         bed_ref = state.bed_reference      # undeformed bed
@@ -187,10 +208,15 @@ class GivenBed:
     def __post_init__(self):
         cfg = self.config
         if self.topg_delta is None:
-            path = cfg.get_string("bed_deformation.given.file")
+            # the reference name is bed_deformation.bed_topography_delta_file
+            # (-topg_delta_file); bed_deformation.given.file is the rebuild's
+            # legacy spelling
+            path = cfg.get_string("bed_deformation.bed_topography_delta_file") \
+                or cfg.get_string("bed_deformation.given.file")
             if not path:
                 raise ValueError(
-                    "-bed_def given needs bed_deformation.given.file")
+                    "-bed_def given needs "
+                    "bed_deformation.bed_topography_delta_file")
             from ..io.bootstrap import read_forcing_fields
             fields, times = read_forcing_fields(path, self.grid,
                                                 ["topg_delta"])

@@ -139,11 +139,16 @@ class OutputManager:
         self._extra_rates = [n for n in self.extra_vars
                              if n in diag.SPATIAL_RATE]
         if self._extra_f is not None:
-            ckpt._setup_dims(self._extra_f, self.grid)
+            ckpt._setup_dims(self._extra_f, self.grid, self.config)
             self._setup_bounds(self._extra_f)
         if self._ts_f is not None:
+            units, cal = "seconds since 1-1-1", "365_day"
+            if self.config is not None:
+                cal = self.config.get_string("time.calendar")
+                units = "seconds since " \
+                    + self.config.get_string("time.reference_date")
             self._ts_f.define_dimension("time", None, attrs={
-                "units": "seconds since 1-1-1", "calendar": "365_day"})
+                "units": units, "calendar": cal})
             self._setup_bounds(self._ts_f)
 
     @staticmethod

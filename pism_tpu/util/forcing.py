@@ -34,19 +34,23 @@ class ScalarForcing:
 
     @staticmethod
     def from_file(path: str, variable: str, time_name: str = "time",
-                  periodic: bool = False) -> "ScalarForcing":
+                  periodic: bool = False, calendar: str = "365_day",
+                  reference_date: str = "1-1-1") -> "ScalarForcing":
         """Read a (time, value) series from a NetCDF-4/HDF5 file (PISM
-        reads e.g. ``delta_T`` files; times in model years or seconds per
-        the 'units' attribute)."""
+        reads e.g. ``delta_T`` files). Dated CF time axes are aligned to
+        model time under the run calendar (see
+        ``util.timecal.parse_time_units``)."""
         from ..io.nc4 import File
+        from .timecal import parse_time_units
         with File(path, "r") as f:
             t = np.asarray(f.read(time_name), float)
             units = dict(f.read_attrs(time_name)).get("units", b"seconds")
             if isinstance(units, bytes):
                 units = units.decode()
             v = np.asarray(f.read(variable), float)
-        if "year" in str(units):
-            t = t * SEC_PER_YEAR
+        scale, offset = parse_time_units(str(units), calendar,
+                                         reference_date)
+        t = t * scale + offset
         return ScalarForcing(jnp.asarray(t), jnp.asarray(v), periodic)
 
     def __call__(self, t):

@@ -554,3 +554,38 @@ def test_pdd_random_methods(flat_geometry):
     with pytest.raises(ValueError):
         TemperatureIndex(atmosphere=a, config=Config(
             {"surface.pdd.method": "bogus"}))
+
+
+def test_lingle_clark_update_interval_parity():
+    """VERDICT r4 #7 (reference BedDef.cc bed_deformation.update_interval):
+    solving the spectral step only on the interval cadence must track the
+    every-step solution closely — the load anomaly is re-measured from the
+    current thickness at each solve, so nothing accumulates wrongly."""
+    from pism_tpu.model.beddef import LingleClark
+
+    grid = Grid(Mx=33, My=33, Lx=800e3, Ly=800e3)
+    disc = jnp.where(jnp.asarray(grid.radius) < 300e3, 1500.0, 0.0)
+
+    def run(interval_years):
+        cfg = Config({"bed_deformation.model": "lc",
+                      "bed_deformation.update_interval": interval_years})
+        lc = LingleClark(grid=grid, config=cfg)
+        geom = new_geometry(jnp.zeros(grid.shape2), jnp.zeros(grid.shape2))
+        state = lc.initialize(ModelState(geometry=geom))
+        # load applied after initialization: the bed starts relaxing
+        state = state.replace(geometry=state.geometry.replace(
+            ice_thickness=disc))
+        dt = 2.0 * SPY
+        t = 0.0
+        for _ in range(100):   # 200 years
+            t += dt
+            state = lc.step(state, dt, t=t)
+        return np.asarray(state.geometry.bed_elevation)
+
+    bed_every = run(0.0)     # solve every step
+    bed_int = run(10.0)      # reference default cadence
+    # the bed must actually deform...
+    assert bed_every.min() < -20.0
+    # ...and the interval solution tracks the every-step one
+    err = np.max(np.abs(bed_int - bed_every))
+    assert err < 0.1 * np.max(np.abs(bed_every))
