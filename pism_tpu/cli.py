@@ -95,7 +95,10 @@ def build_parser():
                    help="height of the computational box [m]")
     p.add_argument("-extra_file", default=None)
     p.add_argument("-extra_times", default=None)
-    p.add_argument("-extra_vars", default="thk,usurf,velbar_mag,mask")
+    p.add_argument("-extra_vars", default=None,
+                   help="comma list of -extra_file diagnostics (default: "
+                        "config output.extra.vars or thk,usurf,velbar_mag,"
+                        "mask)")
     p.add_argument("-ts_file", default=None)
     p.add_argument("-ts_times", default=None)
     p.add_argument("-ts_vars", default=None,
@@ -476,12 +479,16 @@ def main(argv=None):
     elif args.i and args.bootstrap:
         from .io.bootstrap import bootstrap as _bootstrap
         cfg = Config()
+        # grid-shaping parameters must be visible before construction
+        # (overrides are re-applied later with everything else)
+        _apply_config_overrides(cfg, args.config)
         grid = Grid(Mx=args.Mx or cfg.get_int("grid.Mx"),
                     My=args.My or cfg.get_int("grid.My"),
                     Lx=args.Lx * 1e3 if args.Lx else cfg.get_number("grid.Lx"),
                     Ly=args.Ly * 1e3 if args.Ly else cfg.get_number("grid.Ly"),
                     Mz=args.Mz or cfg.get_int("grid.Mz"),
-                    Lz=args.Lz or cfg.get_number("grid.Lz"))
+                    Lz=args.Lz or cfg.get_number("grid.Lz"),
+                    registration=cfg.get_string("grid.registration"))
         state = _bootstrap(args.i, grid, cfg)
         from .coupler.surface import Uniform
         surface = Uniform(smb=0.0)
@@ -696,7 +703,10 @@ def main(argv=None):
                                                   "lon", "longitude"])
                 lat = flds.get("lat", flds.get("latitude"))
                 lon = flds.get("lon", flds.get("longitude"))
-                if lat is None or lon is None:
+                if (lat is None or lon is None) and cfg.get_flag(
+                        "grid.recompute_longitude_and_latitude"):
+                    # reference grid.recompute_longitude_and_latitude:
+                    # derive lon/lat from the projection metadata
                     lon_p, lat_p = lonlat_from_projection(args.i, grid)
                     lat = lat if lat is not None else lat_p
                     lon = lon if lon is not None else lon_p
@@ -736,10 +746,12 @@ def main(argv=None):
                 flds = read_and_regrid(args.i, grid,
                                        variables=["lat", "latitude"])
                 lat = flds.get("lat", flds.get("latitude"))
-                if lat is None:
+                if lat is None and cfg.get_flag(
+                        "grid.recompute_longitude_and_latitude"):
                     lat = latitude_from_projection(args.i, grid)
                 if lat is not None:
                     surf_inputs["latitude"] = jnp.asarray(lat)
+            surf_inputs["_grid"] = grid
             surface = _cf.surface_from_config(cfg, inputs=surf_inputs,
                                               atmosphere=atm_model)
         elif atm_model is not None:
@@ -805,6 +817,33 @@ def main(argv=None):
                      no_model_mask=no_model_mask, sliding_mu=sliding_mu,
                      usurf_store=usurf_store, thk_store=thk_store,
                      mesh=mesh)
+
+    if not cfg.get_flag("stress_balance.ssa.read_initial_guess") \
+            and (state.u_ssa is not None or state.v_ssa is not None):
+        # reference -ssa_read_initial_guess false: cold-start the SSA
+        # instead of warm-starting from the input file's velocities
+        state = state.replace(u_ssa=None, v_ssa=None)
+
+    if cfg.get_flag("stress_balance.ssa.dirichlet_bc") and args.i:
+        # reference -ssa_dirichlet_bc: bc_mask + u_bc/v_bc (m/year in
+        # files) from the input file fix the SSA velocity where set
+        from .io.bootstrap import read_and_regrid
+        flds = read_and_regrid(args.i, grid,
+                               ["bc_mask", "u_bc", "v_bc",
+                                "u_ssa_bc", "v_ssa_bc"])
+        bcm = flds.get("bc_mask")
+        ub = flds.get("u_bc", flds.get("u_ssa_bc"))
+        vb = flds.get("v_bc", flds.get("v_ssa_bc"))
+        if bcm is None or ub is None or vb is None:
+            raise SystemExit(
+                "-config stress_balance.ssa.dirichlet_bc=True needs "
+                "bc_mask, u_bc and v_bc variables in the -i file")
+        if model.ssa is None:
+            raise SystemExit("ssa.dirichlet_bc needs an SSA stress balance")
+        spy = 3.15569259747e7
+        model.ssa.bc_mask = jnp.asarray(np.nan_to_num(bcm) > 0.5)
+        model.ssa.bc_u = jnp.asarray(np.nan_to_num(ub) / spy)
+        model.ssa.bc_v = jnp.asarray(np.nan_to_num(vb) / spy)
     if mesh is not None:
         from .parallel.mesh import shard_state
         state = shard_state(state, mesh)
@@ -814,20 +853,46 @@ def main(argv=None):
     if args.inverse:
         return _run_inversion(args, model, state, grid, cfg)
 
+    # output flags fall back to their config parameters (reference: every
+    # -extra_*/-ts_*/-save_*/-backup_* option IS a config parameter); the
+    # CLI values mirror back in for provenance
+    extra_file = args.extra_file or cfg.get_string("output.extra.file") or None
+    extra_times_s = args.extra_times or cfg.get_string("output.extra.times")
+    extra_vars_s = args.extra_vars or cfg.get_string("output.extra.vars") \
+        or "thk,usurf,velbar_mag,mask"
+    ts_file = args.ts_file or cfg.get_string("output.timeseries.filename") \
+        or None
+    ts_times_s = args.ts_times or cfg.get_string("output.timeseries.times")
+    save_file = args.save_file or cfg.get_string("output.snapshot.file") \
+        or None
+    save_times_s = args.save_times or cfg.get_string("output.snapshot.times")
+    backup_h = args.backup_interval \
+        or cfg.get_number("output.backup_interval", "hours") \
+        or cfg.get_number("output.checkpoint.interval", "hours")
+    cfg.update({k: v for k, v in {
+        "output.extra.file": extra_file or "",
+        "output.extra.times": extra_times_s or "",
+        "output.extra.vars": extra_vars_s,
+        "output.timeseries.filename": ts_file or "",
+        "output.timeseries.times": ts_times_s or "",
+        "output.snapshot.file": save_file or "",
+        "output.snapshot.times": save_times_s or "",
+        "output.backup_interval": backup_h,
+    }.items()})
     out = OutputManager(
         grid=grid, config=cfg,
-        extra_times=parse_times(args.extra_times, yl, ys / yl, ye / yl)
-        if args.extra_times else (),
-        extra_vars=tuple(args.extra_vars.split(",")),
-        extra_file=args.extra_file,
-        ts_times=parse_times(args.ts_times, yl, ys / yl, ye / yl)
-        if args.ts_times else (),
+        extra_times=parse_times(extra_times_s, yl, ys / yl, ye / yl)
+        if extra_times_s else (),
+        extra_vars=tuple(extra_vars_s.split(",")),
+        extra_file=extra_file,
+        ts_times=parse_times(ts_times_s, yl, ys / yl, ye / yl)
+        if ts_times_s else (),
         ts_vars=tuple(cfg.get_string("output.timeseries.variables").split(",")),
-        ts_file=args.ts_file,
-        snapshot_times=parse_times(args.save_times, yl, ys / yl, ye / yl)
-        if args.save_times else (),
-        snapshot_file=args.save_file or "snapshots_{kyr:.3f}.nc",
-        backup_interval=args.backup_interval * 3600.0,
+        ts_file=ts_file,
+        snapshot_times=parse_times(save_times_s, yl, ys / yl, ye / yl)
+        if save_times_s else (),
+        snapshot_file=save_file or "snapshots_{kyr:.3f}.nc",
+        backup_interval=backup_h * 3600.0,
         view_vars=tuple(v for v in cfg.get_string(
             "output.runtime.viewer.variables").split(",") if v),
         async_io=cfg.get_flag("output.async"),
@@ -836,15 +901,30 @@ def main(argv=None):
     wall0 = _wall.time()
     t_reached = run_time.start
 
+    # runtime summary formatting (reference output.runtime.*): volume/area
+    # scaling exponents, calendar-date time stamps, time unit label
+    _vscale = 10.0 ** cfg.get_number(
+        "output.runtime.volume_scale_factor_log10")
+    _ascale = 10.0 ** cfg.get_number("output.runtime.area_scale_factor_log10")
+    _tunit = cfg.get_string("output.runtime.time_unit_name") or "a"
+    _tcal = cfg.get_flag("output.runtime.time_use_calendar")
+
     def report(state_, t, stats):
         nonlocal t_reached
         t_reached = t
         if log.verbosity >= 2:
             vol = float(jnp.sum(state_.geometry.ice_thickness)) \
-                * grid.dx * grid.dy / 1e9
+                * grid.dx * grid.dy / 1e9 / _vscale
+            h_std = cfg.get_number("output.ice_free_thickness_standard")
+            area = float(jnp.sum(
+                (state_.geometry.ice_thickness > h_std).astype(
+                    jnp.float32))) * grid.dx * grid.dy / 1e6 / _ascale
+            tstamp = run_time.date_string(t) if _tcal \
+                else f"{t / yl:12.2f} {_tunit}"
             log.message(
-                2, "t = %12.2f a   steps = %7d   volume = %14.1f km3   "
-                "wall = %7.1f s", t / yl, int(stats.nsteps), vol,
+                2, "t = %s   steps = %7d   volume = %14.1f km3   "
+                "area = %12.1f km2   wall = %7.1f s",
+                tstamp, int(stats.nsteps), vol, area,
                 _wall.time() - wall0)
 
     from .util.signals import SignalMonitor
@@ -877,6 +957,9 @@ def main(argv=None):
         }
     ckpt.save_state(args.o, state, grid, t_reached, config=cfg,
                     format=args.o_format, extra_2d=regional_2d)
+    cfg.update({"output.size": args.o_size, "output.format": args.o_format,
+                "output.snapshot.size":
+                    cfg.get_string("output.snapshot.size")})
     if args.o_size != "small":
         # variable sets from the config DB (reference output.sizes.*)
         med = tuple(cfg.get_string("output.sizes.medium").split())
@@ -955,20 +1038,43 @@ def _run_inversion(args, model, state, grid, cfg):
                     rec.step)
 
     max_it = cfg.get_int("inverse.max_iterations")
+    # nondimensionalized regularizer gradients (inverse.ssa.length_scale),
+    # TV smoothing epsilon and the velocity-misfit weight
+    mis_w = cfg.get_number("inverse.ssa.velocity_misfit_weight")
+    grad_scale = cfg.get_number("inverse.ssa.length_scale", "m") / grid.dx
+    tv_eps = cfg.get_number("inverse.design.tv_epsilon")
+    # Morozov discrepancy target (inverse.target_misfit, m/year) in the
+    # dimensionless misfit units (J = w 0.5 e_rms^2 / <|u_obs|^2>)
+    wmask = np.asarray(obs_mask, float)
+    nobs = max(float(wmask.sum()), 1.0)
+    obs2 = float((np.asarray(u_obs) ** 2 * wmask).sum()
+                 + (np.asarray(v_obs) ** 2 * wmask).sum()) / nobs
+    target_ms = cfg.get_number("inverse.target_misfit", "m s-1")
+    misfit_target = mis_w * 0.5 * target_ms ** 2 / max(obs2, 1e-30) \
+        if target_ms > 0 else None
     if design == "tauc":
         tau0 = model.yield_stress.compute(state)
         inv = TaucInversion(ssa=ssa, state=state, u_obs=u_obs, v_obs=v_obs,
                             obs_mask=jnp.asarray(obs_mask),
                             reg_kind=reg_kind[kind], reg_weight=w,
-                            param=param)
+                            param=param, misfit_weight=mis_w,
+                            grad_scale=grad_scale, tv_eps=tv_eps)
+        tauc_min = cfg.get_number("inverse.ssa.tauc_min")
+        tauc_max = cfg.get_number("inverse.ssa.tauc_max")
+        if param.kind == "exp":
+            # reference inverse.log_ratio: bound |ln(tauc / scale)| in the
+            # exp parameterization
+            lr = cfg.get_number("inverse.log_ratio")
+            tauc_min = max(tauc_min, param.scale * float(np.exp(-lr)))
+            tauc_max = min(tauc_max, param.scale * float(np.exp(lr)))
         if cfg.get_string("inverse.method") == "lbfgs":
             res, opt = inv.run_lbfgs(
                 tau0, max_iterations=max_it,
-                tauc_min=cfg.get_number("inverse.ssa.tauc_min"),
-                tauc_max=cfg.get_number("inverse.ssa.tauc_max"),
+                tauc_min=tauc_min,
+                tauc_max=tauc_max,
                 grtol=cfg.get_number("inverse.gradient_tolerance"),
                 steptol=cfg.get_number("inverse.step_tolerance"),
-                monitor=monitor)
+                monitor=monitor, misfit_target=misfit_target)
             log.message(1, "inversion %s (%s) after %d iterates",
                         "converged" if opt.converged else "stopped",
                         opt.reason, len(opt.log))

@@ -40,7 +40,7 @@ PARAMETERS = {
     "grid.periodicity": ("none", None, "none | x | y | xy"),
     "grid.Nx": (0, None, "device-mesh columns for spatial sharding (0 = auto factorization; the PETSc DMDA -Nx analog). Grid Mx must be divisible by it"),
     "grid.Ny": (0, None, "device-mesh rows for spatial sharding (0 = auto factorization; the PETSc DMDA -Ny analog). Grid My must be divisible by it"),
-    "grid.registration": ("center", None, "center | corner"),
+    "grid.registration": ("corner", None, "grid-point registration at bootstrap: corner (points at cell corners incl. +-L, dx = 2L/(M-1); this framework's historical default) | center (cell centers, dx = 2L/M; the reference's bootstrap default)"),
     "grid.projection": ("", None, "PROJ string of the grid mapping (e.g. +proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45); stored as the proj attribute of output files, used to compute lat/lon"),
 
     # --- time stepping ------------------------------------------------------
@@ -72,14 +72,14 @@ PARAMETERS = {
     "stress_balance.ssa.strength_extension.constant_nu": (9.8687e14, "Pa s", "viscosity of strength extension"),
     "stress_balance.ssa.strength_extension.min_thickness": (50.0, "m", "thickness below which extension applies"),
     "stress_balance.ssa.method": ("fd", None, "fd (staggered FD + CFBC) | fem (Q1 Galerkin)"),
-    "stress_balance.ssa.fd.relative_convergence": (1.0e-4, None, "Picard rtol on nuH change"),
+    "stress_balance.ssa.fd.relative_convergence": (1.0e-4, None, "[unimplemented] Picard rtol on nuH change"),
     "stress_balance.ssa.fd.max_iterations": (300, None, "max Picard iterations"),
     "stress_balance.ssa.fd.ksp_rtol": (1.0e-5, None, "inner Krylov relative tolerance (floor; the Eisenstat-Walker forcing loosens it adaptively up to ksp_rtol_max while the outer residual is far from converged)"),
     "stress_balance.ssa.fd.ksp_rtol_max": (0.3, None, "loosest adaptive inner tolerance (Eisenstat-Walker eta_max; set equal to ksp_rtol to disable inexact Newton; 0.3 measured fastest on the 5 km hybrid: a loose direction per sweep beats fewer, tighter sweeps)"),
     "stress_balance.ssa.fd.preconditioner": ("line", None, "inner-Krylov preconditioner: line (default: alternating-direction line relaxation — u along x, v along y — via batched parallel cyclic reduction; fully fused on TPU, ~2.4x Krylov iteration cut and ~1.6x SSA wall-time vs jacobi at 20 km Greenland scale) | jacobi (point diagonal) | mg (geometric multigrid V-cycle: converges where Jacobi stagnates but its small coarse levels are dispatch-latency-bound on TPU) | linemg (V(1,1) cycle with the line smoother: line relaxation + coarse-grid global coupling)"),
     "stress_balance.ssa.fd.warmup_ksp_rtol": (1.0e-2, None, "inner Krylov tolerance for Picard warmup/safeguard sweeps (fixed-point sweeps do not need tight inner solves; 1e-2 cuts ~15% of the 5 km solve wall time over 1e-3 with no trajectory effect)"),
     "stress_balance.ssa.fd.ksp_max_it": (300, None, "inner Krylov max iterations"),
-    "stress_balance.ssa.fd.nuH_iter_failure_underrelaxation": (0.8, None, "under-relaxation on retry"),
+    "stress_balance.ssa.fd.nuH_iter_failure_underrelaxation": (0.8, None, "[unimplemented] under-relaxation on retry"),
     "stress_balance.ssa.fd.beta_floor": (10.0, "Pa s m-1", "tiny drag on all icy cells; regularizes isolated floating cells"),
     "stress_balance.ssa.fd.newton_rtol": (1.0e-7, None, "Newton convergence: |F| <= rtol |b|"),
     "stress_balance.ssa.fd.velocity_change_rtol": (1.0e-4, None, "hard stop when a sweep changes the velocity by less than this relative amount (matches the reference's ssafd_picard_rtol = 1e-4; 0 = run to the precision floor)"),
@@ -158,7 +158,7 @@ PARAMETERS = {
     "energy.ch_warming.residual_water_fraction": (0.005, None, "water fraction of the flushed CH columns during the melt season"),
     "energy.drainage_target_water_fraction": (0.01, None, "drain liquid fraction above this"),
     "energy.minimum_allowed_temperature": (200.0, "K", "sanity floor for ice temperature"),
-    "energy.margin_ice_thickness_limit": (100.0, "m", "margin-column treatment threshold"),
+    "energy.margin_ice_thickness_limit": (100.0, "m", "[unimplemented] margin-column treatment threshold"),
     "energy.bedrock_thermal.density": (3300.0, "kg m-3", "bedrock density"),
     "energy.bedrock_thermal.conductivity": (3.0, "W m-1 K-1", "bedrock thermal conductivity"),
     "energy.bedrock_thermal.specific_heat_capacity": (1000.0, "J kg-1 K-1", "bedrock specific heat"),
@@ -176,7 +176,6 @@ PARAMETERS = {
     "geometry.update.enabled": (True, None, "evolve ice geometry"),
     "geometry.part_grid.enabled": (False, None, "Albrecht part-grid front advance"),
     "geometry.grounded_cell_fraction": (True, None, "sub-grid grounding line interpolation (Feldmann et al. 2014 friction scaling); examples/mismip_study.py: without it the 25 km MISMIP grounding line over-advances to the domain edge (+448 km), with it the error is -45 km vs the Schoof semi-analytic position"),
-    "masstransport.scheme": ("upwind1", None, "first-order upwind advective flux"),
 
     # --- hydrology ----------------------------------------------------------
     "hydrology.model": ("null", None, "null | routing | distributed | steady"),
@@ -198,7 +197,6 @@ PARAMETERS = {
     "calving.methods": ("", None, "comma list: eigen_calving,thickness_calving,vonmises_calving,float_kill"),
     "calving.eigen_calving.K": (0.0, "m s", "eigencalving proportionality constant"),
     "calving.vonmises_calving.sigma_max": (1.0e6, "Pa", "von Mises yield stress"),
-    "calving.vonmises_calving.K": (1.0, None, "von Mises rate factor"),
     "calving.hayhurst_calving.B_tilde": (65.0, None, "Hayhurst rate factor [MPa^-r year-1] (Mercenier et al. 2018)"),
     "calving.hayhurst_calving.exponent_r": (0.43, None, "Hayhurst stress exponent"),
     "calving.hayhurst_calving.sigma_threshold": (1.7e5, "Pa", "Hayhurst tensile stress threshold"),
@@ -370,18 +368,16 @@ PARAMETERS.update({
     "time.holocene_start": (-11700.0, "years", "start of the Holocene"),
 
     # --- time stepping -------------------------------------------------------
-    "time_stepping.count_time_steps": (False, None, "report the number of steps taken"),
     "time_stepping.dt_force": (-1.0, "years", "override the adaptive dt with a fixed value (< 0 = adaptive)"),
     "time_stepping.adaptive_timestepping": (True, None, "use adaptive time stepping"),
     "time_stepping.resolution": (1.0, "seconds", "quantize dt to multiples of this (reproducible restarts)"),
-    "time_stepping.skip.enabled_aliases": (False, None, "compat alias of time_stepping.skip.enabled"),
-    "time_stepping.assume_bed_elevation_changed": (False, None, "recompute diffusivity-based dt bounds even when the bed is static"),
+    "time_stepping.assume_bed_elevation_changed": (False, None, "[n/a in this architecture: every dt limit is recomputed every step] recompute diffusivity-based dt bounds even when the bed is static"),
 
     # --- grid ----------------------------------------------------------------
     "grid.allow_extrapolation": (False, None, "allow bootstrapping fields that do not cover the domain"),
-    "grid.correct_cell_areas": (True, None, "correct cell areas using the projection (lat/lon grids)"),
+    "grid.correct_cell_areas": (True, None, "[unimplemented] correct cell areas using the projection (lat/lon grids)"),
     "grid.recompute_longitude_and_latitude": (True, None, "recompute lat/lon from the projection instead of reading them"),
-    "grid.max_stencil_width": (2, None, "widest stencil of any component (ghost width)"),
+    "grid.max_stencil_width": (2, None, "[n/a in this architecture: XLA GSPMD manages halo widths] widest stencil of any component (ghost width)"),
 
     # --- input / regridding ---------------------------------------------------
     "input.file": ("", None, "input (restart or bootstrap) file (-i)"),
@@ -407,55 +403,55 @@ PARAMETERS.update({
     "output.extra.file": ("", None, "spatial time-series file (-extra_file)"),
     "output.extra.times": ("", None, "times of -extra_file records (-extra_times)"),
     "output.extra.vars": ("", None, "comma list of diagnostics written to -extra_file (-extra_vars)"),
-    "output.extra.split": (False, None, "write each -extra record to its own file (-extra_split)"),
-    "output.extra.append": (False, None, "append to an existing -extra_file"),
+    "output.extra.split": (False, None, "[unimplemented] write each -extra record to its own file (-extra_split)"),
+    "output.extra.append": (False, None, "[unimplemented] append to an existing -extra_file"),
     "output.timeseries.filename": ("", None, "scalar time-series file (-ts_file)"),
     "output.timeseries.times": ("", None, "times of -ts_file records (-ts_times)"),
-    "output.timeseries.append": (False, None, "append to an existing -ts_file"),
-    "output.timeseries.buffer_size": (10000, None, "scalar samples buffered between flushes"),
+    "output.timeseries.append": (False, None, "[unimplemented] append to an existing -ts_file"),
+    "output.timeseries.buffer_size": (10000, None, "[unimplemented] scalar samples buffered between flushes"),
     "output.snapshot.file": ("", None, "snapshot file prefix (-save_file)"),
     "output.snapshot.times": ("", None, "snapshot times (-save_times)"),
-    "output.snapshot.split": (True, None, "one file per snapshot (-save_split)"),
+    "output.snapshot.split": (True, None, "[unimplemented] one file per snapshot (-save_split)"),
     "output.snapshot.size": ("small", None, "variable set written to snapshots (-save_size)"),
     "output.backup_interval": (0.0, "hours", "wall-clock interval between backups (0 = off)"),
-    "output.backup_size": ("small", None, "variable set written to backups"),
+    "output.backup_size": ("small", None, "[unimplemented] variable set written to backups"),
     "output.checkpoint.interval": (0.0, "hours", "alias of output.backup_interval"),
     "output.runtime.volume_scale_factor_log10": (0, None, "ice volume in runtime summaries is scaled by 10^this"),
     "output.runtime.area_scale_factor_log10": (0, None, "ice area in runtime summaries is scaled by 10^this"),
     "output.runtime.time_unit_name": ("year", None, "time unit of runtime summaries"),
     "output.runtime.time_use_calendar": (True, None, "print calendar dates in runtime summaries"),
     "output.fill_value": (-2.0e9, None, "_FillValue of output variables"),
-    "output.use_MKS": (False, None, "write output in MKS units instead of glaciological units"),
-    "output.ISMIP6": (False, None, "write ISMIP6 (CMIP) variable names and units"),
-    "output.ISMIP6_extra_variables": ("", None, "extra ISMIP6 variables to report"),
+    "output.use_MKS": (False, None, "[unimplemented] write output in MKS units instead of glaciological units"),
+    "output.ISMIP6": (False, None, "[unimplemented] write ISMIP6 (CMIP) variable names and units"),
+    "output.ISMIP6_extra_variables": ("", None, "[unimplemented] extra ISMIP6 variables to report"),
 
     # --- stress balance: SIA extras -------------------------------------------
     "stress_balance.sia.bed_smoother.theta_min": (0.0, None, "floor of the Schoof bed-roughness flux multiplier theta"),
     "stress_balance.sia.e_age_coupling": (False, None, "couple the SIA enhancement factor to ice age (EDC/EemianGreenland runs)"),
-    "stress_balance.sia.grain_size_age_coupling": (False, None, "compute the Goldsby-Kohlstedt grain size from ice age"),
+    "stress_balance.sia.grain_size_age_coupling": (False, None, "[unimplemented] compute the Goldsby-Kohlstedt grain size from ice age"),
     "stress_balance.sia.max_diffusivity_allow_unlimited": (False, None, "warn instead of stopping when the diffusivity exceeds max_diffusivity"),
 
     # --- stress balance: SSA extras --------------------------------------------
     "stress_balance.ssa.fd.lateral_drag.enabled": (False, None, "add lateral drag along ice-free-bedrock margins (fjord walls)"),
     "stress_balance.ssa.fd.lateral_drag.viscosity": (5.0e15, "Pa s", "nuH used for the lateral-drag boundary"),
-    "stress_balance.ssa.fd.flow_line_mode": (False, None, "1D flow-line mode: zero all y-derivatives in the SSA system"),
-    "stress_balance.ssa.fd.replace_zero_diagonal_entries": (True, None, "regularize zero diagonal entries in the SSA system (ice-free cells)"),
-    "stress_balance.ssa.fd.extrapolate_at_margins": (True, None, "extrapolate the SSA velocity one cell past the ice margin for the transport stencil"),
-    "stress_balance.ssa.compute_surface_gradient_inward": (False, None, "one-sided surface-gradient differences at the domain edge"),
+    "stress_balance.ssa.fd.flow_line_mode": (False, None, "[unimplemented] 1D flow-line mode: zero all y-derivatives in the SSA system"),
+    "stress_balance.ssa.fd.replace_zero_diagonal_entries": (True, None, "[n/a in this architecture: the matrix-free operator has no assembled diagonal; isolated cells are regularized by fd.beta_floor] regularize zero diagonal entries in the SSA system (ice-free cells)"),
+    "stress_balance.ssa.fd.extrapolate_at_margins": (True, None, "[unimplemented] extrapolate the SSA velocity one cell past the ice margin for the transport stencil"),
+    "stress_balance.ssa.compute_surface_gradient_inward": (False, None, "[unimplemented] one-sided surface-gradient differences at the domain edge"),
     "stress_balance.ssa.dirichlet_bc": (False, None, "respect the vel_bc_mask/u_bc/v_bc Dirichlet velocities"),
     "stress_balance.ssa.read_initial_guess": (True, None, "warm-start the SSA from the velocities in the input file"),
 
     # --- stress balance: Blatter -----------------------------------------------
-    "stress_balance.blatter.Mz": (17, None, "vertical levels of the Blatter sigma grid"),
-    "stress_balance.blatter.coarsening_factor": (2, None, "vertical semi-coarsening factor of the reference's multigrid (the rebuild's vertical-line preconditioner role)"),
+    "stress_balance.blatter.Mz": (17, None, "[n/a in this architecture: the Blatter solver shares the ice grid's vertical levels (grid.Mz)] vertical levels of the Blatter sigma grid"),
+    "stress_balance.blatter.coarsening_factor": (2, None, "[n/a in this architecture: the batched vertical-line preconditioner replaces the reference's vertical-semicoarsening multigrid] vertical semi-coarsening factor of the reference's multigrid (the rebuild's vertical-line preconditioner role)"),
     "stress_balance.blatter.flow_law": ("gpbld", None, "flow law of the Blatter solver"),
     "stress_balance.blatter.enhancement_factor": (1.0, None, "Blatter enhancement factor"),
-    "stress_balance.blatter.use_eta_transform": (True, None, "eta-transform of the surface gradient near margins"),
+    "stress_balance.blatter.use_eta_transform": (True, None, "[unimplemented] eta-transform of the surface gradient near margins"),
     "stress_balance.blatter.newton_max_iterations": (50, None, "Blatter Newton iteration cap"),
     "stress_balance.blatter.newton_rtol": (1.0e-7, None, "Blatter Newton relative tolerance"),
 
     # --- basal resistance extras ------------------------------------------------
-    "basal_resistance.beta_ice_free_bedrock": (1.8e9, "Pa s m-1", "drag coefficient on ice-free bedrock (grounded margins)"),
+    "basal_resistance.beta_ice_free_bedrock": (1.8e9, "Pa s m-1", "[n/a in this architecture: ice-free cells are Dirichlet rows (u = 0), which is infinitely strong] drag coefficient on ice-free bedrock (grounded margins)"),
     "basal_resistance.beta_lateral_margin": (0.0, "Pa s m-1", "extra drag at lateral margins (0 = off)"),
     "basal_resistance.pseudo_plastic.sliding_scale_factor": (-1.0, None, "scale sliding speeds by this factor (< 0 = off; SeaRISE experiment knob)"),
 
@@ -463,7 +459,7 @@ PARAMETERS.update({
     "basal_yield_stress.add_transportable_water": (False, None, "effective pressure sees routing water in addition to till water"),
     "basal_yield_stress.slippery_grounding_lines": (False, None, "set tauc to 0 at grounding-line cells below sea level (MISMIP+ style)"),
     "basal_yield_stress.mohr_coulomb.till_log_factor_transportable_water": (0.1, "m", "log-factor scale of the transportable-water contribution to N_till"),
-    "basal_yield_stress.mohr_coulomb.tillphi_opt.dhdt_min": (1.0e-7, "m s-1", "tillphi_opt: only adjust where |dh/dt| is below this (quasi-steady surface)"),
+    "basal_yield_stress.mohr_coulomb.tillphi_opt.dhdt_min": (1.0e-7, "m s-1", "[unimplemented] tillphi_opt: only adjust where |dh/dt| is below this (quasi-steady surface)"),
 
     # --- rheology extras ----------------------------------------------------------
     "flow_law.Hooke.A": (4.42e-9, "s-1 MPa-3", "Hooke (1981) softness prefactor"),
@@ -476,17 +472,17 @@ PARAMETERS.update({
     # --- energy extras --------------------------------------------------------
     "energy.allow_temperature_above_melting": (False, None, "tolerate input temperatures above the pressure-melting point"),
     "energy.temperature_dependent_conductivity": (False, None, "k(T) instead of constant cold-ice conductivity"),
-    "energy.enthalpy.cook_temperate_ice": (False, None, "legacy: treat temperate ice enthalpy sources explicitly"),
+    "energy.enthalpy.cook_temperate_ice": (False, None, "[unimplemented] legacy: treat temperate ice enthalpy sources explicitly"),
     "energy.max_low_temperature_count": (10, None, "abort after this many too-cold-ice errors"),
     "energy.basal_melt.max": (1.0, "m year-1", "sanity cap on the basal melt rate"),
     "energy.bedrock_thermal.file": ("", None, "file with the initial bedrock temperature profile"),
-    "energy.temperature_driven_basal_melt.enabled": (False, None, "legacy cold-mode basal melt from the basal temperature excess"),
+    "energy.temperature_driven_basal_melt.enabled": (False, None, "[unimplemented] legacy cold-mode basal melt from the basal temperature excess"),
 
     # --- geometry extras --------------------------------------------------------
     "geometry.part_grid.max_iterations": (3, None, "residual-redistribution sweeps per transport step"),
     "geometry.front_retreat.prescribed.file": ("", None, "ISMIP6 land_ice_area_fraction_retreat forcing file"),
     "geometry.front_retreat.use_cfl": (False, None, "alias of calving.front_retreat.use_cfl"),
-    "geometry.front_retreat.wrap_around": (False, None, "allow retreat across periodic boundaries"),
+    "geometry.front_retreat.wrap_around": (False, None, "[unimplemented] allow retreat across periodic boundaries"),
     "geometry.ice_thickness.max": (1.0e4, "m", "sanity cap on the ice thickness"),
 
     # --- hydrology extras --------------------------------------------------------
@@ -495,7 +491,7 @@ PARAMETERS.update({
     "hydrology.add_water_input_to_till_storage": (True, None, "surface input fills the till before the transport layer"),
     "hydrology.routing.include_floating_ice": (False, None, "route water under ice shelves too"),
     "hydrology.tillwat_decay_rate_grounded_only": (True, None, "the till drainage C applies only under grounded ice"),
-    "hydrology.nullstrip_width": (-1.0, "m", "regional mode: no-hydrology strip width (< 0 = none)"),
+    "hydrology.nullstrip_width": (-1.0, "m", "[unimplemented] regional mode: no-hydrology strip width (< 0 = none)"),
     "hydrology.distributed.phi_0": (0.01, None, "distributed model englacial porosity (reference name; hydrology.regularizing_porosity is the short alias)"),
 
     # --- calving extras ------------------------------------------------------------
@@ -503,7 +499,7 @@ PARAMETERS.update({
     "calving.rate_scaling.file": ("", None, "scalar time series scaling all calving rates (-calving_rate_scaling_file)"),
     "calving.thickness_calving.file": ("", None, "file with a 2D calving_threshold field"),
     "calving.vonmises_calving.sigma_max_file": ("", None, "file with a 2D von Mises threshold field"),
-    "calving.vonmises_calving.use_custom_flow_law": (False, None, "use the SSA flow law instead of GPBLD for the von Mises stress"),
+    "calving.vonmises_calving.use_custom_flow_law": (False, None, "[unimplemented] use the SSA flow law instead of GPBLD for the von Mises stress"),
     "calving.hayhurst_calving.modifier": (1.0, None, "multiplier on the Hayhurst rate"),
     "calving.float_kill.calve_near_grounding_line": (True, None, "float_kill also removes floating cells adjacent to the grounding line"),
     "calving.float_kill.margin_only": (False, None, "float_kill only removes marginal floating cells"),
@@ -525,7 +521,7 @@ PARAMETERS.update({
     "atmosphere.searise_greenland.file": ("", None, "file overriding the SeaRISE parameterization inputs"),
     "atmosphere.yearly_cycle.file": ("", None, "file with air_temp_mean_annual/july + precip of the cosine cycle"),
     "atmosphere.yearly_cycle.scaling.file": ("", None, "scalar amplitude-scaling series of the cosine yearly cycle"),
-    "atmosphere.fausto_air_temp.enabled": (False, None, "Fausto et al. (2009) Greenland near-surface lapse parameterization"),
+    "atmosphere.fausto_air_temp.enabled": (False, None, "[n/a in this architecture: the parameterization is selected with -atmosphere searise_greenland; the coefficient family is live there] Fausto et al. (2009) Greenland near-surface lapse parameterization"),
     "atmosphere.fausto_air_temp.d_ma": (314.98, "K", "Fausto mean-annual intercept"),
     "atmosphere.fausto_air_temp.gamma_ma": (-6.309e-3, "K m-1", "Fausto mean-annual elevation gradient"),
     "atmosphere.fausto_air_temp.c_ma": (-0.7189, "K degree-1", "Fausto mean-annual latitude coefficient"),
@@ -544,7 +540,7 @@ PARAMETERS.update({
     "surface.force_to_thickness.start_time": (-1.0e9, "years", "nudging starts at this model time"),
     "surface.ismip6.file": ("", None, "ISMIP6 SMB + temperature anomaly forcing file"),
     "surface.ismip6.reference_file": ("", None, "ISMIP6 reference climatology file"),
-    "surface.initialization.file": ("", None, "file with the stored effective surface fields (restart wrapper)"),
+    "surface.initialization.file": ("", None, "[n/a in this architecture: the restart file carries the surface model's state] file with the stored effective surface fields (restart wrapper)"),
     "surface.pdd.interpret_precip_as_snow": (False, None, "treat all precipitation as snow regardless of air temperature"),
     "surface.pdd.firn_compaction_to_accumulation_ratio": (0.75, None, "fraction of surviving snow promoted to firn at the balance-year rollover"),
     "surface.pdd.max_evals_per_year": (52, None, "PDD sub-intervals per year"),
@@ -571,14 +567,13 @@ PARAMETERS.update({
     "ocean.pico.periodic": (False, None, "treat the PICO forcing file as periodic in time"),
     "ocean.given.period": (0.0, "years", "period of the ocean given forcing (0 = not periodic)"),
     "frontal_melt.discharge_given.file": ("", None, "NetCDF file with theta_ocean and subglacial water flux for the discharge_given plume parameterization"),
-    "frontal_melt.discharge_given.periodic": (False, None, "treat the discharge_given forcing file as periodic in time"),
+    "frontal_melt.discharge_given.periodic": (False, None, "[unimplemented] treat the discharge_given forcing file as periodic in time"),
     "stress_balance.prescribed_sliding.file": ("", None, "NetCDF file with u_ssa/v_ssa (or ubar/vbar) for -stress_balance prescribed_sliding"),
-    "stress_balance.prescribed_sliding.periodic": (False, None, "treat the prescribed-sliding file as periodic in time"),
+    "stress_balance.prescribed_sliding.periodic": (False, None, "[unimplemented] treat the prescribed-sliding file as periodic in time"),
     "surface.given.smb_max": (9.1e3, "kg m-2 year-1", "error cap on the climatic mass balance read from surface.given.file (reference surface.given.smb_max: catches unit mistakes in input files)"),
     "surface.debm_simple.max_evals_per_year": (52, None, "dEBM-simple insolation/melt evaluations per year (the reference's pdd max_evals analog)"),
     "ocean.pico.basins_file": ("", None, "file with the drainage-basin index field (variable basins)"),
     "ocean.th.clip_salinity": (True, None, "GivenTH: clip the interface salinity into [0, S_ocean]"),
-    "ocean.models_allow_empty": (False, None, "tolerate an empty -ocean chain"),
     "ocean.always_grounded": (False, None, "legacy: ignore the ocean entirely"),
 
     # --- sea level extras ---------------------------------------------------------
@@ -659,12 +654,12 @@ PARAMETERS.update({
     "atmosphere.delta_P.periodic": (False, None, "repeat the delta_P offsets periodically"),
     "atmosphere.frac_P.periodic": (False, None, "repeat the frac_P scaling periodically"),
     "atmosphere.precip_scaling.periodic": (False, None, "repeat the precip_scaling forcing periodically"),
-    "atmosphere.elevation_change.periodic": (False, None, "repeat the elevation_change reference forcing periodically"),
+    "atmosphere.elevation_change.periodic": (False, None, "[unimplemented] repeat the elevation_change reference forcing periodically"),
     "surface.given.periodic": (False, None, "repeat the -surface given forcing periodically"),
     "surface.anomaly.periodic": (False, None, "repeat the surface anomaly forcing periodically"),
     "surface.delta_T.periodic": (False, None, "repeat the surface delta_T offsets periodically"),
-    "surface.elevation_change.periodic": (False, None, "repeat the elevation_change reference forcing periodically"),
-    "surface.pdd.std_dev.periodic": (False, None, "repeat the air_temp_sd forcing periodically"),
+    "surface.elevation_change.periodic": (False, None, "[unimplemented] repeat the elevation_change reference forcing periodically"),
+    "surface.pdd.std_dev.periodic": (False, None, "[unimplemented] repeat the air_temp_sd forcing periodically"),
     "ocean.given.periodic": (False, None, "repeat the -ocean given forcing periodically"),
     "ocean.th.periodic": (False, None, "repeat the -ocean th forcing periodically"),
     "ocean.anomaly.periodic": (False, None, "repeat the ocean anomaly forcing periodically"),
@@ -674,7 +669,7 @@ PARAMETERS.update({
     "ocean.frac_MBP.periodic": (False, None, "repeat the frac_MBP scaling periodically"),
     "ocean.frac_SMB.file": ("", None, "file of scalar sub-shelf mass-flux scaling factors (-ocean ...,frac_SMB)"),
     "ocean.frac_SMB.periodic": (False, None, "repeat the frac_SMB scaling periodically"),
-    "frontal_melt.given.periodic": (False, None, "repeat the frontal-melt forcing periodically"),
+    "frontal_melt.given.periodic": (False, None, "[unimplemented] repeat the frontal-melt forcing periodically"),
     "sea_level.delta_sl.periodic": (False, None, "repeat the sea-level offsets periodically"),
     "sea_level.delta_sl_2d.periodic": (False, None, "repeat the 2D sea-level forcing periodically"),
 
@@ -706,8 +701,8 @@ PARAMETERS.update({
     "isochrones.bootstrapping.n_layers": (10, None, "isochronal layers allocated when bootstrapping"),
 
     # steady-state hydrology (Bueler 2022 emulation)
-    "hydrology.steady.flux_update_interval": (10.0, "years", "recompute the steady water flux every this often"),
-    "hydrology.steady.volume_ratio": (0.1, None, "fraction of the modeled water volume routed instantaneously"),
+    "hydrology.steady.flux_update_interval": (10.0, "years", "[unimplemented] recompute the steady water flux every this often"),
+    "hydrology.steady.volume_ratio": (0.1, None, "[unimplemented] fraction of the modeled water volume routed instantaneously"),
 
     # yield-stress forcing
     "basal_yield_stress.mohr_coulomb.delta.file": ("", None, "scalar time series scaling the effective-fraction-of-overburden delta (-tauc_delta)"),
@@ -719,13 +714,13 @@ PARAMETERS.update({
     "stress_balance.ice_free_thickness_standard": (10.0, "m", "ice thinner than this is treated as ice-free in the stress balance"),
 
     # runtime viewer
-    "output.runtime.viewer.size": (320, None, "default pixel size of runtime viewer maps (-view)"),
+    "output.runtime.viewer.size": (320, None, "[unimplemented] default pixel size of runtime viewer maps (-view)"),
 })
 
 PARAMETERS.update({
     "time_stepping.hit_extra_times": (True, None, "adjust dt so -extra_times are hit exactly"),
-    "time_stepping.hit_save_times": (False, None, "adjust dt so -save_times are hit exactly"),
-    "time_stepping.hit_ts_times": (False, None, "adjust dt so -ts_times are hit exactly"),
+    "time_stepping.hit_save_times": (True, None, "adjust dt so -save_times are hit exactly"),
+    "time_stepping.hit_ts_times": (True, None, "adjust dt so -ts_times are hit exactly"),
     "stress_balance.ssa.fd.brutal_sliding": (False, None, "scale SSA sliding speeds by brutal_sliding_scale (experimental speed-up)"),
     "stress_balance.ssa.fd.brutal_sliding_scale": (1.0, None, "factor applied to SSA sliding speeds when brutal_sliding is on"),
 })
@@ -742,7 +737,7 @@ PARAMETERS.update({
 
     # --- SIA age coupling (reference EDC/EemianGreenland runs) ----------------
     "stress_balance.sia.enhancement_factor_interglacial": (1.0, None, "SIA enhancement factor applied to ice deposited during an interglacial (depositional age t - age in [time.eemian_start, time.eemian_end] or after time.holocene_start); active with stress_balance.sia.e_age_coupling, requires age.enabled"),
-    "stress_balance.ssa.enhancement_factor_interglacial": (1.0, None, "SSA enhancement factor for interglacial ice (registered for reference parity; the rebuild's SSA applies the scalar stress_balance.ssa.enhancement_factor only — the SSA vertically-averaged hardness has no per-layer age weighting)"),
+    "stress_balance.ssa.enhancement_factor_interglacial": (1.0, None, "[unimplemented] SSA enhancement factor for interglacial ice (registered for reference parity; the rebuild's SSA applies the scalar stress_balance.ssa.enhancement_factor only — the SSA vertically-averaged hardness has no per-layer age weighting)"),
 
     # --- Blatter --------------------------------------------------------------
     "stress_balance.blatter.Glen_exponent": (3.0, None, "Glen exponent n of the Blatter solver"),
@@ -760,13 +755,13 @@ PARAMETERS.update({
     "geometry.update.use_surface_mass_balance": (True, None, "apply the surface mass balance in the mass-continuity source term (off: dynamics-only thickness evolution)"),
 
     # --- output ------------------------------------------------------------------
-    "output.variable_order": ("yxz", None, "in-file dimension order of output variables (-o_order); the TPU-native writer stores the CF-standard (time, z, y, x) = yxz order natively"),
+    "output.variable_order": ("yxz", None, "[unimplemented] in-file dimension order of output variables (-o_order); the TPU-native writer stores the CF-standard (time, z, y, x) = yxz order natively"),
     "output.runtime.viewer.variables": ("", None, "comma list of diagnostics rendered by the runtime map viewer (-view)"),
     "output.timeseries.variables": ("ice_volume_glacierized,ice_area_glacierized,max_velocity", None, "default scalar diagnostics written to -ts_file (-ts_vars)"),
     "output.async": (True, None, "overlap device->host transfers and NetCDF writes with the device loop (writer thread; the reference's parallel-I/O role). False = synchronous writes"),
 
     # --- dEBM paleo -------------------------------------------------------------
-    "surface.debm_simple.paleo.periodic": (False, None, "repeat the dEBM paleo orbital time series periodically"),
+    "surface.debm_simple.paleo.periodic": (False, None, "[unimplemented] repeat the dEBM paleo orbital time series periodically"),
 
     # --- inverse ----------------------------------------------------------------
     "inverse.method": ("lbfgs", None, "optimizer of the -inverse driver: lbfgs (bounded L-BFGS with the TAO-style convergence ladder, the reference blmvm role) | adam"),

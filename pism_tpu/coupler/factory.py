@@ -25,6 +25,14 @@ from . import sealevel as _sl
 from . import surface as _srf
 
 
+def _cf_cal(config):
+    return config.get_string("time.calendar")
+
+
+def _cf_ref(config):
+    return config.get_string("time.reference_date")
+
+
 def _split(chain: str):
     parts = [p.strip() for p in chain.split(",") if p.strip()]
     if not parts:
@@ -220,7 +228,50 @@ def surface_from_config(config, inputs: Optional[Mapping] = None,
         model = _srf.PIK(atmosphere=need_atm(base),
                          latitude=_need(inputs, "latitude", base))
     elif base == "ismip6":
-        model = _need(inputs, "ismip6_model", base)
+        if "ismip6_model" in inputs:
+            model = inputs["ismip6_model"]
+        else:
+            # build from the protocol files (reference surface.ismip6.*):
+            # reference climate + anomaly/elevation-gradient stacks
+            import jax.numpy as jnp
+            import numpy as _np
+
+            from ..io.bootstrap import read_forcing_fields as _rff
+            ref_path = config.get_string("surface.ismip6.reference_file")
+            frc_path = config.get_string("surface.ismip6.file")
+            grid_ = inputs.get("_grid")
+            if not ref_path or not frc_path or grid_ is None:
+                raise ValueError(
+                    "surface model 'ismip6' needs surface.ismip6.file and "
+                    "surface.ismip6.reference_file (CLI) or a prebuilt "
+                    "inputs['ismip6_model']")
+            ref, _ = _rff(ref_path, grid_,
+                          ["climatic_mass_balance", "ice_surface_temp",
+                           "usurf", "surface_altitude"])
+            frc, a_times = _rff(frc_path, grid_,
+                                ["climatic_mass_balance_anomaly",
+                                 "ice_surface_temp_anomaly",
+                                 "climatic_mass_balance_gradient",
+                                 "ice_surface_temp_gradient"],
+                                calendar=_cf_cal(config),
+                                reference_date=_cf_ref(config))
+
+            def _j(d, *names):
+                for n in names:
+                    if n in d:
+                        return jnp.asarray(_np.nan_to_num(d[n]))
+                return None
+
+            model = _srf.ISMIP6(
+                smb_ref=_j(ref, "climatic_mass_balance"),
+                temperature_ref=_j(ref, "ice_surface_temp"),
+                surface_ref=_j(ref, "usurf", "surface_altitude"),
+                anomaly_times=None if a_times is None
+                else jnp.asarray(a_times),
+                a_smb=_j(frc, "climatic_mass_balance_anomaly"),
+                a_temp=_j(frc, "ice_surface_temp_anomaly"),
+                dsmb_dz=_j(frc, "climatic_mass_balance_gradient"),
+                dtemp_dz=_j(frc, "ice_surface_temp_gradient"))
     else:
         raise ValueError(f"unknown surface model {base!r}")
 
@@ -256,7 +307,12 @@ def surface_from_config(config, inputs: Optional[Mapping] = None,
             model = _srf.ForceThickness(
                 inner=model,
                 target_thickness=_need(inputs, "target_thickness", mod),
-                alpha=config.get_number("surface.force_to_thickness.alpha", "s-1"))
+                alpha=config.get_number("surface.force_to_thickness.alpha",
+                                        "s-1"),
+                ice_free_alpha_factor=config.get_number(
+                    "surface.force_to_thickness.ice_free_alpha_factor"),
+                start_time=config.get_number(
+                    "surface.force_to_thickness.start_time", "seconds"))
         else:
             raise ValueError(f"unknown surface modifier {mod!r}")
     return model
@@ -536,6 +592,29 @@ def inputs_from_files(config, grid, group: str) -> dict:
                 a = fields["air_temp_sd"]
                 inputs["air_temp_sd"] = jnp.asarray(
                     a[-1] if a.ndim == 3 else a, fdt)
+        # lapse-rate modifier reference surface (surface.elevation_change)
+        ec_path = config.get_string("surface.elevation_change.file")
+        if ec_path:
+            ff, _ = read_forcing_fields(
+                ec_path, grid, ["usurf", "surface_altitude", "surface"],
+                calendar=_cal, reference_date=_ref)
+            for k in ("usurf", "surface_altitude", "surface"):
+                if k in ff:
+                    a = ff[k]
+                    inputs.setdefault("reference_surface", jnp.asarray(
+                        a[-1] if a.ndim == 3 else a, fdt))
+                    break
+        ftt_path = config.get_string("surface.force_to_thickness.file")
+        if ftt_path:
+            ff, _ = read_forcing_fields(ftt_path, grid,
+                                        ["thk", "land_ice_thickness"],
+                                        calendar=_cal, reference_date=_ref)
+            tt = ff.get("thk", ff.get("land_ice_thickness"))
+            if tt is not None:
+                import numpy as _np
+                tt = _np.asarray(tt)
+                inputs.setdefault("target_thickness", jnp.asarray(
+                    _np.nan_to_num(tt[-1] if tt.ndim == 3 else tt), fdt))
         paleo_path = config.get_string("surface.debm_simple.paleo.file")
         if paleo_path:
             import numpy as _np

@@ -97,14 +97,18 @@ class TemperatureIndex(SurfaceModel):
         else:
             self._seed = 0
         if self.n_intervals <= 0:
-            # reference surface.pdd.max_evals_per_year: evaluation density of
-            # the budget integral. dt <= 1 a (max_timestep), and the average
-            # production step is ~half a year, so evals/2 sub-intervals per
-            # update keeps the per-year evaluation count at the configured
-            # value (the default 52 reproduces the historical 26).
-            self.n_intervals = max(
-                4, int(round(cfg.get_number("surface.pdd.max_evals_per_year")
-                             / 2.0)))
+            # reference surface.pdd.max_evals_per_year (falling back to the
+            # shared climate_forcing.evaluations_per_year): evaluation
+            # density of the budget integral. dt <= 1 a (max_timestep), and
+            # the average production step is ~half a year, so evals/2
+            # sub-intervals per update keeps the per-year evaluation count
+            # at the configured value (the default 52 reproduces the
+            # historical 26).
+            evals = cfg.get_number("surface.pdd.max_evals_per_year") \
+                if cfg.is_set("surface.pdd.max_evals_per_year") \
+                or not cfg.is_set("climate_forcing.evaluations_per_year") \
+                else cfg.get_number("climate_forcing.evaluations_per_year")
+            self.n_intervals = max(4, int(round(evals / 2.0)))
         self.precip_as_snow = cfg.get_flag(
             "surface.pdd.interpret_precip_as_snow")
         self.firn_compaction = cfg.get_number(

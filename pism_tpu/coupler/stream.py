@@ -35,13 +35,18 @@ from ..io.nc4 import File
 class ForcingStream:
     def __init__(self, path: str, var: str, time_var: str = "time", *,
                  lookahead: int = 4, cache_slices: int = 16,
-                 period: float = None, dtype=np.float32):
+                 period: float = None, dtype=np.float32,
+                 time_extrapolation: bool = True):
         self.path = path
         self.var = var
         self.period = period
         self.lookahead = lookahead
         self.cache_slices = max(cache_slices, lookahead + 2)
         self.dtype = dtype
+        #: reference input.forcing.time_extrapolation: with False, sampling
+        #: outside the covered interval stops the run (PISM errors) instead
+        #: of holding the end values
+        self.time_extrapolation = time_extrapolation
         self._f = File(path, "r")
         self.times = np.asarray(self._f.read(time_var), np.float64)
         shp = self._f.h5[var].shape
@@ -92,8 +97,31 @@ class ForcingStream:
 
     def _index_of(self, t: float) -> int:
         tt = t % self.period if self.period else t
+        if not self.time_extrapolation and not self.period:
+            t0, t1 = self.times[0], self.times[-1]
+            # the last record covers [times[-1], +one spacing)
+            span = (self.times[-1] - self.times[0]) \
+                / max(self.nt - 1, 1) if self.nt > 1 else 0.0
+            if tt < t0 - 1e-6 or tt > t1 + span + 1e-6:
+                raise RuntimeError(
+                    f"forcing {self.var!r} from {self.path!r} does not "
+                    f"cover model time {tt:.6g} s "
+                    "(input.forcing.time_extrapolation is off)")
         return int(np.clip(np.searchsorted(self.times, tt, side="right") - 1,
                            0, self.nt - 1))
+
+    @staticmethod
+    def config_kwargs(config):
+        """Streaming knobs from the config: buffer size from
+        input.forcing.buffer_size (the pre-2.0 spelling
+        climate_forcing.buffer_size wins when explicitly set) and the
+        time-extrapolation policy."""
+        n = config.get_int("climate_forcing.buffer_size") \
+            if config.is_set("climate_forcing.buffer_size") \
+            else config.get_int("input.forcing.buffer_size")
+        return dict(cache_slices=n,
+                    time_extrapolation=config.get_flag(
+                        "input.forcing.time_extrapolation"))
 
     # -- traced side -------------------------------------------------------------
     def slice_at(self, t):

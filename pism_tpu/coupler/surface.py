@@ -400,10 +400,13 @@ class ForceThickness(SurfaceModel):
     target_thickness: jnp.ndarray    # m
     alpha: float = 3.17e-9           # 1/s  (PISM default ~0.1/year)
     ice_free_alpha_factor: float = 1.0
+    start_time: float = -1.0e30      # [s]; nudging off before this
+    #   (reference surface.force_to_thickness.start_time)
 
     def _transform(self, s, geometry, t) -> SurfaceInputs:
         H = geometry.ice_thickness
         Ht = jnp.asarray(self.target_thickness, H.dtype)
         alpha = jnp.where(Ht > 1.0, self.alpha,
                           self.alpha * self.ice_free_alpha_factor)
+        alpha = jnp.where(jnp.asarray(t) >= self.start_time, alpha, 0.0)
         return s._replace(smb=s.smb - alpha * (H - Ht))

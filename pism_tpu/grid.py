@@ -58,21 +58,34 @@ class Grid:
     # bedrock thermal layer (z in [-Lbz, 0])
     Mbz: int = 1
     Lbz: float = 0.0
+    #: reference grid.registration: "corner" puts grid points at the cell
+    #: corners including +-L (dx = 2L/(M-1), the historical default here);
+    #: "center" tiles [-L, L] with M cells and puts points at their centers
+    #: (dx = 2L/M), PISM's bootstrap default
+    registration: str = "corner"
 
     @property
     def dx(self) -> float:
+        if self.registration == "center":
+            return 2.0 * self.Lx / self.Mx
         return 2.0 * self.Lx / (self.Mx - 1)
 
     @property
     def dy(self) -> float:
+        if self.registration == "center":
+            return 2.0 * self.Ly / self.My
         return 2.0 * self.Ly / (self.My - 1)
 
     @functools.cached_property
     def x(self) -> np.ndarray:
+        if self.registration == "center":
+            return self.x0 - self.Lx + (np.arange(self.Mx) + 0.5) * self.dx
         return self.x0 + np.linspace(-self.Lx, self.Lx, self.Mx)
 
     @functools.cached_property
     def y(self) -> np.ndarray:
+        if self.registration == "center":
+            return self.y0 - self.Ly + (np.arange(self.My) + 0.5) * self.dy
         return self.y0 + np.linspace(-self.Ly, self.Ly, self.My)
 
     @functools.cached_property

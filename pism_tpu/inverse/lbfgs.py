@@ -60,6 +60,10 @@ class BoundedLBFGS:
     max_linesearch: int = 25
     monitor: Optional[Callable] = None   # called with each IterateRecord
     breakdown: Optional[Callable] = None  # x -> (J_misfit, J_reg) for the log
+    #: Morozov discrepancy stop (reference inverse.target_misfit): stop once
+    #: the misfit part of the objective falls below this value (requires
+    #: ``breakdown``); None = off
+    misfit_target: Optional[float] = None
 
     def _project(self, x):
         if self.lower is not None:
@@ -114,6 +118,10 @@ class BoundedLBFGS:
             log.append(rec)
             if self.monitor is not None:
                 self.monitor(rec)
+            if self.misfit_target is not None and mis == mis \
+                    and mis <= self.misfit_target:
+                converged, reason = True, "target_misfit"
+                break
             if pgn <= self.gatol:
                 converged, reason = True, "gatol"
                 break

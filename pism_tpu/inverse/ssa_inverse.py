@@ -129,7 +129,7 @@ def make_differentiable_solve(ssa, state: S.ModelState, design="tau_c",
 
 
 def regularization_term(theta, kind: str, weight: float, eps: float = 1e-4,
-                        prior=None):
+                        prior=None, grad_scale: float = 1.0):
     """Design-variable regularization functionals (reference
     ``src/inverse/functional/``): ``h1`` = |grad theta|^2 smoothing
     (IP_H1NormFunctional), ``l2`` = |theta - prior|^2 damping
@@ -139,8 +139,10 @@ def regularization_term(theta, kind: str, weight: float, eps: float = 1e-4,
     if kind == "l2":
         d = theta if prior is None else theta - prior
         return 0.5 * weight * jnp.sum(d ** 2)
-    gx = jnp.roll(theta, -1, 1) - theta
-    gy = jnp.roll(theta, -1, 0) - theta
+    # gradient terms carry the nondimensionalizing length scale
+    # (reference inverse.ssa.length_scale): grad_scale = L / dx
+    gx = (jnp.roll(theta, -1, 1) - theta) * grad_scale
+    gy = (jnp.roll(theta, -1, 0) - theta) * grad_scale
     if kind == "h1":
         return 0.5 * weight * (jnp.sum(gx ** 2) + jnp.sum(gy ** 2))
     if kind == "tv":
@@ -164,6 +166,12 @@ class TaucInversion:
     # design-variable parameterization (reference
     # ``inverse.design.param``); default matches round 1: tau_c = exp(theta)
     param: Parameterization = Parameterization(kind="exp", scale=1.0)
+    #: reference inverse.ssa.velocity_misfit_weight
+    misfit_weight: float = 1.0
+    #: grad_scale = inverse.ssa.length_scale / dx (1 = dimensionless diffs)
+    grad_scale: float = 1.0
+    #: reference inverse.design.tv_epsilon
+    tv_eps: float = 1e-4
 
     def misfit(self, tau_c):
         """Dimensionless velocity misfit: mean |u - u_obs|^2 normalized by
@@ -179,7 +187,7 @@ class TaucInversion:
         n = jnp.maximum(jnp.sum(w), 1.0)
         obs2 = (jnp.sum(self.u_obs ** 2 * w) + jnp.sum(self.v_obs ** 2 * w)) / n
         J_mis = 0.5 * (jnp.sum(du ** 2) + jnp.sum(dv ** 2)) / n
-        return J_mis / jnp.maximum(obs2, 1e-30)
+        return self.misfit_weight * J_mis / jnp.maximum(obs2, 1e-30)
 
     def objective(self, theta):
         """theta = design variable; tau_c = param.value(theta); Tikhonov
@@ -187,12 +195,14 @@ class TaucInversion:
         tau_c = self.param.value(theta)
         J = self.misfit(tau_c)
         return J + regularization_term(theta, self.reg_kind, self.reg_weight,
-                                       prior=self.theta_prior)
+                                       prior=self.theta_prior,
+                                       eps=self.tv_eps,
+                                       grad_scale=self.grad_scale)
 
     def run_lbfgs(self, tau_c0, max_iterations: int = 50,
                   tauc_min: float = 1.0, tauc_max: float = 5.0e6,
                   grtol: float = 1.0e-5, steptol: float = 1.0e-12,
-                  monitor=None):
+                  monitor=None, misfit_target=None):
         """Bounded L-BFGS inversion (the reference's TAO ``blmvm`` role):
         bound constraints from tauc_min/tauc_max mapped into design space,
         TAO-style convergence ladder, per-iterate log."""
@@ -210,13 +220,16 @@ class TaucInversion:
             Jm = self.misfit(tau_c)
             return Jm, regularization_term(theta, self.reg_kind,
                                            self.reg_weight,
-                                           prior=self.theta_prior)
+                                           prior=self.theta_prior,
+                                           eps=self.tv_eps,
+                                           grad_scale=self.grad_scale)
 
         opt = BoundedLBFGS(value_and_grad=lambda x: vg(jnp.asarray(x)),
                            lower=np.full(theta0.shape, lo),
                            upper=np.full(theta0.shape, hi),
                            max_iterations=max_iterations, grtol=grtol,
                            steptol=steptol, monitor=monitor,
+                           misfit_target=misfit_target,
                            breakdown=jax.jit(split))
         res = opt.run(np.asarray(theta0))
         tau_c = self.param.value(jnp.asarray(res.x))

@@ -28,26 +28,38 @@ DEFAULT_VARS = {
     "thk": "thk",
     "topg": "topg",
     "tillwat": "tillwat",
+    "bwat": "bwat",
+    "bmelt": "bmelt",
+    "fracture_density": "fracture_density",
     "ice_surface_temp": "ice_surface_temp",
     "bheatflx": "bheatflx",
 }
 
 
 def read_and_regrid(path: str, grid: Grid, variables=None,
-                    fill=np.nan) -> Dict[str, np.ndarray]:
-    """Read 2D (y, x) or (time, y, x) variables and regrid onto ``grid``."""
+                    fill=np.nan,
+                    allow_extrapolation: bool = False) -> Dict[str, np.ndarray]:
+    """Read 2D (y, x) or (time, y, x) variables and regrid onto ``grid``.
+
+    ``allow_extrapolation`` (reference grid.allow_extrapolation): model-grid
+    points outside the file's extent take the nearest edge value instead of
+    the fill value."""
     variables = variables or list(DEFAULT_VARS.values())
+    gx, gy = grid.x, grid.y
     out = {}
     with File(path, "r") as f:
         xs = np.asarray(f.read("x"), float)
         ys = np.asarray(f.read("y"), float)
+        if allow_extrapolation:
+            gx = np.clip(grid.x, xs.min(), xs.max())
+            gy = np.clip(grid.y, ys.min(), ys.max())
         for name in variables:
             if not f.has_variable(name):
                 continue
             data = np.asarray(f.read(name), float)
             if data.ndim == 3:
                 data = data[-1]
-            out[name] = native.regrid_bilinear(data, xs, ys, grid.x, grid.y,
+            out[name] = native.regrid_bilinear(data, xs, ys, gx, gy,
                                                fill=fill)
     return out
 
@@ -198,11 +210,17 @@ def read_forcing_fields(path: str, grid: Grid, variables,
 def bootstrap(path: str, grid: Grid, config) -> ModelState:
     """PISM ``-i file.nc -bootstrap``: regrid 2D inputs, apply heuristics
     for everything else."""
-    fields = read_and_regrid(path, grid)
+    fields = read_and_regrid(
+        path, grid,
+        allow_extrapolation=config.get_flag("grid.allow_extrapolation"))
+    # missing-variable fallbacks (reference bootstrapping.defaults.*)
+    d_thk = config.get_number("bootstrapping.defaults.ice_thickness")
+    d_bed = config.get_number("bootstrapping.defaults.bed")
     if "thk" not in fields:
-        raise ValueError(f"{path!r} has no ice thickness variable 'thk'")
-    H = np.nan_to_num(fields["thk"], nan=0.0)
-    bed = np.nan_to_num(fields.get("topg", np.zeros_like(H)), nan=0.0)
+        fields["thk"] = np.full(grid.shape2, d_thk)
+    H = np.nan_to_num(fields["thk"], nan=d_thk)
+    bed = np.nan_to_num(fields.get("topg", np.full_like(H, d_bed)),
+                        nan=d_bed)
 
     geom = new_geometry(
         jnp.asarray(np.maximum(H, 0.0)), jnp.asarray(bed),
@@ -211,8 +229,26 @@ def bootstrap(path: str, grid: Grid, config) -> ModelState:
         ice_free_thickness=config.get_number("geometry.ice_free_thickness_standard"))
 
     kw = {}
+    d_tillwat = config.get_number("bootstrapping.defaults.tillwat")
     if "tillwat" in fields:
-        kw["tillwat"] = jnp.asarray(np.nan_to_num(fields["tillwat"], nan=0.0))
+        kw["tillwat"] = jnp.asarray(
+            np.nan_to_num(fields["tillwat"], nan=d_tillwat))
+    elif d_tillwat > 0.0:
+        kw["tillwat"] = jnp.full(grid.shape2, d_tillwat)
+    d_bwat = config.get_number("bootstrapping.defaults.bwat")
+    if "bwat" in fields:
+        kw["hydro_W"] = jnp.asarray(
+            np.nan_to_num(fields["bwat"], nan=d_bwat))
+    elif d_bwat > 0.0:
+        kw["hydro_W"] = jnp.full(grid.shape2, d_bwat)
+    if "fracture_density" in fields:
+        kw["fracture_density"] = jnp.asarray(np.nan_to_num(
+            fields["fracture_density"],
+            nan=config.get_number("bootstrapping.defaults.fracture_density")))
+    d_bmelt = config.get_number("bootstrapping.defaults.bmelt")
+    if "bmelt" in fields:
+        kw["basal_melt_rate"] = jnp.asarray(
+            np.nan_to_num(fields["bmelt"], nan=d_bmelt))
     G_default = config.get_number("bootstrapping.defaults.geothermal_flux")
     if "bheatflx" in fields:
         # 2D geothermal flux map (PISM reads ``bheatflx`` at bootstrap and
@@ -227,11 +263,35 @@ def bootstrap(path: str, grid: Grid, config) -> ModelState:
                     config.get_number("bootstrapping.defaults.ice_surface_temp")))
         T_sfc = np.nan_to_num(
             T_sfc, nan=config.get_number("bootstrapping.defaults.ice_surface_temp"))
+        if not config.get_flag("energy.allow_temperature_above_melting") \
+                and np.any(T_sfc > 273.15 + 1e-6):
+            # the reference errors on unphysical input temperatures unless
+            # energy.allow_temperature_above_melting
+            raise ValueError(
+                f"{path!r}: ice_surface_temp above the melting point "
+                "(set energy.allow_temperature_above_melting to accept)")
         EC = EnthalpyConverter.from_config(config)
+        heuristic = config.get_string("bootstrapping.temperature_heuristic")
+        smb = None
+        if heuristic == "smb":
+            # the SMB-aware Robin profile wants an accumulation field; use
+            # climatic_mass_balance from the bootstrap file when present
+            try:
+                fsmb, _ = read_forcing_fields(path, grid,
+                                              ["climatic_mass_balance"])
+                if "climatic_mass_balance" in fsmb:
+                    a = np.asarray(fsmb["climatic_mass_balance"])
+                    smb = jnp.asarray(np.nan_to_num(
+                        a[-1] if a.ndim == 3 else a))
+            except Exception:
+                smb = None
         kw["enthalpy"] = bootstrap_enthalpy(
-            grid, EC, geom.ice_thickness, jnp.asarray(T_sfc),
+            grid, EC, geom.ice_thickness, jnp.asarray(T_sfc), smb=smb,
             geothermal=kw.get("geothermal_flux", G_default),
-            k_i=config.get_number("constants.ice.thermal_conductivity"))
-        kw["basal_melt_rate"] = jnp.zeros(grid.shape2)
+            k_i=config.get_number("constants.ice.thermal_conductivity"),
+            heuristic=heuristic,
+            rho=config.get_number("constants.ice.density"),
+            c_i=config.get_number("constants.ice.specific_heat_capacity"))
+        kw.setdefault("basal_melt_rate", jnp.zeros(grid.shape2))
 
     return ModelState(geometry=geom, **kw)

@@ -41,6 +41,15 @@ class File:
             return ClassicWriteFile(path)
         return super().__new__(cls)
 
+    #: gzip deflate level applied to newly defined non-scalar variables
+    #: (reference output.compression_level; 0 = off). Set per-process via
+    #: set_compression_level (output.py reads the config).
+    compression_level = 0
+
+    @classmethod
+    def set_compression_level(cls, level: int):
+        cls.compression_level = int(level)
+
     def __init__(self, path: str, mode: str = "r", format: str = "netcdf4"):
         self.h5 = h5py.File(path, mode)
         if mode in ("w", "w-", "x"):
@@ -83,8 +92,13 @@ class File:
         maxshape = tuple(None if self.h5[d].maxshape[0] is None else self.h5[d].shape[0]
                          for d in dims)
         fill = (attrs or {}).get("_FillValue")
+        kw = {}
+        if self.compression_level > 0 and len(shape) >= 2:
+            kw = dict(compression="gzip",
+                      compression_opts=min(self.compression_level, 9),
+                      chunks=True)
         ds = self.h5.create_dataset(name, shape=shape, maxshape=maxshape,
-                                    dtype=dtype, fillvalue=fill)
+                                    dtype=dtype, fillvalue=fill, **kw)
         for i, d in enumerate(dims):
             ds.dims[i].attach_scale(self.h5[d])
         for k, v in (attrs or {}).items():

@@ -164,7 +164,9 @@ class LingleClark:
                 if u is None:
                     raise ValueError(
                         f"{path!r} has no dbdt/uplift variable")
-                uplift_rate = jnp.asarray(_np.nan_to_num(u))
+                uplift_rate = jnp.asarray(_np.nan_to_num(
+                    u, nan=self.config.get_number(
+                        "bootstrapping.defaults.uplift")))
         U0 = jnp.zeros_like(g.bed_elevation)
         bed_ref = g.bed_elevation
         if uplift_rate is not None:

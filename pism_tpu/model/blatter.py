@@ -88,8 +88,15 @@ class BlatterSolver:
         self.g = cfg.get_number("constants.standard_gravity")
         self.ksp_rtol = cfg.get_number("stress_balance.ssa.fd.ksp_rtol")
         self.ksp_max = cfg.get_int("stress_balance.ssa.fd.ksp_max_it")
-        self.newton_max = cfg.get_int("stress_balance.ssa.fd.newton_max_iterations")
-        self.newton_rtol = cfg.get_number("stress_balance.ssa.fd.newton_rtol")
+        # blatter-specific solver knobs win when explicitly set; otherwise
+        # inherit the shared ssa.fd values (reference Blatter.cc reads its
+        # own stress_balance.blatter.* family)
+        self.newton_max = cfg.get_int("stress_balance.blatter.newton_max_iterations") \
+            if cfg.is_set("stress_balance.blatter.newton_max_iterations") \
+            else cfg.get_int("stress_balance.ssa.fd.newton_max_iterations")
+        self.newton_rtol = cfg.get_number("stress_balance.blatter.newton_rtol") \
+            if cfg.is_set("stress_balance.blatter.newton_rtol") \
+            else cfg.get_number("stress_balance.ssa.fd.newton_rtol")
         svel = cfg.get_number("stress_balance.ssa.Schoof_regularizing_velocity", "m s-1")
         slen = cfg.get_number("stress_balance.ssa.Schoof_regularizing_length", "m")
         self.eps_reg2 = (svel / slen) ** 2
@@ -97,6 +104,10 @@ class BlatterSolver:
         self.cfbc = cfg.get_flag("stress_balance.calving_front_stress_bc")
         self.metric_terms = cfg.get_flag("stress_balance.blatter.metric_terms")
         self.rho_w = cfg.get_number("constants.sea_water.density")
+        # flow enhancement (reference stress_balance.blatter.enhancement_
+        # factor): softness scales by e, so hardness scales by e^(-1/n)
+        self.e_factor = cfg.get_number(
+            "stress_balance.blatter.enhancement_factor")
         if self.sliding_law is None:
             self.sliding_law = SlidingLaw.from_config(cfg)
         # normalized vertical coordinate from the ice grid levels
@@ -140,6 +151,7 @@ class BlatterSolver:
         if not self.metric_terms:
             zxc = zyc = jnp.zeros_like(zxc)
 
+        e_hard = self.e_factor ** (-1.0 / self.n_glen)
         # hardness per level from enthalpy (or constant)
         if state.enthalpy is None:
             B3 = self.flow_law.hardness(jnp.zeros(grid.shape3, jnp.float64),
@@ -148,6 +160,7 @@ class BlatterSolver:
             depth = jnp.maximum(H2[..., None] - jnp.asarray(grid.z), 0.0)
             p = self.flow_law.EC.pressure(depth)
             B3 = self.flow_law.hardness(jnp.asarray(state.enthalpy, jnp.float64), p)
+        B3 = B3 * e_hard
 
         # driving stress (per unit area, multiplied by H in the residual)
         if self.taud_x is not None:

@@ -119,11 +119,71 @@ class CalvingModel:
         self.remove_bergs = cfg.get_flag("geometry.remove_icebergs")
         self.float_kill = cfg.get_flag("calving.float_kill.enabled") or \
             "float_kill" in self.methods
+        # option tails (reference src/frontretreat/calving/*.cc)
+        self.fk_margin_only = cfg.get_flag("calving.float_kill.margin_only")
+        self.fk_near_gl = cfg.get_flag(
+            "calving.float_kill.calve_near_grounding_line")
+        self.eigen_margin_floating = cfg.get_flag(
+            "calving.eigen_calving.make_margin_floating")
+        self.hh_modifier = cfg.get_number("calving.hayhurst_calving.modifier")
+        self.rate_scaling = None
+        _rs = cfg.get_string("calving.rate_scaling.file")
+        if _rs:
+            from ..util.forcing import ScalarForcing
+            self.rate_scaling = ScalarForcing.from_file(
+                _rs, "frac_calving_rate",
+                calendar=cfg.get_string("time.calendar"),
+                reference_date=cfg.get_string("time.reference_date"))
+        # 2D threshold fields override the scalar thresholds where given
+        self.H_threshold_field = self._read_2d(
+            cfg.get_string("calving.thickness_calving.file"),
+            ["calving_threshold", "thickness_calving_threshold"])
+        self.vm_sigma_max_field = self._read_2d(
+            cfg.get_string("calving.vonmises_calving.sigma_max_file"),
+            ["vonmises_calving_threshold", "sigma_max"])
         # with part-grid active, rate-based retreat is applied linearly by
         # converting front cells into partially-filled (Href) cells, the
         # reference FrontRetreat::update_geometry scheme; without part-grid
         # the legacy thickness-scaling clip is used
         self.part_grid = cfg.get_flag("geometry.part_grid.enabled")
+        if self.prescribed_retreat is None \
+                and "prescribed_retreat" in self.methods:
+            # reference -front_retreat_file (ISMIP6 retreat masks):
+            # geometry.front_retreat.prescribed.file
+            path = cfg.get_string("geometry.front_retreat.prescribed.file")
+            if not path:
+                raise ValueError(
+                    "calving method 'prescribed_retreat' needs "
+                    "geometry.front_retreat.prescribed.file")
+            from ..io.bootstrap import read_forcing_fields
+            import numpy as np
+            fields, times = read_forcing_fields(
+                path, self.grid, ["land_ice_area_fraction_retreat"],
+                calendar=cfg.get_string("time.calendar"),
+                reference_date=cfg.get_string("time.reference_date"))
+            fr = fields.get("land_ice_area_fraction_retreat")
+            if fr is None:
+                raise ValueError(
+                    f"{path!r} has no land_ice_area_fraction_retreat")
+            fr = np.asarray(fr)
+            if fr.ndim == 2:
+                fr = fr[None]
+                times = np.zeros(1)
+            self.prescribed_retreat = PrescribedRetreat(
+                times=jnp.asarray(np.asarray(times, float)),
+                fraction=jnp.asarray(np.nan_to_num(fr, nan=1.0)))
+
+    def _read_2d(self, path, names):
+        if not path:
+            return None
+        from ..io.bootstrap import read_forcing_fields
+        import numpy as np
+        fields, _ = read_forcing_fields(path, self.grid, names)
+        for n in names:
+            if n in fields:
+                a = np.asarray(fields[n])
+                return jnp.asarray(a[-1] if a.ndim == 3 else a)
+        raise ValueError(f"{path!r}: none of {names} found")
 
     # -- strain-rate eigenvalues from the SSA velocity ---------------------
     def _strain_eigenvalues(self, u, v):
@@ -158,7 +218,8 @@ class CalvingModel:
         excess = jnp.maximum(sigma_0_mpa - sigma_th_mpa, 0.0)
         rate_per_year = self.hh_B_tilde * (1.0 - w) ** (-self.hh_r) \
             * excess ** self.hh_r
-        return rate_per_year / SEC_PER_YEAR
+        # reference calving.hayhurst_calving.modifier: rate multiplier
+        return self.hh_modifier * rate_per_year / SEC_PER_YEAR
 
     def retreat_rate(self, geometry, u_ssa, v_ssa, hardness_B=None):
         """Total horizontal retreat rate [m/s] from rate-based laws."""
@@ -173,7 +234,9 @@ class CalvingModel:
             eff = jnp.sqrt(0.5 * (e1 ** 2 + e2 ** 2))
             sigma = jnp.sqrt(3.0) * hardness_B * eff ** (1.0 / self.n_glen)
             speed = jnp.sqrt(u_ssa ** 2 + v_ssa ** 2)
-            rate = rate + speed * sigma / self.vm_sigma_max
+            sig_max = self.vm_sigma_max if self.vm_sigma_max_field is None \
+                else jnp.asarray(self.vm_sigma_max_field, sigma.dtype)
+            rate = rate + speed * sigma / sig_max
         if "hayhurst_calving" in self.methods:
             rate = rate + self.hayhurst_rate(geometry)
         return rate
@@ -301,13 +364,28 @@ class CalvingModel:
         H_in, Href_in = H, Href
 
         if self.float_kill:
-            H = jnp.where(floating, 0.0, H)
+            kill = floating
+            if self.fk_margin_only:
+                # reference float_kill.margin_only: only the marginal ring
+                kill = kill & front
+            if not self.fk_near_gl:
+                # reference float_kill.calve_near_grounding_line = false:
+                # keep floating cells attached to grounded ice
+                grounded = S.grounded_ice(mask)
+                near_gl = (sh(grounded, 0, 1) | sh(grounded, 0, -1)
+                           | sh(grounded, 1, 0) | sh(grounded, -1, 0))
+                kill = kill & ~near_gl
+            H = jnp.where(kill, 0.0, H)
 
         if "ocean_kill" in self.methods and self.ocean_kill_mask is not None:
             H = jnp.where(jnp.asarray(self.ocean_kill_mask, bool), 0.0, H)
 
         if "thickness_calving" in self.methods and self.H_threshold > 0:
-            calve = front & floating & (H < self.H_threshold)
+            # a 2D threshold field (calving.thickness_calving.file)
+            # overrides the scalar threshold
+            H_thr = self.H_threshold if self.H_threshold_field is None \
+                else jnp.asarray(self.H_threshold_field, H.dtype)
+            calve = front & floating & (H < H_thr)
             H = jnp.where(calve, 0.0, H)
         C_inst = H + Href   # ice content after the instantaneous laws
 
@@ -325,9 +403,16 @@ class CalvingModel:
             u = sb.u_ssa if sb is not None else jnp.zeros_like(H)
             v = sb.v_ssa if sb is not None else jnp.zeros_like(H)
             r = self.retreat_rate(geometry, u, v, hardness_B=hardness_B)
+            if self.rate_scaling is not None:
+                # reference -calving_rate_scaling_file: a scalar series
+                # multiplies every calving-law rate
+                r = r * self.rate_scaling(t).astype(r.dtype)
             where = front & floating
-            if "hayhurst_calving" in self.methods:
-                # Hayhurst targets marine-terminating (incl. grounded) fronts
+            if "hayhurst_calving" in self.methods \
+                    or self.eigen_margin_floating:
+                # Hayhurst targets marine-terminating (incl. grounded)
+                # fronts; eigen_calving.make_margin_floating treats grounded
+                # marine margin cells as floating for the rate laws
                 where = front & (floating | marine)
             rate_c = jnp.where(where, jnp.maximum(r, 0.0), 0.0)
         rate_f = jnp.zeros_like(H)

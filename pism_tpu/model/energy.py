@@ -268,10 +268,19 @@ class EnergyModel:
 
 
 def bootstrap_enthalpy(grid, EC: EnthalpyConverter, thickness, surface_T,
-                       smb=None, geothermal=0.042, k_i=2.10):
+                       smb=None, geothermal=0.042, k_i=2.10,
+                       heuristic: str = "smb", rho=910.0, c_i=2009.0):
     """Initial 3D enthalpy guess (PISM ``src/energy/utilities.cc``
-    bootstrap profile): linear conductive profile T(z) = T_s + (G/k)(H - z),
-    capped at the pressure-melting point."""
+    bootstrap profiles, selected by ``bootstrapping.temperature_heuristic``):
+
+    - ``"smb"`` with an SMB field: the Robin (1955) advective-conductive
+      steady profile T(z) = T_s + (G/k)(sqrt(pi)/2) q [erf(H/q) - erf(z/q)]
+      with q = sqrt(2 kappa H / a) and a the accumulation rate — downward
+      advection of cold surface ice thins the basal thermal boundary layer.
+    - ``"quartic_guess"`` (or no SMB): the conduction-only profile
+      T(z) = T_s + (G/k)(H - z).
+
+    Both are capped at the pressure-melting point."""
     H = jnp.asarray(thickness)
     z = jnp.asarray(grid.z)
     Hc = H[..., None]
@@ -279,7 +288,17 @@ def bootstrap_enthalpy(grid, EC: EnthalpyConverter, thickness, surface_T,
     G = jnp.asarray(geothermal)
     if G.ndim == 2:          # 2D bheatflx map
         G = G[..., None]
-    T = jnp.asarray(surface_T)[..., None] + G / k_i * depth
+    Ts = jnp.asarray(surface_T)[..., None]
+    if heuristic == "smb" and smb is not None:
+        import jax.scipy.special as jss
+        kappa = k_i / (rho * c_i)
+        a = jnp.maximum(jnp.asarray(smb)[..., None], 1e-12)   # m/s
+        q = jnp.sqrt(2.0 * kappa * jnp.maximum(Hc, 1.0) / a)
+        zz = jnp.maximum(Hc - depth, 0.0)    # height above base
+        T = Ts + (G / k_i) * (jnp.sqrt(jnp.pi) / 2.0) * q \
+            * (jss.erf(Hc / q) - jss.erf(zz / q))
+    else:
+        T = Ts + G / k_i * depth
     p = EC.pressure(depth)
     Tm = EC.melting_temperature(p)
     T = jnp.minimum(T, Tm)

@@ -169,7 +169,11 @@ class IceModel:
         self.blatter = None
         if sb_model == "blatter":
             from .blatter import BlatterSolver
-            blatter_law = flow_law_from_config(cfg, "ssa", self.EC)
+            # a dedicated Blatter flow law when explicitly configured
+            # (stress_balance.blatter.flow_law), else the SSA's
+            blatter_law = flow_law_from_config(
+                cfg, "blatter" if cfg.is_set("stress_balance.blatter.flow_law")
+                else "ssa", self.EC)
             self.blatter = BlatterSolver(grid=self.grid, config=cfg,
                                          flow_law=blatter_law)
             if self.yield_stress is None:
@@ -230,10 +234,17 @@ class IceModel:
         if cfg.get_flag("age.isochrones.enabled"):
             from .isochrones import Isochrones
             from ..cli import parse_times
-            spec = cfg.get_string("age.isochrones.deposition_times")
+            # the upstream names (isochrones.*) win when explicitly set;
+            # age.isochrones.* are the rebuild's grouping
+            spec = cfg.get_string("isochrones.deposition_times") \
+                if cfg.is_set("isochrones.deposition_times") \
+                else cfg.get_string("age.isochrones.deposition_times")
             dep = parse_times(spec, 3.15569259747e7) if spec else []
+            n_layers = cfg.get_int("isochrones.bootstrapping.n_layers") \
+                if cfg.is_set("isochrones.bootstrapping.n_layers") \
+                else cfg.get_int("age.isochrones.n_layers")
             self.isochrones = Isochrones(
-                grid=self.grid, n_layers=cfg.get_int("age.isochrones.n_layers"))
+                grid=self.grid, n_layers=n_layers)
             self._iso_dep_times = dep
             import numpy as _np
             NL = self.isochrones.n_layers
@@ -342,6 +353,17 @@ class IceModel:
         back down)."""
         grid = self.grid
         inf = jnp.asarray(jnp.inf, jnp.float64)
+        # reference -fixed_dt / time_stepping.adaptive_timestepping: a
+        # positive dt_force (or adaptive off) bypasses the stability limits
+        # entirely; the segment end still truncates
+        dtf = self.config.get_number("time_stepping.dt_force", "seconds")
+        if dtf > 0.0 or not self.config.get_flag(
+                "time_stepping.adaptive_timestepping"):
+            dt = jnp.asarray(dtf if dtf > 0.0 else self.max_dt, jnp.float64)
+            idx = jnp.asarray(0, jnp.int32)   # attribute to "max_dt"
+            ends = t_end - t <= dt
+            idx = jnp.where(ends, 8, idx)
+            return jnp.minimum(dt, t_end - t), idx
         # candidate limits indexed by DT_LIMITS (inf = not applicable); the
         # argmin attributes each step to its binding restriction, the
         # analog of the per-step restriction PISM prints in its summary
@@ -834,10 +856,23 @@ class IceModel:
             self.stress_balance.stored_surface = self.usurf_store
         if self.calving is not None and "ocean_kill" in self.calving.methods \
                 and self.calving.ocean_kill_mask is None:
-            # PISM ocean_kill defaults its kill mask to the input file's
-            # ice-free-ocean cells; here: the initial state's
-            self.calving.ocean_kill_mask = \
-                state.geometry.cell_type == S.MASK_ICE_FREE_OCEAN
+            okf = self.config.get_string("calving.ocean_kill.file")
+            if okf:
+                # reference -ocean_kill_file: cells with thk <= 0 and
+                # ocean-depth bed in the file form the kill mask
+                from ..io.bootstrap import read_and_regrid
+                flds = read_and_regrid(okf, self.grid,
+                                       ["thk", "land_ice_thickness"])
+                thk = flds.get("thk", flds.get("land_ice_thickness"))
+                if thk is None:
+                    raise ValueError(f"{okf!r} has no thk variable")
+                self.calving.ocean_kill_mask = jnp.asarray(
+                    np.nan_to_num(np.asarray(thk)) <= 0.0)
+            else:
+                # PISM ocean_kill defaults its kill mask to the input file's
+                # ice-free-ocean cells; here: the initial state's
+                self.calving.ocean_kill_mask = \
+                    state.geometry.cell_type == S.MASK_ICE_FREE_OCEAN
         if self.bed_deformation is not None and state.bed_reference is None:
             state = self.bed_deformation.initialize(state.replace(**kw))
             kw = {}
@@ -850,6 +885,29 @@ class IceModel:
             kw["enthalpy"] = bootstrap_enthalpy(
                 self.grid, self.EC, H, smb.temperature,
                 geothermal=G0).astype(H.dtype)
+        if self.btu is not None and state.bedrock_temperature is None:
+            E0 = state.enthalpy if state.enthalpy is not None \
+                else kw.get("enthalpy")
+            btf = self.config.get_string("energy.bedrock_thermal.file")
+            if btf:
+                # reference energy.bedrock_thermal.file: initial bedrock
+                # temperature column profile (litho_temp)
+                from ..io.nc4 import File as _File
+                with _File(btf, "r") as f:
+                    if not f.has_variable("litho_temp"):
+                        raise ValueError(f"{btf!r} has no litho_temp")
+                    lt = np.asarray(f.read("litho_temp"), float)
+                if lt.ndim == 4:
+                    lt = lt[-1]
+                kw["bedrock_temperature"] = jnp.asarray(lt)
+            elif E0 is not None:
+                # steady conductive column from the basal ice temperature
+                p_b = self.EC.pressure(H)
+                T_base = self.EC.temperature(E0[..., 0], p_b)
+                G0 = state.geothermal_flux \
+                    if state.geothermal_flux is not None else self.geothermal
+                kw["bedrock_temperature"] = self.btu.init_temperature(
+                    T_base, jnp.asarray(G0))
         if self.energy_model is not None \
                 and getattr(self.energy_model, "ch_enabled", False) \
                 and state.ch_enthalpy is None:

@@ -138,6 +138,10 @@ class OutputManager:
         self._ts_rates = [n for n in self.ts_vars if n in diag.RATE]
         self._extra_rates = [n for n in self.extra_vars
                              if n in diag.SPATIAL_RATE]
+        if self.config is not None:
+            from ..io.nc4 import File as _F
+            _F.set_compression_level(
+                self.config.get_int("output.compression_level"))
         if self._extra_f is not None:
             ckpt._setup_dims(self._extra_f, self.grid, self.config)
             self._setup_bounds(self._extra_f)
@@ -241,9 +245,24 @@ class OutputManager:
 
     # -- scheduling ----------------------------------------------------------
     def next_time(self, t: float) -> float:
-        """Earliest pending output time strictly after t (inf if none)."""
+        """Earliest pending output time strictly after t (inf if none).
+
+        Segments end exactly on these times so records land on their
+        nominal stamps; the reference gates that per channel with
+        time_stepping.hit_{save,ts,extra}_times (on by default) — a
+        disabled channel's records are written at whatever segment
+        boundary first passes them."""
         eps = 1e-3
-        cands = [s[0] for s in (self._snap, self._extra, self._ts) if s and s[0] > t + eps]
+        chans = []
+        if self.config is None:
+            chans = [self._snap, self._extra, self._ts]
+        else:
+            for s, key in ((self._snap, "time_stepping.hit_save_times"),
+                           (self._extra, "time_stepping.hit_extra_times"),
+                           (self._ts, "time_stepping.hit_ts_times")):
+                if self.config.get_flag(key):
+                    chans.append(s)
+        cands = [s[0] for s in chans if s and s[0] > t + eps]
         return min(cands) if cands else np.inf
 
     def _submit(self, task) -> None:
@@ -361,14 +380,20 @@ class OutputManager:
                     dims = ("time", "y", "x", "nl")
                     if "nl" not in f.h5:
                         f.define_dimension("nl", arr.shape[-1])
+                fv = None if self.config is None else \
+                    self.config.get_number("output.fill_value")
                 f.write(name, arr[None], dims,
-                        {"units": d.units, "long_name": d.long_name},
+                        {"units": d.units, "long_name": d.long_name,
+                         "_FillValue": fv},
                         time_index=n)
             for name, v in rate_values.items():
                 d = diag.SPATIAL_RATE[name]
+                fv = None if self.config is None else \
+                    self.config.get_number("output.fill_value")
                 f.write(name, np.asarray(v)[None], ("time", "y", "x"),
                         {"units": d.units, "long_name": d.long_name,
-                         "cell_methods": "time: mean"}, time_index=n)
+                         "cell_methods": "time: mean",
+                         "_FillValue": fv}, time_index=n)
             f.h5.flush()
 
         self._submit(task)

@@ -80,8 +80,18 @@ class SSAFD:
         self.g = cfg.get_number("constants.standard_gravity")
         self.picard_warmup = cfg.get_int("stress_balance.ssa.fd.picard_warmup")
         self.drag_jacobian = cfg.get_string("stress_balance.ssa.fd.drag_jacobian")
+        # reference stress_balance.ssa.fd.max_iterations (the Picard/outer
+        # iteration cap) wins over the rebuild's newton_max_iterations name
+        # when explicitly set
+        if cfg.is_set("stress_balance.ssa.fd.max_iterations"):
+            self.newton_max_override = cfg.get_int(
+                "stress_balance.ssa.fd.max_iterations")
+        else:
+            self.newton_max_override = None
         self.newton_rtol = cfg.get_number("stress_balance.ssa.fd.newton_rtol")
         self.newton_max = cfg.get_int("stress_balance.ssa.fd.newton_max_iterations")
+        if self.newton_max_override is not None:
+            self.newton_max = self.newton_max_override
         self.ksp_rtol = cfg.get_number("stress_balance.ssa.fd.ksp_rtol")
         self.near_ksp_cap = cfg.get_int("stress_balance.ssa.fd.near_ksp_cap")
         self.safeguard_ksp_cap = cfg.get_int(
@@ -119,6 +129,15 @@ class SSAFD:
         # tiny drag on every icy cell: keeps rows of isolated floating cells
         # (not yet removed by the iceberg remover) non-singular
         self.beta_floor = cfg.get_number("stress_balance.ssa.fd.beta_floor")
+        # lateral drag along ice-free-bedrock walls (PIK fjord-wall drag):
+        # nuH-style viscosity converted to an equivalent basal-drag density
+        # nu H / dx^2, plus an optional direct beta addition
+        self.lateral_drag = cfg.get_flag(
+            "stress_balance.ssa.fd.lateral_drag.enabled")
+        self.lateral_nu = cfg.get_number(
+            "stress_balance.ssa.fd.lateral_drag.viscosity")
+        self.beta_lateral = cfg.get_number(
+            "basal_resistance.beta_lateral_margin")
         self.max_speed = cfg.get_number("stress_balance.ssa.fd.max_speed", "m s-1")
         self.subgl_drag = cfg.get_flag("geometry.grounded_cell_fraction")
         self.solve_dtype = cfg.get_string("stress_balance.ssa.fd.solve_dtype")
@@ -328,12 +347,22 @@ class SSAFD:
             return ssa_ops.NuH((nuH.e + self.epsilon) * keep_e,
                                (nuH.n + self.epsilon) * keep_n)
 
+        beta_extra = self.beta_floor
+        if self.lateral_drag or self.beta_lateral > 0.0:
+            bedrock = mask == S.MASK_ICE_FREE_BEDROCK
+            wall = icy & (sh(bedrock, 0, 1) | sh(bedrock, 0, -1)
+                          | sh(bedrock, 1, 0) | sh(bedrock, -1, 0))
+            lat = self.beta_lateral
+            if self.lateral_drag:
+                lat = lat + self.lateral_nu * H / dx ** 2
+            beta_extra = beta_extra + jnp.where(wall, lat, 0.0)
+
         def beta_fn(u, v, tc=tau_c, reg=None):
             if gf is not None:
                 tc_eff = tc * jnp.where(icy, gf, 0.0)
             else:
                 tc_eff = jnp.where(grounded_ice_mask, tc, 0.0)
-            return self.sliding_law.beta(tc_eff, u, v, reg=reg) + self.beta_floor
+            return self.sliding_law.beta(tc_eff, u, v, reg=reg) + beta_extra
 
         if use_fused and self._sharded_mesh():
             from ..ops.pallas_sharded import ssa_matvec_sharded

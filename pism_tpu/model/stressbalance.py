@@ -82,6 +82,21 @@ class StressBalance:
         self.gradient_method = cfg.get_string("stress_balance.sia.surface_gradient_method")
         self.theta_min = cfg.get_number(
             "stress_balance.sia.bed_smoother.theta_min")
+        self.w_approx = cfg.get_string(
+            "stress_balance.vertical_velocity_approximation")
+        # reference stress_balance.ice_free_thickness_standard: thickness
+        # below which cells do not restrict the 3D advection CFL
+        self.icy_thresh = cfg.get_number(
+            "stress_balance.ice_free_thickness_standard")
+        # PIK experimental speed-up (reference -brutal_sliding): scale the
+        # SSA sliding speeds by a constant factor
+        self.brutal_scale = cfg.get_number(
+            "stress_balance.ssa.fd.brutal_sliding_scale") \
+            if cfg.get_flag("stress_balance.ssa.fd.brutal_sliding") else None
+        if self.w_approx not in ("centered", "upstream"):
+            raise ValueError(
+                "stress_balance.vertical_velocity_approximation = "
+                f"{self.w_approx!r}: expected centered | upstream")
         self.bed_smoother_range = cfg.get_number(
             "stress_balance.sia.bed_smoother.range")
         self.regional_zero_gradient = cfg.get_flag("regional.zero_gradient")
@@ -244,6 +259,9 @@ class StressBalance:
             u_ssa, v_ssa = self.ssa.solve(
                 state, yield_stress,
                 water_column_pressure=water_column_pressure)
+            if self.brutal_scale is not None:
+                u_ssa = u_ssa * self.brutal_scale
+                v_ssa = v_ssa * self.brutal_scale
         elif self.model.startswith("weertman_sliding"):
             u_ssa, v_ssa = self._weertman(state)
         elif self.model.startswith("prescribed_sliding"):
@@ -292,7 +310,9 @@ class StressBalance:
                     u_base=u_b if u_ssa is not None else None,
                     v_base=v_b if u_ssa is not None else None,
                     basal_melt_rate=state.basal_melt_rate,
-                    max_diffusivity=self.d_limit)
+                    max_diffusivity=self.d_limit,
+                    w_approximation=self.w_approx,
+                    icy_threshold=self.icy_thresh)
             if u_ssa is not None and yield_stress is not None and self.ssa is not None:
                 # tau_b . u_b = beta(|u|) |u|^2  [W/m^2]
                 beta = self.ssa.sliding_law.beta(yield_stress, u_b, v_b)

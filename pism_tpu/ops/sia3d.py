@@ -46,7 +46,9 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
            u_base: Optional[jnp.ndarray] = None,
            v_base: Optional[jnp.ndarray] = None,
            basal_melt_rate: Optional[jnp.ndarray] = None,
-           max_diffusivity: Optional[float] = None) -> SIA3D:
+           max_diffusivity: Optional[float] = None,
+           w_approximation: str = "centered",
+           icy_threshold: float = 0.0) -> SIA3D:
     """Cell-centered 3D velocities and strain heating.
 
     ``max_diffusivity``: when the SIA diffusivity is capped
@@ -109,9 +111,20 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
     u = jnp.where(in_ice, ub[..., None] - phi * s_x[..., None], 0.0)
     v = jnp.where(in_ice, vb[..., None] - phi * s_y[..., None], 0.0)
 
-    # vertical velocity from incompressibility
-    u_x = (sh(u, 0, 1) - sh(u, 0, -1)) / (2.0 * grid.dx)
-    v_y = (sh(v, 1, 0) - sh(v, -1, 0)) / (2.0 * grid.dy)
+    # vertical velocity from incompressibility; the horizontal divergence
+    # is centered by default, or upstream-biased by the sliding-velocity
+    # direction (reference stress_balance.vertical_velocity_approximation:
+    # "centered" | "upstream", StressBalance::compute_vertical_velocity)
+    if w_approximation == "upstream":
+        up_x = (ub >= 0.0)[..., None]
+        up_y = (vb >= 0.0)[..., None]
+        u_x = jnp.where(up_x, (u - sh(u, 0, -1)) / grid.dx,
+                        (sh(u, 0, 1) - u) / grid.dx)
+        v_y = jnp.where(up_y, (v - sh(v, -1, 0)) / grid.dy,
+                        (sh(v, 1, 0) - v) / grid.dy)
+    else:
+        u_x = (sh(u, 0, 1) - sh(u, 0, -1)) / (2.0 * grid.dx)
+        v_y = (sh(v, 1, 0) - sh(v, -1, 0)) / (2.0 * grid.dy)
     div_uv = u_x + v_y
     b_x, b_y = st.centered_grad(b, grid.dx, grid.dy, sh)
     w_base = ub * b_x + vb * b_y
@@ -132,7 +145,7 @@ def sia_3d(flow_law, geometry, enthalpy: Optional[jnp.ndarray], grid,
     # sliding velocity even at H = 0 cells (needed for transport), which
     # must not restrict the energy-advection dt — there is no enthalpy
     # to advect there
-    icy3 = Hc > 0.0
+    icy3 = Hc > icy_threshold
     return SIA3D(
         u=u, v=v, w=w, strain_heating=Phi,
         max_u=jnp.max(jnp.abs(jnp.where(icy3, u, 0.0))),

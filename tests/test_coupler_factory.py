@@ -68,9 +68,12 @@ def test_atmosphere_yearly_cycle_and_station(geom):
         "air_temp_mean_annual": jnp.full(grid.shape2, 255.0),
         "air_temp_mean_summer": jnp.full(grid.shape2, 265.0),
         "precipitation": jnp.full(grid.shape2, 0.3 / SPY)})
-    # summer (year_fraction 0.5) hits the summer temp, winter the reflection
-    Ts = a.temperature_at(g, 0.0, 0.5)
-    Tw = a.temperature_at(g, 0.0, 0.0)
+    # the cycle peaks on the configured summer day (reference
+    # atmosphere.fausto_air_temp.summer_peak_day, default 196) and the
+    # winter reflection sits half a year away
+    peak = cfg.get_number("atmosphere.fausto_air_temp.summer_peak_day") / 365.0
+    Ts = a.temperature_at(g, 0.0, peak)
+    Tw = a.temperature_at(g, 0.0, peak - 0.5)
     assert float(Ts[2, 2]) == pytest.approx(265.0)
     assert float(Tw[2, 2]) == pytest.approx(245.0)
 

@@ -16,7 +16,10 @@ SPY = 3.15569259747e7
 
 def test_parameter_count_floor():
     from pism_tpu.config.parameters import PARAMETERS
-    assert len(PARAMETERS) >= 600
+    # round 5 pruned invented duplicate/alias entries (delta_fraction,
+    # Schoof alias, lc.update_interval alias, ...) while wiring the rest;
+    # the floor tracks the post-prune count
+    assert len(PARAMETERS) >= 590
 
 
 # ---------------------------------------------------------------- energy
@@ -96,7 +99,7 @@ def test_e_age_coupling_in_stress_balance():
     from pism_tpu.physics.rheology import PatersonBudd
 
     Mz = 11
-    cfg = Config({"grid.Mz": Mz,
+    cfg = Config({"grid.Mz": Mz, "age.enabled": True,
                   "stress_balance.sia.e_age_coupling": True,
                   "stress_balance.sia.enhancement_factor_interglacial": 8.0})
     grid = Grid(Mx=21, My=21, Lx=200e3, Ly=200e3, Mz=Mz, Lz=3000.0)
