@@ -130,7 +130,7 @@ def bench_eismint_sia(dtype):
     }
 
 
-def hybrid_greenland_model(dtype, km=20.0, mesh=None):
+def hybrid_greenland_model(dtype, km=20.0, mesh=None, extra_cfg=None):
     """The north-star synthetic-Greenland hybrid chain (model + initial
     state), shared by the bench, the smoke gate, and the dt studies.
 
@@ -170,6 +170,8 @@ def hybrid_greenland_model(dtype, km=20.0, mesh=None):
         "runtime.float_dtype": dtype,
         "runtime.device_loop": True,
     })
+    if extra_cfg:
+        cfg.update(extra_cfg)
 
     X, Y = np.meshgrid(grid.x, grid.y)
     r2 = (X / (0.55 * Lx)) ** 2 + (Y / (0.8 * Ly)) ** 2
@@ -191,10 +193,12 @@ def hybrid_greenland_model(dtype, km=20.0, mesh=None):
     return model, state, grid
 
 
-def bench_hybrid_greenland(dtype, years=50.0, km=20.0, warm_years=10.0):
+def bench_hybrid_greenland(dtype, years=50.0, km=20.0, warm_years=10.0,
+                           extra_cfg=None):
     import jax
 
-    model, state, grid = hybrid_greenland_model(dtype, km=km)
+    model, state, grid = hybrid_greenland_model(dtype, km=km,
+                                                extra_cfg=extra_cfg)
 
     # warm up: compile + let the fronts/dt settle
     state, t, _ = model.step_once(state, 0.0, warm_years * SPY)
@@ -354,7 +358,9 @@ def main():
     hybrid5 = None
     if on_tpu:
         try:
-            hybrid5 = bench_hybrid_greenland(dtype, years=1.0, km=5.0)
+            # 3-year window (VERDICT r4 weak #6: the 1-year window was too
+            # thin for model-yr/hr claims and could miss slow dt collapse)
+            hybrid5 = bench_hybrid_greenland(dtype, years=3.0, km=5.0)
             hybrid5["ms_per_step"] = round(
                 hybrid5["wall_s"] / max(hybrid5["steps"], 1) * 1e3, 1)
             hybrid5["roofline"] = roofline_estimate(

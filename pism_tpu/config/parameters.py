@@ -80,6 +80,7 @@ PARAMETERS = {
     "stress_balance.ssa.fd.warmup_ksp_rtol": (1.0e-2, None, "inner Krylov tolerance for Picard warmup/safeguard sweeps (fixed-point sweeps do not need tight inner solves; 1e-2 cuts ~15% of the 5 km solve wall time over 1e-3 with no trajectory effect)"),
     "stress_balance.ssa.fd.ksp_max_it": (300, None, "inner Krylov max iterations"),
     "stress_balance.ssa.fd.nuH_iter_failure_underrelaxation": (0.8, None, "[unimplemented] under-relaxation on retry"),
+    "stress_balance.ssa.fd.extrapolate_initial_guess": (False, None, "warm-start each production SSA solve from the time-extrapolated previous velocities u0 = u(-1) + (dt/dt(-1)) (u(-1) - u(-2)) instead of u(-1) (rebuild-native Newton-sweep saver; off = reference behavior)"),
     "stress_balance.ssa.fd.beta_floor": (10.0, "Pa s m-1", "tiny drag on all icy cells; regularizes isolated floating cells"),
     "stress_balance.ssa.fd.newton_rtol": (1.0e-7, None, "Newton convergence: |F| <= rtol |b|"),
     "stress_balance.ssa.fd.velocity_change_rtol": (1.0e-4, None, "hard stop when a sweep changes the velocity by less than this relative amount (matches the reference's ssafd_picard_rtol = 1e-4; 0 = run to the precision floor)"),

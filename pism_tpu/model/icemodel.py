@@ -222,6 +222,9 @@ class IceModel:
             # below any bed so the flotation criterion never fires
             from ..coupler.sealevel import Constant as _SLConstant
             self.sea_level = _SLConstant(value=-1e7)
+        self.ssa_extrap = cfg.get_flag(
+            "stress_balance.ssa.fd.extrapolate_initial_guess") \
+            and sb_model in ("ssa", "ssa+sia")
         # front-retreat rate dt CFL (reference FrontRetreat::max_timestep;
         # either config alias enables it)
         self.front_retreat_cfl = self.calving is not None and (
@@ -459,7 +462,19 @@ class IceModel:
             # melange back-pressure modifiers raise the front water-column
             # pressure; None = hydrostatic default inside the SSA
             wcp = self.ocean.water_column_pressure(state.geometry, t)
-        sb = self.stress_balance.update(state, tau_c,
+        sb_state = state
+        if self.ssa_extrap and state.u_ssa_prev is not None \
+                and state.u_ssa is not None:
+            # time-extrapolated Newton warm start: u0 = u(-1) +
+            # (dt(-1)/dt(-2)) (u(-1) - u(-2)); with dt quasi-constant this
+            # removes the O(dt) initial residual of the plain carry. Only a
+            # solver initial guess — no physics depends on it.
+            r = jnp.where(state.dt_prev > 0.0, 1.0, 0.0).astype(
+                state.u_ssa.dtype)
+            sb_state = state.replace(
+                u_ssa=state.u_ssa + r * (state.u_ssa - state.u_ssa_prev),
+                v_ssa=state.v_ssa + r * (state.v_ssa - state.v_ssa_prev))
+        sb = self.stress_balance.update(sb_state, tau_c,
                                         water_column_pressure=wcp, t=t)
         fr_dt = None
         if self.front_retreat_cfl:
@@ -691,7 +706,14 @@ class IceModel:
             discharge_vol = jnp.sum(discharge_2d) \
                 * jnp.asarray(self.grid.dx * self.grid.dy, self.dtype)
 
-        state = state.replace(geometry=geometry, u_ssa=sb.u_ssa, v_ssa=sb.v_ssa)
+        if self.ssa_extrap and state.u_ssa_prev is not None:
+            state = state.replace(
+                geometry=geometry, u_ssa=sb.u_ssa, v_ssa=sb.v_ssa,
+                u_ssa_prev=state.u_ssa, v_ssa_prev=state.v_ssa,
+                dt_prev=jnp.asarray(dt, state.dt_prev.dtype))
+        else:
+            state = state.replace(geometry=geometry, u_ssa=sb.u_ssa,
+                                  v_ssa=sb.v_ssa)
 
         # 8b. regional mode: freeze state in the no-model strip -------------
         if self.no_model_mask is not None and self._nmm_ref is not None:
@@ -819,6 +841,13 @@ class IceModel:
                 kw["u_ssa"] = z2
             if state.v_ssa is None:
                 kw["v_ssa"] = z2
+        if self.ssa_extrap:
+            if state.u_ssa_prev is None:
+                kw["u_ssa_prev"] = kw.get("u_ssa", state.u_ssa
+                                          if state.u_ssa is not None else z2)
+                kw["v_ssa_prev"] = kw.get("v_ssa", state.v_ssa
+                                          if state.v_ssa is not None else z2)
+                kw["dt_prev"] = jnp.zeros((), jnp.float64)
         if self.fracture is not None:
             if state.fracture_density is None:
                 kw["fracture_density"] = z2

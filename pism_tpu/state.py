@@ -177,6 +177,12 @@ class ModelState:
     basal_melt_rate: Optional[jnp.ndarray] = None    # m/s ice equivalent
     u_ssa: Optional[jnp.ndarray] = None              # (My, Mx) m/s
     v_ssa: Optional[jnp.ndarray] = None
+    # previous-step SSA velocity + dt for the time-extrapolated Newton warm
+    # start (stress_balance.ssa.fd.extrapolate_initial_guess); pure warm-
+    # start hints, not checkpointed
+    u_ssa_prev: Optional[jnp.ndarray] = None
+    v_ssa_prev: Optional[jnp.ndarray] = None
+    dt_prev: Optional[jnp.ndarray] = None
     tillwat: Optional[jnp.ndarray] = None            # till water thickness m
     till_phi: Optional[jnp.ndarray] = None           # till friction angle deg
     hydro_W: Optional[jnp.ndarray] = None            # transportable water m

@@ -449,7 +449,17 @@ def run_P(Mx=51, years=2.5, config=None):
 
 def run_test(letter, *, Mx=None, My=None, Mz=None, years=None, config=None):
     """Dispatch a verification run by pismv letter.  Returns the error
-    dict (also printed as a pismv-style table)."""
+    dict (also printed as a pismv-style table).  Besides the upstream
+    letters, the Blatter manufactured problems run as ``blatter_xz`` and
+    ``blatter_xz_cfbc`` (reference src/stressbalance/blatter/verification/,
+    which upstream exercises through ctest rather than pismv letters)."""
+    if str(letter).lower() in ("blatter_xz", "blatter_xz_cfbc"):
+        from .blatter_xz import run_blatter_xz, run_blatter_xz_cfbc
+        fn = run_blatter_xz if str(letter).lower() == "blatter_xz" \
+            else run_blatter_xz_cfbc
+        if Mx is not None:
+            return fn(Mx_list=(Mx,), config=config)
+        return fn(config=config)
     letter = letter.upper()
     kw = {"config": config}
     if years is not None:

@@ -227,60 +227,14 @@ def test_blatter_composite_end_to_end():
     assert v1 > v0   # net accumulation at these temperatures
 
 
-def _manufactured_xz(Mx, Mz):
-    """Manufactured XZ solution (reference verification/BlatterTestXZ role):
-    linear rheology (n = 1, nu0 = 1/(2A)), periodic slab, v* = 0,
-
-        u*(x, z) = U0 sin(kx) (c0 + cos(pi z / H)),
-
-    stress-free at surface AND bed (u*_z = 0 there, basal drag ~ 0), with
-    the compensatory per-volume body force
-
-        f_x = nu0 U0 sin(kx) [4 k^2 (c0 + cos(pi z/H)) + (pi/H)^2 cos(pi z/H)]
-
-    from applying the continuous BP operator to u*."""
-    H0 = 1000.0
-    Lx = 50e3
-    U0 = 100.0 / SPY
-    c0 = 2.0
-    A1 = 1e-14          # linear softness [Pa-1 s-1]
-    nu0 = 0.5 / A1
-    grid = Grid(Mx=Mx, My=5, Lx=Lx, Ly=25e3, Mz=Mz, Lz=H0,
-                vertical_spacing="equal", periodicity="xy")
-    k = 2.0 * np.pi / (Mx * grid.dx)    # one wavelength per periodic wrap
-    #                                     (wrap length is Mx*dx, not 2 Lx)
-    X = np.asarray(grid.x)[None, :, None]
-    Z = np.asarray(grid.z)[None, None, :]
-    u_exact = U0 * np.sin(k * X) * (c0 + np.cos(np.pi * Z / H0))
-    u_exact = np.broadcast_to(u_exact, (grid.My, Mx, Mz))
-    fx = nu0 * U0 * np.sin(k * X) * (
-        4.0 * k ** 2 * (c0 + np.cos(np.pi * Z / H0))
-        + (np.pi / H0) ** 2 * np.cos(np.pi * Z / H0))
-    fx = np.broadcast_to(fx, (grid.My, Mx, Mz))
-
-    cfg = Config({"stress_balance.ssa.Glen_exponent": 1.0,
-                  "stress_balance.ssa.fd.beta_floor": 1e-8,
-                  "stress_balance.ssa.fd.newton_rtol": 1e-10,
-                  "basal_resistance.pseudo_plastic.enabled": True})
-    law = IsothermalGlen(A=A1, n=1.0)
-    geom = new_geometry(jnp.full(grid.shape2, H0), jnp.zeros(grid.shape2))
-    solver = BlatterSolver(grid=grid, config=cfg, flow_law=law,
-                           taud_x=jnp.zeros(grid.shape2),
-                           taud_y=jnp.zeros(grid.shape2),
-                           body_force_x=jnp.asarray(fx),
-                           body_force_y=jnp.zeros(grid.shape3))
-    tau_c = jnp.zeros(grid.shape2)      # frictionless (beta_floor only)
-    u, v, info = solver.solve(ModelState(geometry=geom), tau_c,
-                              diagnostics=True)
-    err = np.abs(np.asarray(u) - u_exact).max() * SPY
-    return err, float(np.abs(u_exact).max()) * SPY, info
-
-
 def test_blatter_manufactured_xz_convergence():
     """Discrete BP solution converges to the manufactured exact solution
-    with grid refinement (reference pismv-style XZ verification)."""
-    err1, scale, _ = _manufactured_xz(Mx=17, Mz=9)
-    err2, _, _ = _manufactured_xz(Mx=33, Mz=17)
+    with grid refinement (reference pismv-style XZ verification; the
+    problem lives in pism_tpu.verification.blatter_xz so the -test runner
+    shares it)."""
+    from pism_tpu.verification.blatter_xz import solve_xz
+    err1, scale = solve_xz(Mx=17, Mz=9)
+    err2, _ = solve_xz(Mx=33, Mz=17)
     # errors small relative to the 300 m/a signal and ~O(h^2) decay
     assert err1 / scale < 0.05
     assert err2 < 0.35 * err1
@@ -306,3 +260,16 @@ def test_glen_exponent_inherits_ssa_value():
     assert BlatterSolver(grid, cfg3, flow).n_glen == 1.0
     # untouched config keeps the n=3 default
     assert BlatterSolver(grid, Config(), flow).n_glen == 3.0
+
+
+def test_blatter_xz_cfbc_convergence():
+    """VERDICT r4 #8 (reference BlatterTestCFBC role): the floating-slab
+    strain rate converges to the van der Veen value under VERTICAL
+    refinement — the discretization error of this problem is the per-level
+    front-face quadrature of the depth-varying stress condition."""
+    from pism_tpu.verification.blatter_xz import solve_xz_cfbc
+
+    e1, _ = solve_xz_cfbc(Mx=49, Mz=13)
+    e2, _ = solve_xz_cfbc(Mx=49, Mz=25)
+    assert e1 < 0.06          # measured 0.047 at Mz=13
+    assert e2 < 0.35 * e1     # ~O(dz^2): measured 0.0095 at Mz=25
