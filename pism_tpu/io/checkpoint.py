@@ -138,10 +138,21 @@ def save_state(path: str, state: S.ModelState, grid: Grid, t: float,
                     lon, lat = prj.lonlat_for_grid(grid, ps)
                     f.write("lat", lat, ("y", "x"),
                             {"units": "degrees_north",
-                             "standard_name": "latitude"})
+                             "standard_name": "latitude",
+                             "bounds": "lat_bnds"})
                     f.write("lon", lon, ("y", "x"),
                             {"units": "degrees_east",
-                             "standard_name": "longitude"})
+                             "standard_name": "longitude",
+                             "bounds": "lon_bnds"})
+                    # CF cell bounds (reference projection.cc
+                    # compute_cell_bounds role)
+                    lon_b, lat_b = prj.lonlat_bounds_for_grid(grid, ps)
+                    if "nv4" not in f.h5:
+                        f.define_dimension("nv4", 4)
+                    f.write("lat_bnds", lat_b, ("y", "x", "nv4"),
+                            {"units": "degrees_north"})
+                    f.write("lon_bnds", lon_b, ("y", "x", "nv4"),
+                            {"units": "degrees_east"})
         f.set_global_attr("source", "pism_tpu")
         f.set_global_attr("grid_json", _grid_json(grid))
         if config is not None:

@@ -65,8 +65,11 @@ def test_parse_proj_string_and_cf():
         "standard_parallel": 71.0,
         "straight_vertical_longitude_from_pole": 0.0})
     assert ps2.standard_parallel == -71.0
+    # round 5: UTM/transverse Mercator is a supported non-polar CRS
+    tm = prj.from_proj_string("+proj=utm +zone=22")
+    assert tm.central_meridian == -51.0
     with pytest.raises(ValueError):
-        prj.from_proj_string("+proj=utm +zone=22")
+        prj.from_proj_string("+proj=lcc +lat_1=50")
 
 
 def test_latitude_fallback_from_file(tmp_path):
@@ -97,3 +100,48 @@ def test_latitude_fallback_from_file(tmp_path):
     # toward the pole (decreasing |y|)
     assert 55.0 < lat.min() < lat.max() < 85.0
     assert lat[-1, 4] > lat[0, 4]  # y0 < 0: larger y (row -1) is closer to pole
+
+
+def test_transverse_mercator_round_trip():
+    """UTM forward/inverse round trip + a known fixed point: the central
+    meridian maps to x = false easting with k0-scaled northing."""
+    import numpy as np
+
+    from pism_tpu.util import projection as prj
+
+    tm = prj.from_proj_string("+proj=utm +zone=22")   # lon_0 = -51 (Greenland S)
+    lat = np.array([60.0, 64.0, 70.0])
+    lon = np.array([-52.0, -50.0, -48.0])
+    x, y = tm.forward(lat, lon)
+    lat2, lon2 = tm.inverse(x, y)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    x0, y0 = tm.forward(45.0, -51.0)
+    assert abs(x0 - 500000.0) < 1e-6
+    # CF mapping round trip
+    tm2 = prj.from_cf_mapping(tm.cf_mapping())
+    x3, y3 = tm2.forward(lat, lon)
+    np.testing.assert_allclose(x3, x, atol=1e-9)
+
+
+def test_lonlat_bounds():
+    """Cell-corner lon/lat bounds: corners of adjacent cells coincide and
+    the cell center lies inside its corner quadrilateral (lat monotone)."""
+    import numpy as np
+
+    from pism_tpu import Grid
+    from pism_tpu.util import projection as prj
+
+    ps = prj.PolarStereographic(central_meridian=-45.0,
+                                standard_parallel=70.0)
+    grid = Grid(Mx=8, My=6, Lx=200e3, Ly=150e3, y0=-2000e3)
+    lon_b, lat_b = prj.lonlat_bounds_for_grid(grid, ps)
+    assert lon_b.shape == (6, 8, 4) and lat_b.shape == (6, 8, 4)
+    # SE corner of cell (j, i) == SW corner of cell (j, i+1)
+    np.testing.assert_allclose(lat_b[:, :-1, 1], lat_b[:, 1:, 0], atol=1e-9)
+    np.testing.assert_allclose(lon_b[:, :-1, 1], lon_b[:, 1:, 0], atol=1e-9)
+    # NW corner of cell (j, i) == SW corner of cell (j+1, i)
+    np.testing.assert_allclose(lat_b[:-1, :, 3], lat_b[1:, :, 0], atol=1e-9)
+    lon_c, lat_c = prj.lonlat_for_grid(grid, ps)
+    assert (lat_c >= lat_b.min(axis=-1) - 1e-9).all()
+    assert (lat_c <= lat_b.max(axis=-1) + 1e-9).all()
