@@ -80,6 +80,9 @@ PARAMETERS = {
     "stress_balance.ssa.fd.warmup_ksp_rtol": (1.0e-2, None, "inner Krylov tolerance for Picard warmup/safeguard sweeps (fixed-point sweeps do not need tight inner solves; 1e-2 cuts ~15% of the 5 km solve wall time over 1e-3 with no trajectory effect)"),
     "stress_balance.ssa.fd.ksp_max_it": (300, None, "inner Krylov max iterations"),
     "stress_balance.ssa.fd.nuH_iter_failure_underrelaxation": (0.8, None, "[unimplemented] under-relaxation on retry"),
+    "stress_balance.ssa.fd.line_pcr_dtype": ("f32", None, "precision of the line-preconditioner tridiagonal solves: f32 (default) | bf16 (experimental; measured FASTER per step at 5 km but NOT robust — bf16 eliminations break the inner BiCGStab down on hard warm-start systems even with the signed pivot floor, and the 25-a trajectory shifted 5.4e-3 relative volume, 35x the measured chaotic envelope; see docs/VALIDATION.md round-5 study)"),
+    "stress_balance.ssa.fd.line_pcr_impl": ("xla", None, "line-preconditioner tridiagonal backend: xla (shift-concat rounds) | pallas_sublane (fused single-VMEM-pass kernel, system axis on sublanes)"),
+    "stress_balance.ssa.fd.line_block": (0, None, "block length of the line-preconditioner tridiagonal solves: 0 = exact whole-line solves; B > 0 solves independent B-cell blocks (fewer cyclic-reduction rounds, less HBM traffic per Krylov iteration, slightly weaker preconditioner)"),
     "stress_balance.ssa.fd.extrapolate_initial_guess": (False, None, "warm-start each production SSA solve from the time-extrapolated previous velocities u0 = u(-1) + (dt/dt(-1)) (u(-1) - u(-2)) instead of u(-1) (rebuild-native Newton-sweep saver; off = reference behavior)"),
     "stress_balance.ssa.fd.beta_floor": (10.0, "Pa s m-1", "tiny drag on all icy cells; regularizes isolated floating cells"),
     "stress_balance.ssa.fd.newton_rtol": (1.0e-7, None, "Newton convergence: |F| <= rtol |b|"),

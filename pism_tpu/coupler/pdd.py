@@ -186,7 +186,16 @@ class TemperatureIndex(SurfaceModel):
         dtype = geometry.ice_thickness.dtype
         snow = carry.snow if carry.snow is not None else jnp.zeros(shp, dtype)
         firn = carry.firn if carry.firn is not None else jnp.zeros(shp, dtype)
-        N = self.n_intervals
+        # trip count scales with dt to hold the configured evaluations-
+        # per-year density (surface.pdd.max_evals_per_year): a fixed count
+        # per UPDATE over-samples short adaptive steps (at 5 km the
+        # production dt is ~0.16 a; 26 fixed intervals would be ~160
+        # evals/year, each a full-grid pass). Traced bound -> fori_loop
+        # lowers to a while_loop whose cost follows the actual dt.
+        N_max = self.n_intervals
+        evals = 2.0 * N_max   # n_intervals was derived as evals/2
+        N = jnp.clip(jnp.ceil(dt * evals / SEC_PER_YEAR), 1,
+                     N_max).astype(jnp.int32)
         dt_i = dt / N
 
         def balance_year(tk):

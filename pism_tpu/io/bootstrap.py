@@ -263,13 +263,13 @@ def bootstrap(path: str, grid: Grid, config) -> ModelState:
                     config.get_number("bootstrapping.defaults.ice_surface_temp")))
         T_sfc = np.nan_to_num(
             T_sfc, nan=config.get_number("bootstrapping.defaults.ice_surface_temp"))
-        if not config.get_flag("energy.allow_temperature_above_melting") \
-                and np.any(T_sfc > 273.15 + 1e-6):
-            # the reference errors on unphysical input temperatures unless
-            # energy.allow_temperature_above_melting
-            raise ValueError(
-                f"{path!r}: ice_surface_temp above the melting point "
-                "(set energy.allow_temperature_above_melting to accept)")
+        if not config.get_flag("energy.allow_temperature_above_melting"):
+            # the reference rejects above-pressure-melting ice temperatures
+            # unless energy.allow_temperature_above_melting; the 2D surface
+            # Dirichlet value is capped at the melting point (above-melting
+            # margins are common in real forcing files and carry no meaning
+            # for ice enthalpy)
+            T_sfc = np.minimum(T_sfc, 273.15)
         EC = EnthalpyConverter.from_config(config)
         heuristic = config.get_string("bootstrapping.temperature_heuristic")
         smb = None

@@ -429,3 +429,132 @@ def _ssa_matvec_jvp(dx, dy, interpret, primals, tangents):
 def _is_zero(t):
     from jax.interpreters.ad import Zero
     return isinstance(t, Zero) or t is None
+
+
+# ------------------------------------------------------------------ PCR
+def _pcr_kernel(rounds: int, n: int, a_ref, b_ref, c_ref, d_ref, x_ref):
+    """Fused parallel cyclic reduction along the LAST (lane) axis: all
+    log2(n) elimination rounds stay in VMEM — ONE HBM round trip per
+    solve, vs one per round per array in the XLA fallback. Bitwise the
+    same float operations in the same order as
+    ``util.tridiag.solve_batched_pcr``.
+
+    The SSA line preconditioner's PCR applications dominate the 5 km
+    production Krylov iteration cost (~0.26 of 0.285 ms/iter is PCR HBM
+    traffic; examples/component_timing.py round 5) — this kernel is that
+    fix. Lane padding is safe: rolls wrap over the padded width, and every
+    lane whose source crosses the logical edge is masked to the fill
+    value before use."""
+    a = a_ref[:]
+    b = b_ref[:]
+    c = c_ref[:]
+    d = d_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    # edge rows of the tridiagonal have no outside neighbors
+    a = jnp.where(lane == 0, 0.0, a)
+    c = jnp.where(lane == n - 1, 0.0, c)
+
+    def sh(arr, s, fill):
+        """arr[k + s] with fill outside the logical [0, n) lane range
+        (pltpu.roll is circular over the logical lane count and only takes
+        non-negative shifts; wrapped-in lanes are masked to fill)."""
+        # np.int32: under jax_enable_x64 a python-int shift traces as an
+        # i64 tpu.dynamic_rotate operand, which Mosaic fails to legalize
+        rolled = pltpu.roll(arr, np.int32((-s) % n), axis=arr.ndim - 1)
+        if s >= 0:
+            return jnp.where(lane >= n - s, fill, rolled)
+        return jnp.where(lane < -s, fill, rolled)
+
+    s = 1
+    for _ in range(rounds):
+        b_m = sh(b, -s, 1.0)
+        b_p = sh(b, +s, 1.0)
+        alpha = -a / b_m
+        gamma = -c / b_p
+        b = b + alpha * sh(c, -s, 0.0) + gamma * sh(a, +s, 0.0)
+        d = d + alpha * sh(d, -s, 0.0) + gamma * sh(d, +s, 0.0)
+        a = alpha * sh(a, -s, 0.0)
+        c = gamma * sh(c, +s, 0.0)
+        s *= 2
+    x_ref[:] = d / b
+
+
+def pcr_fused(a, b, c, d, *, interpret: bool = None, block_rows: int = 256):
+    """Batched tridiagonal PCR solve along the last axis as one fused
+    Pallas kernel (same contract as ``util.tridiag.solve_batched_pcr``).
+    2D inputs only (batch, n); the caller flattens higher batch dims."""
+    import math as _math
+
+    if interpret is None:
+        interpret = FORCE_INTERPRET or jax.devices()[0].platform != "tpu"
+    batch, n = a.shape[-2], a.shape[-1]
+    rounds = _math.ceil(_math.log2(n)) if n > 1 else 0
+    grid = (max(1, -(-batch // block_rows)),)
+    bs = pl.BlockSpec((min(block_rows, batch), n),
+                      lambda i: (i, np.int32(0)))
+    kern = functools.partial(_pcr_kernel, rounds, n)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+        grid=grid,
+        in_specs=[bs, bs, bs, bs],
+        out_specs=bs,
+        interpret=interpret,
+    )(a, b, c, d)
+
+
+def _pcr_kernel_sub(rounds: int, n: int, a_ref, b_ref, c_ref, d_ref, x_ref):
+    """PCR along the SUBLANE (second-to-last) axis: sublane rotates are
+    register shuffles, far cheaper than the cross-lane permutes the
+    lane-axis variant lowers to (measured: the lane variant LOST 46% at
+    the 5 km shape)."""
+    a = a_ref[:]
+    b = b_ref[:]
+    c = c_ref[:]
+    d = d_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 2)
+    a = jnp.where(row == 0, 0.0, a)
+    c = jnp.where(row == n - 1, 0.0, c)
+
+    def sh(arr, s, fill):
+        rolled = pltpu.roll(arr, np.int32((-s) % n), axis=arr.ndim - 2)
+        if s >= 0:
+            return jnp.where(row >= n - s, fill, rolled)
+        return jnp.where(row < -s, fill, rolled)
+
+    s = 1
+    for _ in range(rounds):
+        b_m = sh(b, -s, 1.0)
+        b_p = sh(b, +s, 1.0)
+        alpha = -a / b_m
+        gamma = -c / b_p
+        b = b + alpha * sh(c, -s, 0.0) + gamma * sh(a, +s, 0.0)
+        d = d + alpha * sh(d, -s, 0.0) + gamma * sh(d, +s, 0.0)
+        a = alpha * sh(a, -s, 0.0)
+        c = gamma * sh(c, +s, 0.0)
+        s *= 2
+    x_ref[:] = d / b
+
+
+def pcr_fused_sub(a, b, c, d, *, interpret: bool = None,
+                  block_lanes: int = 512):
+    """Batched tridiagonal PCR along axis -2 (the system axis on sublanes,
+    batch on lanes) as one fused VMEM kernel; see _pcr_kernel_sub."""
+    import math as _math
+
+    if interpret is None:
+        interpret = FORCE_INTERPRET or jax.devices()[0].platform != "tpu"
+    n, batch = a.shape[-2], a.shape[-1]
+    rounds = _math.ceil(_math.log2(n)) if n > 1 else 0
+    grid = (max(1, -(-batch // block_lanes)),)
+    bs = pl.BlockSpec((n, min(block_lanes, batch)),
+                      lambda i: (np.int32(0), i))
+    kern = functools.partial(_pcr_kernel_sub, rounds, n)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+        grid=grid,
+        in_specs=[bs, bs, bs, bs],
+        out_specs=bs,
+        interpret=interpret,
+    )(a, b, c, d)

@@ -138,7 +138,9 @@ def operator_diagonal(nuH: NuH, beta, dx, dy, sh: Shifter):
     return diag_u, diag_v
 
 
-def make_line_preconditioner(nuH, beta, bc_mask, dx, dy, sh: Shifter):
+def make_line_preconditioner(nuH, beta, bc_mask, dx, dy, sh: Shifter,
+                             pcr_dtype: str = "f32", line_block: int = 0,
+                             pcr_impl: str = "xla"):
     """Alternating-direction line preconditioner: the u-equation is relaxed
     exactly along x-lines (its dominant ``4 nuH / dx^2`` normal-stress
     coupling) and the v-equation along y-lines, with the transverse and
@@ -173,16 +175,88 @@ def make_line_preconditioner(nuH, beta, bc_mask, dx, dy, sh: Shifter):
     au, cu = au / bu, cu / bu
     av, cv = av / bv, cv / bv
 
+    def _blocked(solver, a_, b_, c_, d_):
+        """Solve independent line blocks of length line_block: reshape the
+        system axis into (groups, B); the solver's own first/last-row
+        masking decouples the blocks (a Dirichlet-style block split). Fewer
+        log2 rounds -> less HBM traffic per preconditioner application, at
+        slightly weaker long-range damping."""
+        n = d_.shape[-1]
+        B = line_block
+        pad = (-n) % B
+        def prep(x, fill):
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
+            return x.reshape(x.shape[0] * ((n + pad) // B), B)
+        out = solver(prep(a_, 0.0), prep(b_, 1.0), prep(c_, 0.0),
+                     prep(d_, 0.0))
+        out = out.reshape(d_.shape[0], n + pad)
+        return out[:, :n] if pad else out
+
+    def _pcr(a_, b_, c_, d_):
+        # bf16 PCR on the TPU f32 path (stress_balance.ssa.fd.
+        # line_pcr_dtype, default bf16): the line preconditioner's PCR HBM
+        # traffic dominates the production Krylov iteration (~0.26 of
+        # 0.285 ms at 5 km; examples/component_timing.py round 5), and a
+        # preconditioner only needs an approximate application — the
+        # equilibrated (unit-diagonal) systems solve fine in bf16, and the
+        # result is a FIXED linear operator (deterministic), so plain
+        # BiCGStab stays valid. Measured: 61.2 -> 42.7 ms/step at 5 km.
+        # (A fused Pallas PCR was tried first and measured SLOWER — 80
+        # lane-rotates per solve; docs/VALIDATION.md.)
+        import jax as _jax
+        if pcr_dtype == "bf16" \
+                and _jax.devices()[0].platform == "tpu" \
+                and d_.dtype == jnp.float32:
+            bf = jnp.bfloat16
+            # signed pivot floor: bf16 rounding can drive weakly-dominant
+            # pivots through zero (without it the first measured bf16 run
+            # silently broke BiCGStab down at iteration 1 and the Newton
+            # loop exited at F2/b2 ~ 4e-2). Even clamped, bf16 is NOT the
+            # default: it still ground a 300-iteration breakdown sweep on
+            # the warm-start system (docs/VALIDATION.md round-5 study).
+            solver = lambda *args: solve_batched_pcr(
+                *(x.astype(bf) for x in args),
+                pivot_floor=1.0 / 64.0).astype(jnp.float32)
+        else:
+            solver = solve_batched_pcr
+        if line_block > 1:
+            return _blocked(solver, a_, b_, c_, d_)
+        return solver(a_, b_, c_, d_)
+
+    def _pcr_sub(a_, b_, c_, d_):
+        """Same solve with the system axis on SUBLANES (axis -2)."""
+        import jax as _jax
+        if pcr_impl == "pallas_sublane" \
+                and _jax.devices()[0].platform == "tpu" \
+                and d_.dtype == jnp.float32:
+            from .pallas_kernels import pcr_fused_sub
+            return pcr_fused_sub(a_, b_, c_, d_)
+        sw = lambda x: jnp.swapaxes(x, -1, -2)
+        return sw(_pcr(sw(a_), sw(b_), sw(c_), sw(d_)))
+
     def precond(r):
         ru, rv = r
         one_u = jnp.ones(ru.shape, ru.dtype)
-        zu = solve_batched_pcr(au.astype(ru.dtype), one_u,
-                               cu.astype(ru.dtype),
-                               ru / bu.astype(ru.dtype))
+        if pcr_impl == "pallas_sublane":
+            # u-lines run along x = the LANE axis of (My, Mx) arrays;
+            # transpose them onto sublanes for the fused kernel. v-lines
+            # run along y = the sublane axis already — no transpose at all.
+            sw = lambda x: jnp.swapaxes(x, -1, -2)
+            zu = sw(_pcr_sub(sw(au.astype(ru.dtype)), sw(one_u),
+                             sw(cu.astype(ru.dtype)),
+                             sw(ru / bu.astype(ru.dtype))))
+            zv = _pcr_sub(av.astype(rv.dtype), one_u,
+                          cv.astype(rv.dtype),
+                          rv / bv.astype(rv.dtype))
+            return zu, zv
+        zu = _pcr(au.astype(ru.dtype), one_u,
+                  cu.astype(ru.dtype),
+                  ru / bu.astype(ru.dtype))
         sw = lambda x: jnp.swapaxes(x, -1, -2)
-        zv = sw(solve_batched_pcr(sw(av.astype(rv.dtype)), sw(one_u),
-                                  sw(cv.astype(rv.dtype)),
-                                  sw(rv / bv.astype(rv.dtype))))
+        zv = sw(_pcr(sw(av.astype(rv.dtype)), sw(one_u),
+                     sw(cv.astype(rv.dtype)),
+                     sw(rv / bv.astype(rv.dtype))))
         return zu, zv
 
     return precond

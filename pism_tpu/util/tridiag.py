@@ -85,13 +85,18 @@ def _shift_z(x, s, fill=0.0):
     return x
 
 
-def solve_batched_pcr(a, b, c, d):
+def solve_batched_pcr(a, b, c, d, pivot_floor: float = 0.0):
     """Parallel cyclic reduction; same contract as the Thomas variant.
 
     Each round eliminates the sub/super-diagonals at distance s by row
     combination; after ceil(log2 n) rounds the system is diagonal. Out-of-
     range neighbors use b = 1, a = c = d = 0, which makes the eliminations
     no-ops at the column ends.
+
+    ``pivot_floor`` > 0 clamps |pivots| away from zero (signed): needed by
+    reduced-precision (bf16) preconditioner solves, where rounding can
+    drive a weakly-dominant pivot through zero and poison the whole line
+    with Inf/NaN. Exact solves (the default) leave it off.
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
@@ -100,11 +105,18 @@ def solve_batched_pcr(a, b, c, d):
     a = a.at[..., 0].set(0.0)
     c = c.at[..., -1].set(0.0)
     n = a.shape[-1]
+
+    def piv(x):
+        if pivot_floor <= 0.0:
+            return x
+        return jnp.where(jnp.abs(x) < pivot_floor,
+                         jnp.where(x < 0, -pivot_floor, pivot_floor), x)
+
     s = 1
     rounds = math.ceil(math.log2(n)) if n > 1 else 0
     for _ in range(rounds):
-        b_m = _shift_z(b, -s, 1.0)   # b[k-s]
-        b_p = _shift_z(b, +s, 1.0)   # b[k+s]
+        b_m = _shift_z(piv(b), -s, 1.0)   # b[k-s]
+        b_p = _shift_z(piv(b), +s, 1.0)   # b[k+s]
         alpha = -a / b_m
         gamma = -c / b_p
         b = b + alpha * _shift_z(c, -s) + gamma * _shift_z(a, +s)
@@ -112,7 +124,7 @@ def solve_batched_pcr(a, b, c, d):
         a = alpha * _shift_z(a, -s)
         c = gamma * _shift_z(c, +s)
         s *= 2
-    return d / b
+    return d / piv(b)
 
 
 def solve_batched(a, b, c, d):
