@@ -705,7 +705,7 @@ PARAMETERS.update({
     "isochrones.bootstrapping.n_layers": (10, None, "isochronal layers allocated when bootstrapping"),
 
     # steady-state hydrology (Bueler 2022 emulation)
-    "hydrology.steady.flux_update_interval": (10.0, "years", "[unimplemented] recompute the steady water flux every this often"),
+    "hydrology.steady.flux_update_interval": (10.0, "years", "recompute the steady water flux every this often"),
     "hydrology.steady.volume_ratio": (0.1, None, "[unimplemented] fraction of the modeled water volume routed instantaneously"),
 
     # yield-stress forcing

@@ -558,6 +558,9 @@ class IceModel:
                 # reference hydrology.surface_input_from_runoff: the surface
                 # model's runoff feeds the subglacial system
                 kw["runoff"] = getattr(smb_in, "runoff", None)
+            from ..physics.hydrology import Steady as _Steady
+            if isinstance(self.hydrology, _Steady):
+                kw["t"] = t + dt   # step END time (interval-crossing test)
             state = self.hydrology.step(state, dt_f, **kw)
 
         # 7. mass transport ------------------------------------------------

@@ -312,8 +312,23 @@ class Steady(NullTransport):
         self.max_iters = self.config.get_int(
             "hydrology.steady_max_iterations")
 
-    def step(self, state: S.ModelState, dt, runoff=None) -> S.ModelState:
+    def step(self, state: S.ModelState, dt, runoff=None,
+             t=None) -> S.ModelState:
         state = NullTransport.step(self, state, dt, runoff)
+        # reference hydrology.steady.flux_update_interval: the (expensive)
+        # flow-accumulation fixed point only reruns when the step crosses
+        # an interval boundary; between updates the stored discharge field
+        # is carried unchanged (SteadyState.cc does the same)
+        T = self.config.get_number("hydrology.steady.flux_update_interval",
+                                   "seconds")
+        if t is not None and T > 0.0 and state.hydro_Q is not None:
+            crossed = jnp.floor(t / T) > jnp.floor((t - dt) / T)
+            return jax.lax.cond(crossed,
+                                lambda s: self._solve_flux(s),
+                                lambda s: s, state)
+        return self._solve_flux(state)
+
+    def _solve_flux(self, state: S.ModelState) -> S.ModelState:
         sh = self.sh
         g = state.geometry
         H = g.ice_thickness
