@@ -123,7 +123,10 @@ class LingleClark:
         alpha = (self.rho_r * self.g + self.D * self.k4).astype(rdt)
         two_eta_k = (2.0 * self.eta
                      * jnp.maximum(self.k, 1e-12)).astype(rdt)
-        a_coef = two_eta_k / dt
+        # dt arrives as an f64 scalar from the interval gate; dividing the
+        # f32 spectra by it would promote the whole spectral update (and
+        # the TPU FFT has no f64)
+        a_coef = two_eta_k / jnp.asarray(dt).astype(rdt)
         U_hat_new = ((a_coef - 0.5 * alpha) * U_hat - q_hat) / (a_coef + 0.5 * alpha)
         # k = 0 mode: immediate local isostatic equilibrium has no meaning on
         # the mean; keep the mean displacement at its relaxed value
