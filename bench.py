@@ -385,6 +385,11 @@ def main():
             "platform": jax.devices()[0].platform,
             "baseline_note": "3e3 model-years/hour indicative 64-rank PISM "
                              "20 km estimate (reference mount empty; see BASELINE.md)",
+            "vs_baseline_semantics": "indicative only - the denominator is "
+                                     "a from-memory order-of-magnitude "
+                                     "estimate, not a measured reference "
+                                     "run; detail.hybrid_5km.roofline is "
+                                     "the capability-grounded number",
         },
     }
     if tpu_dead_note:
