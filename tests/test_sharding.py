@@ -20,6 +20,19 @@ from pism_tpu.verification import halfar
 SPY = 3.15569259747e7
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    """Drop compiled executables accumulated by the ~270 tests that run
+    before this module in a full-tier pass.  The XLA CPU compiler has been
+    observed to segfault (in backend_compile_and_load, on a trivial
+    elementwise op) when these sharded tests compile late in a long
+    single-process session; the same tests pass deterministically in a
+    fresh process.  Clearing JAX's caches frees the accumulated JIT state
+    before the mesh compilations start."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def devices():
     d = jax.devices()
