@@ -76,7 +76,7 @@ PARAMETERS = {
     "stress_balance.ssa.fd.max_iterations": (300, None, "max Picard iterations"),
     "stress_balance.ssa.fd.ksp_rtol": (1.0e-5, None, "inner Krylov relative tolerance (floor; the Eisenstat-Walker forcing loosens it adaptively up to ksp_rtol_max while the outer residual is far from converged)"),
     "stress_balance.ssa.fd.ksp_rtol_max": (0.3, None, "loosest adaptive inner tolerance (Eisenstat-Walker eta_max; set equal to ksp_rtol to disable inexact Newton; 0.3 measured fastest on the 5 km hybrid: a loose direction per sweep beats fewer, tighter sweeps)"),
-    "stress_balance.ssa.fd.preconditioner": ("line", None, "inner-Krylov preconditioner: line (default: alternating-direction line relaxation — u along x, v along y — via batched parallel cyclic reduction; fully fused on TPU, ~2.4x Krylov iteration cut and ~1.6x SSA wall-time vs jacobi at 20 km Greenland scale) | jacobi (point diagonal) | mg (geometric multigrid V-cycle: converges where Jacobi stagnates but its small coarse levels are dispatch-latency-bound on TPU) | linemg (V(1,1) cycle with the line smoother: line relaxation + coarse-grid global coupling)"),
+    "stress_balance.ssa.fd.preconditioner": ("line", None, "inner-Krylov preconditioner: line (default: alternating-direction line relaxation — u along x, v along y — via batched parallel cyclic reduction; fully fused on TPU, ~2.4x Krylov iteration cut and ~1.6x SSA wall-time vs jacobi at 20 km Greenland scale) | jacobi (point diagonal) | mg (geometric multigrid V-cycle: beats jacobi on smooth high-contrast problems, but on warm production solves the V-cycle-preconditioned BiCGStab breaks down on near-noise-floor Newton systems — every late sweep burns the inner iteration cap and the solve exits on stagnation above tolerance; see docs/VALIDATION.md round-5 autopsy) | linemg (V(1,1) cycle with the line smoother: same breakdown at ~50 PCR solves per capped iteration — 35x slower than line at 5 km; diagnostic only)"),
     "stress_balance.ssa.fd.warmup_ksp_rtol": (1.0e-2, None, "inner Krylov tolerance for Picard warmup/safeguard sweeps (fixed-point sweeps do not need tight inner solves; 1e-2 cuts ~15% of the 5 km solve wall time over 1e-3 with no trajectory effect)"),
     "stress_balance.ssa.fd.ksp_max_it": (300, None, "inner Krylov max iterations"),
     "stress_balance.ssa.fd.nuH_iter_failure_underrelaxation": (0.8, None, "[unimplemented] under-relaxation on retry"),
@@ -92,7 +92,7 @@ PARAMETERS = {
     "stress_balance.ssa.fd.newton_max_iterations": (100, None, "max Newton iterations"),
     "stress_balance.ssa.fd.picard_warmup": (5, None, "Picard iterations before Newton"),
     "stress_balance.ssa.fd.warmup_skip_rtol": (0.5, None, "skip the Picard warmup (drag-regularization continuation) when the initial residual is already below this fraction of |b| - a warm start from the previous step's velocity; the continuation's nearly-linear-drag first sweeps would move such an iterate AWAY from the solution (0 = never skip)"),
-    "stress_balance.ssa.fd.eta_endgame_range": (0.0, None, "endgame tightening of the Eisenstat-Walker forcing: once |F| <= range * tol, set the inner tolerance to land at ~tol/2 in one sweep (the per-sweep fixed cost dominates the per-Krylov cost, so few tight sweeps beat many eta_max-loose ones near convergence); 0 disables"),
+    "stress_balance.ssa.fd.eta_endgame_range": (16.0, None, "endgame tightening of the Eisenstat-Walker forcing: once |F| <= range * tol, set the inner tolerance to land at ~tol/2 in one sweep instead of contracting by eta_max per sweep through the noise-floor grind (the last 3-4 warm sweeps otherwise burn ~68% of the Krylov work at eta = 0.3); 0 disables. Default 16 measured at the 5 km north-star shape: 64 -> 59.5 ms/step reproducibly, trajectory shift 6e-5 relative volume = well inside the 2e-4 chaotic envelope; range 8 and 64 are both worse (docs/VALIDATION.md round-5 campaign)"),
     "stress_balance.ssa.fd.drag_jacobian": ("picard", None, "basal-drag linearization in the Newton sweeps: picard (default; frozen beta - robust at u -> 0 and 2x faster over full 5 km trajectories, where the exact direction triggers line-search/safeguard work on melt-season steps) | exact (d(beta u)/du; essential for drag-dominated streams like test N and fully-converged verification solves)"),
     "stress_balance.ssa.fd.max_speed": (50.0e3, "m year-1", "hard clamp on SSA speeds (guards CFL dt collapse)"),
     "stress_balance.ssa.fd.krylov_dot_dtype": ("auto", None, "accumulation dtype for Krylov/Newton dot products under f32 vectors: auto (default: float32 on the pure-f32 production path whose 3e-4 target sits far above the f32 dot noise - measured 5 km warm solve 56 -> 46 ms with unchanged iteration counts; float64 elsewhere) | float64 (emulated on TPU) | float32"),
